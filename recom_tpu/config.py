@@ -1,0 +1,96 @@
+"""Engine configuration.
+
+The reference configures everything through environment variables read at
+static-init (RECOM_SHAPE_OPT, RECOM_PRE_LOOKUP_OPT, ... — reference
+passes/fc_optimize_pass.cc:41-73, utils.cc:22-25).  We use a typed dataclass
+with the same on/off switches, and honor ``RECOM_TPU_*`` env overrides so the
+zero-code-change deployment story is preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+
+def _env_bool(key: str, default: bool) -> bool:
+    v = os.environ.get(key)
+    if v is None:
+        return default
+    return v.lower() in ("1", "on", "true", "yes")
+
+
+def _env_int(key: str, default: int) -> int:
+    v = os.environ.get(key)
+    return int(v) if v is not None else default
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """All knobs for compilation and execution.
+
+    Pipeline gates mirror the reference's env flags
+    (fc_optimize_pass.cc:41-73): each compiler stage can be disabled
+    independently to bisect miscompiles, and a disabled stage must leave
+    behavior unchanged (graceful-degradation contract, SURVEY.md section 4).
+    """
+
+    # --- compiler pass gates (reference: RECOM_* env flags) ---
+    prune_useless: bool = True          # RECOM_SHAPE_OPT analogue
+    pre_lookup_opt: bool = True         # RECOM_PRE_LOOKUP_OPT
+    lookup_opt: bool = True             # RECOM_LOOKUP_OPT
+    dedup_subcolumns: bool = True       # new: shared sub-column elimination
+    use_pallas: bool = True             # RECOM_CODEGEN analogue
+
+    # --- shape bucketing (replaces symbolic shapes) ---
+    batch_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048)
+    # per-group row-length (nnz-per-row) ladder; rows longer than the last
+    # bucket are truncated from the *end* (documented divergence knob, off by
+    # default: overflow instead raises).
+    rowlen_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128)
+    allow_truncate_overflow: bool = False
+
+    # --- kernel selection ---
+    # tables with vocab <= this use the MXU one-hot matmul megakernel path;
+    # larger tables use the row-gather path (XLA gather / Pallas DMA gather).
+    onehot_vocab_limit: int = 4096
+    # group output strip width for the megakernel (MXU lane width).
+    lane_width: int = 128
+    # dtype for table storage on device ("float32" keeps bit-exactness with
+    # the TF oracle; "bfloat16" trades exactness for bandwidth).
+    table_dtype: str = "float32"
+    compute_dtype: str = "float32"      # tower compute dtype
+
+    # --- parallelism ---
+    mesh_shape: Optional[Sequence[int]] = None   # None -> single device
+    mesh_axis_names: Sequence[str] = ("data", "model")
+    # tables whose row count exceeds this are row-sharded over the "model"
+    # axis with all-to-all id exchange (reference analogue: max_table_size
+    # CPU fallback, cuda_emitter.cc:1080-1094 — we shard instead of falling
+    # back to host).
+    shard_rows_above: int = 1 << 22
+
+    # --- observability ---
+    dump_ir_dir: Optional[str] = None   # per-pass IR dumps (reference:
+                                        # DumpGraphDefToFile before/after)
+    log_verbosity: int = _env_int("RECOM_TPU_LOG_VERBOSITY", 0)
+
+    # --- caching ---
+    cache_dir: str = os.environ.get(
+        "RECOM_TPU_CACHE_DIR", os.path.expanduser("~/.cache/recom_tpu")
+    )
+    persistent_compilation_cache: bool = True
+
+    interpret: bool = False             # run Pallas kernels in interpreter
+                                        # mode (CPU tests)
+
+    def __post_init__(self):
+        # env overrides, read at construction (not static-init, unlike the
+        # reference — makes tests hermetic).
+        self.prune_useless = _env_bool("RECOM_TPU_SHAPE_OPT", self.prune_useless)
+        self.pre_lookup_opt = _env_bool("RECOM_TPU_PRE_LOOKUP_OPT", self.pre_lookup_opt)
+        self.lookup_opt = _env_bool("RECOM_TPU_LOOKUP_OPT", self.lookup_opt)
+        self.use_pallas = _env_bool("RECOM_TPU_CODEGEN", self.use_pallas)
+        self.batch_buckets = tuple(sorted(self.batch_buckets))
+        self.rowlen_buckets = tuple(sorted(self.rowlen_buckets))

@@ -1,0 +1,384 @@
+"""The column IR: typed feature-column pipelines.
+
+The reference mines these pipelines out of a frozen TF GraphDef with pattern
+matching (reference graph_optimizers/graph_info.cc:209-365 ExtractFCNodes).
+We own the IR instead: a model is a list of :class:`FeatureColumn`, each a
+``source -> [transforms] -> lookup -> concat slot`` pipeline, plus embedding
+:class:`TableSpec` s and a dense :class:`TowerSpec`.  An importer can
+re-create the reference's extraction on top of this IR later; nothing in the
+compiler depends on TF.
+
+Every transform carries the *abstract kind* used by the pre-lookup
+interval-set algebra (reference pre_lookup_optimizer.h:38-48 OpMeta — Gather /
+Select / Map / Keep):
+
+  * ``map``    — establishes a value range (HashBucket, Bucketize, Vocab...)
+  * ``gather`` — drops out-of-set elements, compacting the sparse tensor
+  * ``select`` — substitutes out-of-set elements with a constant
+  * ``keep``   — shape/dtype-only (Cast, Identity)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import hashlib
+import json
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from recom_tpu.ir.intervals import IntervalSet
+
+
+class FeatureKind(enum.Enum):
+    """Raw feature wire formats accepted at the engine boundary."""
+
+    DENSE_FLOAT = "dense_float"    # one float per example
+    DENSE_INT = "dense_int"        # one int per example
+    STRING = "string"              # one string per example
+    INT_LIST = "int_list"          # variable-length int list per example
+    STRING_LIST = "string_list"    # variable-length string list per example
+    FLOAT_LIST = "float_list"      # variable-length float list (weights)
+
+
+_LIST_KINDS = (FeatureKind.INT_LIST, FeatureKind.STRING_LIST, FeatureKind.FLOAT_LIST)
+_STRING_KINDS = (FeatureKind.STRING, FeatureKind.STRING_LIST)
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureSource:
+    field: str
+    kind: FeatureKind
+
+    @property
+    def is_ragged(self) -> bool:
+        return self.kind in _LIST_KINDS
+
+    @property
+    def is_string(self) -> bool:
+        return self.kind in _STRING_KINDS
+
+
+class Combiner(enum.Enum):
+    SUM = "sum"
+    MEAN = "mean"
+    SQRTN = "sqrtn"
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Transform:
+    """Base class; subclasses are pure per-element functions."""
+
+    @property
+    def kind(self) -> str:
+        raise NotImplementedError
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        """Integer range of outputs given integer range of inputs.  Only
+        meaningful once values are integer ids; float/string stages return
+        the universe."""
+        return IntervalSet.all()
+
+    def cache_key(self) -> str:
+        return f"{type(self).__name__}:{dataclasses.asdict(self)}"
+
+
+@dataclasses.dataclass(frozen=True)
+class HashBucket(Transform):
+    """TF ``StringToHashBucketFast`` semantics: FarmHash Fingerprint64 of the
+    UTF-8 bytes, mod ``num_buckets``.  Integer inputs are hashed via their
+    decimal-string representation (tf.feature_column categorical hash-bucket
+    behavior).  Host-side (strings never reach the device)."""
+
+    num_buckets: int
+
+    @property
+    def kind(self) -> str:
+        return "map"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return IntervalSet.closed(0, self.num_buckets - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucketize(Transform):
+    """TF ``Bucketize``: output = #boundaries <= x  (upper_bound).  Runs on
+    device, vectorized over the whole bucketized-column group."""
+
+    boundaries: Tuple[float, ...]
+
+    def __init__(self, boundaries: Sequence[float]):
+        object.__setattr__(self, "boundaries", tuple(float(b) for b in boundaries))
+        if list(self.boundaries) != sorted(set(self.boundaries)):
+            raise ValueError("bucketize boundaries must be strictly increasing")
+
+    @property
+    def kind(self) -> str:
+        return "map"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return IntervalSet.closed(0, len(self.boundaries))
+
+
+@dataclasses.dataclass(frozen=True)
+class NumToId(Transform):
+    """Interpret an integer feature directly as an id (TF
+    ``categorical_column_with_identity``).  ``num_ids`` bounds the valid
+    range; out-of-range behavior is governed by downstream Select/Filter
+    transforms (or ``default_id``)."""
+
+    num_ids: int
+    default_id: Optional[int] = None
+
+    @property
+    def kind(self) -> str:
+        return "map" if self.default_id is not None else "keep"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        if self.default_id is not None:
+            return IntervalSet.closed(0, self.num_ids - 1)
+        return in_range
+
+
+@dataclasses.dataclass(frozen=True)
+class VocabLookup(Transform):
+    """TF ``categorical_column_with_vocabulary_list``: map raw values to
+    their vocab index; OOV values hash into ``num_oov`` extra buckets when
+    ``num_oov > 0``, else map to ``default`` (-1 means "drop downstream").
+    Host-side for string vocabs."""
+
+    vocab: Tuple[Union[str, int], ...]
+    num_oov: int = 0
+    default: int = -1
+
+    def __init__(self, vocab, num_oov: int = 0, default: int = -1):
+        object.__setattr__(self, "vocab", tuple(vocab))
+        object.__setattr__(self, "num_oov", int(num_oov))
+        object.__setattr__(self, "default", int(default))
+
+    @property
+    def kind(self) -> str:
+        return "map"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        n = len(self.vocab)
+        rng = IntervalSet.closed(0, n + max(self.num_oov, 0) - 1)
+        if self.num_oov == 0:
+            rng = rng.union(IntervalSet.point(self.default))
+        return rng
+
+    def cache_key(self) -> str:
+        h = hashlib.md5(
+            json.dumps([str(v) for v in self.vocab]).encode()
+        ).hexdigest()
+        return f"VocabLookup:{h}:{self.num_oov}:{self.default}"
+
+
+@dataclasses.dataclass(frozen=True)
+class Mod(Transform):
+    """Floored modulo (result in [0, n) for n > 0), applied to integer ids."""
+
+    n: int
+
+    @property
+    def kind(self) -> str:
+        return "map"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return IntervalSet.closed(0, self.n - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterRange(Transform):
+    """Drop (compact away) elements outside ``keep`` — the reference's
+    abstract Gather (Where + GatherV2 idiom; runtime analogue
+    Addons>GatherValueGenIndice)."""
+
+    keep: IntervalSet
+
+    @property
+    def kind(self) -> str:
+        return "gather"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return in_range.intersect(self.keep)
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectRange(Transform):
+    """Replace elements outside ``keep`` with ``substitute`` — the
+    reference's abstract Select (runtime analogue Addons>SelectValue)."""
+
+    keep: IntervalSet
+    substitute: int
+
+    @property
+    def kind(self) -> str:
+        return "select"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        r = in_range.intersect(self.keep)
+        return r.union(IntervalSet.point(self.substitute))
+
+
+@dataclasses.dataclass(frozen=True)
+class Cast(Transform):
+    """dtype cast; a Keep op for the interval algebra."""
+
+    dtype: str = "int64"
+
+    @property
+    def kind(self) -> str:
+        return "keep"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return in_range
+
+
+@dataclasses.dataclass(frozen=True)
+class IdentityTransform(Transform):
+    @property
+    def kind(self) -> str:
+        return "keep"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return in_range
+
+
+# ---------------------------------------------------------------------------
+# Tables / lookup / columns / model
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TableSpec:
+    """One embedding table.  ``vocab_size`` rows x ``dim`` columns."""
+
+    name: str
+    vocab_size: int
+    dim: int
+    dtype: str = "float32"
+    init_seed: int = 0
+    init_scale: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LookupSpec:
+    """Canonical lookup: pooled = combine_{l in row} w_l * table[id_l];
+    empty rows produce zeros (TF ``safe_embedding_lookup_sparse`` semantics —
+    the observable behavior of the reference's SparseFillEmptyRows + Select
+    idiom, lookup_optimizer.cc:108-134)."""
+
+    table: str
+    combiner: Combiner = Combiner.MEAN
+    weight_field: Optional[str] = None  # parallel FLOAT_LIST feature
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureColumn:
+    """source -> transforms -> (optional) lookup -> concat slot.
+
+    ``lookup is None`` means a dense passthrough column: the (single
+    per-example float) value feeds the tower directly."""
+
+    name: str
+    source: FeatureSource
+    transforms: Tuple[Transform, ...] = ()
+    lookup: Optional[LookupSpec] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "transforms", tuple(self.transforms))
+
+    def chain_key(self) -> str:
+        """Identity of the source+transform chain, for shared-sub-column
+        dedup (two columns with equal chain_key compute identical ids)."""
+        parts = [self.source.field, self.source.kind.value]
+        parts += [t.cache_key() for t in self.transforms]
+        return "|".join(parts)
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerSpec:
+    """Dense tower over [dense_features, pooled_embeddings].
+
+    arch:
+      * "mlp"      — concat everything, run top MLP (reference models E/F,
+                     examples/python/dlrm.py:140-207 style)
+      * "dlrm_dot" — DLRM: bottom MLP on dense, dot-interaction of embedding
+                     vectors (requires uniform dim), top MLP
+    """
+
+    arch: str = "mlp"
+    bottom_mlp: Tuple[int, ...] = ()
+    top_mlp: Tuple[int, ...] = (1024, 1024, 128, 1)
+    activation: str = "relu"
+    final_activation: Optional[str] = "sigmoid"
+    init_seed: int = 0
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    name: str
+    tables: Dict[str, TableSpec]
+    columns: List[FeatureColumn]
+    tower: TowerSpec = dataclasses.field(default_factory=TowerSpec)
+
+    def __post_init__(self):
+        self.validate()
+
+    def validate(self):
+        names = set()
+        for col in self.columns:
+            if col.name in names:
+                raise ValueError(f"duplicate column name {col.name!r}")
+            names.add(col.name)
+            if col.lookup is not None:
+                if col.lookup.table not in self.tables:
+                    raise ValueError(
+                        f"column {col.name!r} references unknown table "
+                        f"{col.lookup.table!r}"
+                    )
+            else:
+                if col.source.kind != FeatureKind.DENSE_FLOAT:
+                    raise ValueError(
+                        f"dense passthrough column {col.name!r} must have "
+                        f"DENSE_FLOAT source, got {col.source.kind}"
+                    )
+                if col.transforms:
+                    raise ValueError(
+                        f"dense passthrough column {col.name!r} cannot have "
+                        "transforms"
+                    )
+
+    @property
+    def embedding_columns(self) -> List[FeatureColumn]:
+        return [c for c in self.columns if c.lookup is not None]
+
+    @property
+    def dense_columns(self) -> List[FeatureColumn]:
+        return [c for c in self.columns if c.lookup is None]
+
+    @property
+    def output_dim(self) -> int:
+        """Width of the concatenated feature matrix feeding the tower."""
+        d = len(self.dense_columns)
+        for c in self.embedding_columns:
+            d += self.tables[c.lookup.table].dim
+        return d
+
+    def spec_hash(self) -> str:
+        """Stable hash for compile caching (the analogue of the reference's
+        generated-code MD5 cache key, cuda_emitter.cc:86-111)."""
+        h = hashlib.sha256()
+        h.update(self.name.encode())
+        for t in sorted(self.tables):
+            h.update(repr(self.tables[t]).encode())
+        for c in self.columns:
+            h.update(c.chain_key().encode())
+            h.update(repr(c.lookup).encode())
+        h.update(repr(self.tower).encode())
+        return h.hexdigest()[:16]

@@ -1,0 +1,300 @@
+"""NumPy oracle: TF-exact execution of a ModelSpec.
+
+The behavioral contract the whole framework is tested against: *optimized
+output must equal unoptimized output on the same inputs* (SURVEY.md section 4
+— the reference enforces this only implicitly via graceful degradation; we
+make it an executable oracle).
+
+Semantics reproduced from TF (what the reference's rewrites preserve):
+  * StringToHashBucketFast  = Fingerprint64 % buckets   (hashing.py)
+  * Bucketize               = upper_bound(boundaries, x)
+  * safe_embedding_lookup_sparse: ids < 0 pruned, empty rows -> zeros
+    (the SparseFillEmptyRows + Select idiom's observable behavior,
+    reference lookup_optimizer.cc:108-134)
+  * SparseSegmentSum/Mean pooling in index order, float32 accumulation
+
+Bit-exactness caveat: in-order float32 accumulation is guaranteed for row
+lengths <= 128 (numpy pairwise summation block size), which bounds our
+row-length buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from recom_tpu.ir.spec import (
+    Bucketize,
+    Cast,
+    Combiner,
+    FeatureColumn,
+    FeatureKind,
+    FilterRange,
+    HashBucket,
+    IdentityTransform,
+    Mod,
+    ModelSpec,
+    NumToId,
+    SelectRange,
+    Transform,
+    VocabLookup,
+)
+from recom_tpu.oracle.hashing import farmhash64, hash_bucket_fast
+from recom_tpu.utils.params import init_model_params
+
+
+class SparseFeature:
+    """Ragged column as (values, row_ids[, weights]); row_ids ascending."""
+
+    __slots__ = ("values", "row_ids", "weights", "batch")
+
+    def __init__(self, values, row_ids, weights, batch):
+        self.values = values            # np int64/float64 array OR list[str]
+        self.row_ids = np.asarray(row_ids, dtype=np.int64)
+        self.weights = weights          # np.float32 array or None
+        self.batch = batch
+
+
+def _ragged_to_sparse(rows: Sequence, batch: int, is_string: bool) -> Tuple:
+    values: List = []
+    row_ids: List[int] = []
+    for b, row in enumerate(rows):
+        for v in row:
+            values.append(v)
+            row_ids.append(b)
+    if is_string:
+        return values, np.asarray(row_ids, dtype=np.int64)
+    return (
+        np.asarray(values, dtype=np.float64 if values and isinstance(values[0], float) else np.int64),
+        np.asarray(row_ids, dtype=np.int64),
+    )
+
+
+def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[str]) -> SparseFeature:
+    kind = col.source.kind
+    data = batch[col.source.field]
+    if kind in (FeatureKind.DENSE_FLOAT, FeatureKind.DENSE_INT):
+        arr = np.asarray(data)
+        b = arr.shape[0]
+        values = arr.astype(np.float64 if kind == FeatureKind.DENSE_FLOAT else np.int64)
+        return SparseFeature(values, np.arange(b, dtype=np.int64), None, b)
+    if kind == FeatureKind.STRING:
+        b = len(data)
+        return SparseFeature(list(data), np.arange(b, dtype=np.int64), None, b)
+    if kind in (FeatureKind.INT_LIST, FeatureKind.STRING_LIST):
+        b = len(data)
+        values, row_ids = _ragged_to_sparse(
+            data, b, kind == FeatureKind.STRING_LIST
+        )
+        weights = None
+        if weight_field is not None:
+            wrows = batch[weight_field]
+            w = [float(x) for row in wrows for x in row]
+            weights = np.asarray(w, dtype=np.float32)
+            if weights.shape[0] != len(row_ids):
+                raise ValueError(
+                    f"weight field {weight_field!r} misaligned with "
+                    f"{col.source.field!r}"
+                )
+        return SparseFeature(values, row_ids, weights, b)
+    raise ValueError(f"cannot materialize source kind {kind}")
+
+
+def apply_transform(t: Transform, sp: SparseFeature) -> SparseFeature:
+    if isinstance(t, HashBucket):
+        sp.values = hash_bucket_fast(sp.values, t.num_buckets)
+        return sp
+    if isinstance(t, Bucketize):
+        x = np.asarray(sp.values, dtype=np.float64)
+        sp.values = np.searchsorted(
+            np.asarray(t.boundaries, dtype=np.float64), x, side="right"
+        ).astype(np.int64)
+        return sp
+    if isinstance(t, NumToId):
+        v = np.asarray(sp.values).astype(np.int64)
+        if t.default_id is not None:
+            v = np.where((v < 0) | (v >= t.num_ids), np.int64(t.default_id), v)
+        sp.values = v
+        return sp
+    if isinstance(t, VocabLookup):
+        table = {k: i for i, k in enumerate(t.vocab)}
+        n = len(t.vocab)
+        out = np.empty(len(sp.values), dtype=np.int64)
+        for i, v in enumerate(sp.values):
+            key = v if not isinstance(v, (bytes, np.bytes_)) else v.decode()
+            if isinstance(key, (np.integer,)):
+                key = int(key)
+            idx = table.get(key)
+            if idx is None:
+                if t.num_oov > 0:
+                    s = key if isinstance(key, str) else str(int(key))
+                    idx = n + farmhash64(s) % t.num_oov
+                else:
+                    idx = t.default
+            out[i] = idx
+        sp.values = out
+        return sp
+    if isinstance(t, Mod):
+        sp.values = np.asarray(sp.values, dtype=np.int64) % t.n
+        return sp
+    if isinstance(t, FilterRange):
+        v = np.asarray(sp.values, dtype=np.int64)
+        mask = t.keep.membership_mask(v)
+        sp.values = v[mask]
+        sp.row_ids = sp.row_ids[mask]
+        if sp.weights is not None:
+            sp.weights = sp.weights[mask]
+        return sp
+    if isinstance(t, SelectRange):
+        v = np.asarray(sp.values, dtype=np.int64)
+        mask = t.keep.membership_mask(v)
+        sp.values = np.where(mask, v, np.int64(t.substitute))
+        return sp
+    if isinstance(t, (Cast, IdentityTransform)):
+        return sp
+    raise ValueError(f"unknown transform {t}")
+
+
+def pool_lookup(
+    sp: SparseFeature, table: np.ndarray, combiner: Combiner
+) -> np.ndarray:
+    """safe_embedding_lookup_sparse: prune ids<0, pool per row in index
+    order with float32 accumulation, empty rows -> zeros."""
+    ids = np.asarray(sp.values, dtype=np.int64)
+    row_ids = sp.row_ids
+    weights = sp.weights
+    valid = ids >= 0
+    if not valid.all():
+        ids = ids[valid]
+        row_ids = row_ids[valid]
+        if weights is not None:
+            weights = weights[valid]
+    if ids.size and (ids.max() >= table.shape[0]):
+        raise IndexError(
+            f"id {int(ids.max())} out of range for table with "
+            f"{table.shape[0]} rows"
+        )
+    b, d = sp.batch, table.shape[1]
+    out = np.zeros((b, d), dtype=np.float32)
+    if ids.size == 0:
+        return out
+    emb = table[ids]  # [nnz, d] float32
+    w = weights if weights is not None else np.ones(ids.shape[0], dtype=np.float32)
+    weighted = emb * w[:, None]
+
+    counts = np.bincount(row_ids, minlength=b)
+    nonempty = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    out[nonempty] = np.add.reduceat(weighted, starts[nonempty], axis=0)
+
+    if combiner == Combiner.MEAN:
+        denom = np.zeros(b, dtype=np.float32)
+        np.add.at(denom, row_ids, w)
+        out[nonempty] = out[nonempty] / denom[nonempty, None]
+    elif combiner == Combiner.SQRTN:
+        denom = np.zeros(b, dtype=np.float32)
+        np.add.at(denom, row_ids, w * w)
+        out[nonempty] = out[nonempty] / np.sqrt(denom[nonempty, None])
+    return out
+
+
+def _act(name: str, x: np.ndarray) -> np.ndarray:
+    if name == "relu":
+        return np.maximum(x, 0.0)
+    if name == "sigmoid":
+        return 1.0 / (1.0 + np.exp(-x))
+    if name is None or name == "none":
+        return x
+    raise ValueError(f"unknown activation {name}")
+
+
+def run_mlp(layers, x: np.ndarray, activation: str, final_activation) -> np.ndarray:
+    for i, layer in enumerate(layers):
+        x = x @ layer["w"] + layer["b"]
+        last = i == len(layers) - 1
+        x = _act(final_activation if last else activation, x) if (
+            not last or final_activation
+        ) else x
+    return x.astype(np.float32)
+
+
+class OracleModel:
+    """Eager NumPy execution of a ModelSpec — slow but semantically exact."""
+
+    def __init__(self, model: ModelSpec, params: Optional[Dict] = None):
+        self.model = model
+        self.params = params if params is not None else init_model_params(model)
+
+    def column_ids(self, col: FeatureColumn, batch: Dict) -> SparseFeature:
+        wf = col.lookup.weight_field if col.lookup else None
+        sp = materialize_source(col, batch, wf)
+        for t in col.transforms:
+            sp = apply_transform(t, sp)
+        return sp
+
+    def pooled_outputs(self, batch: Dict) -> Dict[str, np.ndarray]:
+        out = {}
+        for col in self.model.embedding_columns:
+            sp = self.column_ids(col, batch)
+            table = self.params["tables"][col.lookup.table]
+            out[col.name] = pool_lookup(sp, table, col.lookup.combiner)
+        return out
+
+    def dense_matrix(self, batch: Dict) -> np.ndarray:
+        cols = self.model.dense_columns
+        if not cols:
+            some = next(iter(batch.values()))
+            b = len(some)
+            return np.zeros((b, 0), dtype=np.float32)
+        mat = np.stack(
+            [np.asarray(batch[c.source.field], dtype=np.float32) for c in cols],
+            axis=1,
+        )
+        return mat
+
+    def forward(self, batch: Dict) -> Dict[str, np.ndarray]:
+        pooled = self.pooled_outputs(batch)
+        dense = self.dense_matrix(batch)
+        tower = self.model.tower
+
+        emb_list = [pooled[c.name] for c in self.model.embedding_columns]
+        if tower.arch == "mlp":
+            front = dense
+            if tower.bottom_mlp and dense.shape[1]:
+                front = run_mlp(
+                    self.params["tower"]["bottom"], dense, tower.activation,
+                    tower.activation,
+                )
+            concat = np.concatenate([front] + emb_list, axis=1) if emb_list else front
+            tower_in = concat
+        elif tower.arch == "dlrm_dot":
+            bottom = run_mlp(
+                self.params["tower"]["bottom"], dense, tower.activation,
+                tower.activation,
+            )
+            vecs = [bottom] + emb_list            # [n_vec] of [B, d]
+            v = np.stack(vecs, axis=1)            # [B, n_vec, d]
+            gram = np.einsum("bnd,bmd->bnm", v, v)
+            iu = np.triu_indices(len(vecs), k=1)
+            inter = gram[:, iu[0], iu[1]]         # [B, n_pairs]
+            concat = np.concatenate([dense] + emb_list, axis=1)
+            tower_in = np.concatenate([bottom, inter], axis=1).astype(np.float32)
+        else:
+            raise ValueError(tower.arch)
+
+        logits = run_mlp(
+            self.params["tower"]["top"], tower_in, tower.activation,
+            tower.final_activation,
+        )
+        return {
+            "pooled": pooled,
+            "dense": dense,
+            "concat": concat,
+            "tower_input": tower_in,
+            "output": logits,
+        }
+
+
+def oracle_forward(model: ModelSpec, batch: Dict, params: Optional[Dict] = None):
+    return OracleModel(model, params).forward(batch)
