@@ -1,0 +1,203 @@
+"""Lowering: ModelSpec -> CompiledModel (grouped, stacked, static layout).
+
+The TPU-native replacement for the reference's per-column CUDA codegen
+(cuda_emitter.cc EmitFCCode emits one __device__ struct per column and one
+thread block per column).  Instead of 1000 tiny programs we build a handful
+of *lookup groups*: columns sharing (embedding_dim, raggedness) are stacked —
+their tables concatenated row-wise into one array with per-column row
+offsets, their ids packed into one [B, C, L] tensor — so the whole model
+executes as a few large batched gathers/matmuls that XLA can tile onto the
+MXU, plus one static-offset concat (the reference's ConcatOutputs scatter
+kernel disappears into layout).
+
+Host/device split (reference analogue: SetFCBeginToCPU pins string producers
+to CPU, cuda_emitter.cc:172-190):
+  * string hashing / vocab maps -> host (recom_tpu.runtime.host_prep)
+  * Bucketize of dense floats  -> device, batched over all such columns
+  * everything downstream       -> device
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from recom_tpu.config import EngineConfig
+from recom_tpu.ir.spec import (
+    Bucketize,
+    Combiner,
+    FeatureColumn,
+    FeatureKind,
+    ModelSpec,
+    Transform,
+)
+
+_COMBINER_CODE = {Combiner.SUM: 0, Combiner.MEAN: 1, Combiner.SQRTN: 2}
+
+
+@dataclasses.dataclass
+class GroupMember:
+    column: FeatureColumn
+    table: str
+    row_offset: int              # row offset into the group's stacked table
+    vocab_size: int
+    combiner: Combiner
+    device_bucketize: Optional[Bucketize]   # ids computed on device if set
+    host_chain: Tuple[Transform, ...]       # transforms evaluated on host
+    # filled in by layout assignment:
+    group_index: int = -1        # position (C axis) inside the group
+    concat_offset: int = -1      # column's offset in the model-order concat
+
+
+@dataclasses.dataclass
+class LookupGroup:
+    gid: int
+    dim: int
+    ragged: bool                 # True -> runtime row-length bucket (L >= 1)
+    members: List[GroupMember]
+    stacked_rows: int = 0
+    row_offsets: Optional[np.ndarray] = None     # [C] int32
+    combiner_code: Optional[np.ndarray] = None   # [C] int32
+    has_weights: bool = False
+    # device-bucketize members occupy group indices [0, n_bucketize)
+    n_bucketize: int = 0
+    boundary_matrix: Optional[np.ndarray] = None  # [n_bucketize, Kmax] f32
+    boundary_counts: Optional[np.ndarray] = None  # [n_bucketize] int32
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.members)
+
+    @property
+    def out_width(self) -> int:
+        return self.num_columns * self.dim
+
+
+@dataclasses.dataclass
+class CompiledModel:
+    model: ModelSpec
+    config: EngineConfig
+    groups: List[LookupGroup]
+    # permutation: model-order emb concat[i] = grouped concat[emb_perm[i]]
+    emb_perm: np.ndarray
+    total_emb_dim: int
+    n_dense: int
+    # column name -> (group id, group index) for per-column output extraction
+    column_slot: Dict[str, Tuple[int, int]] = dataclasses.field(default_factory=dict)
+
+    def stacked_table(self, g: LookupGroup, tables: Dict[str, np.ndarray]) -> np.ndarray:
+        """Concatenate member tables into the group's stacked array."""
+        parts = [np.asarray(tables[m.table], dtype=np.float32) for m in g.members]
+        return np.concatenate(parts, axis=0)
+
+
+def _split_host_device(col: FeatureColumn):
+    """Decide which prefix of the transform chain runs on device.
+
+    Only one pattern runs its id computation on device today: a DENSE_FLOAT
+    source whose chain is exactly [Bucketize] (the dominant column type —
+    880/1000 in model E).  Everything else is evaluated on host; the device
+    sees final ids.  Filters/selects after a device bucketize would force
+    the column onto the host path (the compiler passes normally fold them
+    into the bucketize boundaries first, passes.py)."""
+    if (
+        col.source.kind == FeatureKind.DENSE_FLOAT
+        and len(col.transforms) == 1
+        and isinstance(col.transforms[0], Bucketize)
+    ):
+        return col.transforms[0], ()
+    return None, col.transforms
+
+
+def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
+    # --- group columns by (dim, ragged) --------------------------------
+    group_map: Dict[Tuple[int, bool], LookupGroup] = {}
+    members_by_col: Dict[str, Tuple[GroupMember, LookupGroup]] = {}
+    for col in model.embedding_columns:
+        tspec = model.tables[col.lookup.table]
+        ragged = col.source.is_ragged
+        key = (tspec.dim, ragged)
+        if key not in group_map:
+            group_map[key] = LookupGroup(
+                gid=len(group_map), dim=tspec.dim, ragged=ragged, members=[]
+            )
+        g = group_map[key]
+        bz, host_chain = _split_host_device(col)
+        m = GroupMember(
+            column=col,
+            table=col.lookup.table,
+            row_offset=0,
+            vocab_size=tspec.vocab_size,
+            combiner=col.lookup.combiner,
+            device_bucketize=bz,
+            host_chain=host_chain,
+        )
+        g.members.append(m)
+        members_by_col[col.name] = (m, g)
+        if col.lookup.weight_field:
+            g.has_weights = True
+
+    groups = list(group_map.values())
+
+    # --- order members: device-bucketize first; assign offsets ---------
+    for g in groups:
+        g.members.sort(key=lambda m: (m.device_bucketize is None))
+        row = 0
+        codes = []
+        offsets = []
+        for idx, m in enumerate(g.members):
+            m.group_index = idx
+            offsets.append(row)
+            m.row_offset = row
+            row += m.vocab_size
+            codes.append(_COMBINER_CODE[m.combiner])
+        g.stacked_rows = row
+        g.row_offsets = np.asarray(offsets, dtype=np.int32)
+        g.combiner_code = np.asarray(codes, dtype=np.int32)
+        g.n_bucketize = sum(1 for m in g.members if m.device_bucketize is not None)
+        if g.n_bucketize:
+            bmax = max(
+                len(m.device_bucketize.boundaries)
+                for m in g.members[: g.n_bucketize]
+            )
+            mat = np.full((g.n_bucketize, bmax), np.inf, dtype=np.float32)
+            cnts = np.zeros((g.n_bucketize,), dtype=np.int32)
+            for i, m in enumerate(g.members[: g.n_bucketize]):
+                b = np.asarray(m.device_bucketize.boundaries, dtype=np.float32)
+                mat[i, : len(b)] = b
+                cnts[i] = len(b)
+            g.boundary_matrix = mat
+            g.boundary_counts = cnts
+
+    # --- concat layout: model column order ------------------------------
+    # grouped concat = [group0 [B, C0*d0] | group1 ... ]; emb_perm maps the
+    # model-order concat position to the grouped position.
+    group_base = {}
+    base = 0
+    for g in groups:
+        group_base[g.gid] = base
+        base += g.out_width
+    total_emb = base
+
+    perm = np.empty((total_emb,), dtype=np.int32)
+    pos = 0
+    column_slot = {}
+    for col in model.embedding_columns:
+        m, g = members_by_col[col.name]
+        m.concat_offset = pos
+        column_slot[col.name] = (g.gid, m.group_index)
+        src = group_base[g.gid] + m.group_index * g.dim
+        perm[pos : pos + g.dim] = np.arange(src, src + g.dim, dtype=np.int32)
+        pos += g.dim
+
+    return CompiledModel(
+        model=model,
+        config=config,
+        groups=groups,
+        emb_perm=perm,
+        total_emb_dim=total_emb,
+        n_dense=len(model.dense_columns),
+        column_slot=column_slot,
+    )

@@ -13,9 +13,9 @@ Semantics reproduced from TF (what the reference's rewrites preserve):
     reference lookup_optimizer.cc:108-134)
   * SparseSegmentSum/Mean pooling in index order, float32 accumulation
 
-Bit-exactness caveat: in-order float32 accumulation is guaranteed for row
-lengths <= 128 (numpy pairwise summation block size), which bounds our
-row-length buckets.
+Pooling accumulates strictly left-to-right per row in float32 (any row
+length), matching both TF's sequential CPU kernels and the engine's
+lax.scan accumulation — this is what makes bit-exact comparison meaningful.
 """
 
 from __future__ import annotations
@@ -183,19 +183,28 @@ def pool_lookup(
     w = weights if weights is not None else np.ones(ids.shape[0], dtype=np.float32)
     weighted = emb * w[:, None]
 
+    # Strictly left-to-right per-row float32 accumulation (the order TF's CPU
+    # SparseSegmentSum/embedding_lookup_sparse kernels use).  Vectorized by
+    # accumulating over in-row position l: all rows' l-th entries at once.
     counts = np.bincount(row_ids, minlength=b)
     nonempty = counts > 0
-    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    out[nonempty] = np.add.reduceat(weighted, starts[nonempty], axis=0)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(row_ids.shape[0]) - starts[row_ids]
+    acc = np.zeros((b, d), dtype=np.float32)
+    wsum = np.zeros(b, dtype=np.float32)
+    w2sum = np.zeros(b, dtype=np.float32)
+    for l in range(int(counts.max())):
+        sel = pos == l
+        rows = row_ids[sel]
+        acc[rows] = acc[rows] + weighted[sel]
+        wsum[rows] = wsum[rows] + w[sel]
+        w2sum[rows] = w2sum[rows] + w[sel] * w[sel]
+    out[nonempty] = acc[nonempty]
 
     if combiner == Combiner.MEAN:
-        denom = np.zeros(b, dtype=np.float32)
-        np.add.at(denom, row_ids, w)
-        out[nonempty] = out[nonempty] / denom[nonempty, None]
+        out[nonempty] = out[nonempty] / wsum[nonempty, None]
     elif combiner == Combiner.SQRTN:
-        denom = np.zeros(b, dtype=np.float32)
-        np.add.at(denom, row_ids, w * w)
-        out[nonempty] = out[nonempty] / np.sqrt(denom[nonempty, None])
+        out[nonempty] = out[nonempty] / np.sqrt(w2sum[nonempty, None])
     return out
 
 
@@ -203,7 +212,10 @@ def _act(name: str, x: np.ndarray) -> np.ndarray:
     if name == "relu":
         return np.maximum(x, 0.0)
     if name == "sigmoid":
-        return 1.0 / (1.0 + np.exp(-x))
+        # numerically stable split form (avoids exp overflow for large |x|)
+        pos = x >= 0
+        z = np.exp(np.where(pos, -x, x))
+        return np.where(pos, 1.0 / (1.0 + z), z / (1.0 + z))
     if name is None or name == "none":
         return x
     raise ValueError(f"unknown activation {name}")

@@ -1,0 +1,232 @@
+"""The Engine: compile once, serve many batches.
+
+The runtime analogue of the reference's rewritten graph — ConcatInputs ->
+FeatureColumnProcess (FusedKnl) -> ConcatOutputs -> dense tower
+(SURVEY.md section 3.3) — collapsed into: host_prep -> one jitted XLA program
+per shape bucket -> outputs.  The per-bucket jit cache replaces both the
+reference's nvcc/MD5 kernel cache and its symbolic-shape machinery.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recom_tpu.compiler.lowering import CompiledModel, lower_model
+from recom_tpu.compiler.pipeline import run_passes
+from recom_tpu.config import EngineConfig
+from recom_tpu.ir.spec import ModelSpec
+from recom_tpu.ops import lookup_xla
+from recom_tpu.runtime.host_prep import PreparedBatch, prepare_batch
+from recom_tpu.utils.params import init_model_params
+
+
+def _act(name: Optional[str], x):
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if name is None or name == "none":
+        return x
+    raise ValueError(f"unknown activation {name}")
+
+
+def mlp_apply(layers, x, activation: str, final_activation):
+    for i, layer in enumerate(layers):
+        x = x @ layer["w"] + layer["b"]
+        last = i == len(layers) - 1
+        if not last:
+            x = _act(activation, x)
+        elif final_activation:
+            x = _act(final_activation, x)
+    return x
+
+
+class Engine:
+    """Compiled recommendation-model engine.
+
+    >>> eng = Engine(model)               # runs the compiler pipeline
+    >>> out = eng.predict(raw_batch)      # host prep + jitted forward
+    """
+
+    def __init__(
+        self,
+        model: ModelSpec,
+        config: Optional[EngineConfig] = None,
+        params: Optional[Dict] = None,
+    ):
+        self.config = config or EngineConfig()
+        self.model, self.pass_report = run_passes(model, self.config)
+        self.compiled: CompiledModel = lower_model(self.model, self.config)
+        np_params = params if params is not None else init_model_params(model)
+        self.device_params = self._build_device_params(np_params)
+        self._jit_cache: Dict[Tuple, object] = {}
+        self.stats = {"compiles": 0, "calls": 0}
+
+    # ------------------------------------------------------------------
+    def _build_device_params(self, np_params: Dict) -> Dict:
+        dp: Dict = {"stacked": {}, "tower": {}}
+        tdtype = jnp.dtype(self.config.table_dtype)
+        for g in self.compiled.groups:
+            stacked = self.compiled.stacked_table(g, np_params["tables"])
+            dp["stacked"][str(g.gid)] = jnp.asarray(stacked, dtype=tdtype)
+        for key, layers in np_params["tower"].items():
+            dp["tower"][key] = [
+                {"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+                for l in layers
+            ]
+        return dp
+
+    # ------------------------------------------------------------------
+    def _embedding_forward(self, params, arrays) -> Tuple[jnp.ndarray, List]:
+        """Grouped lookups -> (model-order emb concat [Bp, total_emb],
+        per-group pooled [Bp, C, d] list)."""
+        compiled = self.compiled
+        group_out = []
+        pooled_list = []
+        for g, arrs in zip(compiled.groups, arrays["groups"]):
+            table = params["stacked"][str(g.gid)]
+            if self.config.table_dtype != "float32":
+                table = table.astype(jnp.float32)
+            parts = []
+            if g.n_bucketize:
+                bz_ids = lookup_xla.device_bucketize(
+                    arrs["raw_bz"],
+                    jnp.asarray(g.boundary_matrix),
+                    jnp.asarray(g.boundary_counts),
+                )
+                parts.append(bz_ids[:, :, None])                # [Bp, nbz, 1]
+            if "host_ids" in arrs:
+                parts.append(arrs["host_ids"])
+            ids = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            pooled = lookup_xla.group_pooled(
+                table,
+                ids,
+                jnp.asarray(g.row_offsets),
+                jnp.asarray(g.combiner_code),
+                arrs.get("weights"),
+            )                                                    # [Bp, C, d]
+            pooled_list.append(pooled)
+            group_out.append(pooled.reshape(pooled.shape[0], -1))
+        if group_out:
+            grouped = jnp.concatenate(group_out, axis=1)
+            emb = jnp.take(grouped, jnp.asarray(compiled.emb_perm), axis=1)
+        else:
+            bp = arrays["dense"].shape[0]
+            emb = jnp.zeros((bp, 0), jnp.float32)
+        return emb, pooled_list
+
+    def _tower_forward(self, params, dense, emb):
+        tower = self.model.tower
+        if tower.arch == "mlp":
+            front = dense
+            if tower.bottom_mlp and dense.shape[1]:
+                front = mlp_apply(
+                    params["tower"]["bottom"], dense, tower.activation,
+                    tower.activation,
+                )
+            concat = jnp.concatenate([front, emb], axis=1)
+            tower_in = concat
+        elif tower.arch == "dlrm_dot":
+            bottom = mlp_apply(
+                params["tower"]["bottom"], dense, tower.activation,
+                tower.activation,
+            )
+            n_emb = len(self.model.embedding_columns)
+            d = bottom.shape[1]
+            vecs = jnp.concatenate(
+                [bottom[:, None, :], emb.reshape(emb.shape[0], n_emb, d)],
+                axis=1,
+            )                                                   # [B, n_vec, d]
+            gram = jnp.einsum(
+                "bnd,bmd->bnm", vecs, vecs,
+                preferred_element_type=jnp.float32,
+            )
+            n_vec = n_emb + 1
+            iu = np.triu_indices(n_vec, k=1)
+            inter = gram[:, iu[0], iu[1]]
+            concat = jnp.concatenate([dense, emb], axis=1)
+            tower_in = jnp.concatenate([bottom, inter], axis=1)
+        else:
+            raise ValueError(self.model.tower.arch)
+        out = mlp_apply(
+            params["tower"]["top"], tower_in, tower.activation,
+            tower.final_activation,
+        )
+        return out, concat
+
+    def _forward(self, params, arrays):
+        emb, pooled_list = self._embedding_forward(params, arrays)
+        out, concat = self._tower_forward(params, arrays["dense"], emb)
+        return {"output": out, "concat": concat, "pooled_groups": pooled_list}
+
+    # ------------------------------------------------------------------
+    def _get_jitted(self, signature):
+        fn = self._jit_cache.get(signature)
+        if fn is None:
+            fn = jax.jit(self._forward)
+            self._jit_cache[signature] = fn
+            self.stats["compiles"] += 1
+        return fn
+
+    def predict(
+        self,
+        batch: Dict,
+        batch_size: Optional[int] = None,
+        return_pooled: bool = False,
+        return_concat: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        prepared = prepare_batch(self.compiled, batch, batch_size)
+        return self.predict_prepared(
+            prepared, return_pooled=return_pooled, return_concat=return_concat
+        )
+
+    def predict_prepared(
+        self,
+        prepared: PreparedBatch,
+        return_pooled: bool = False,
+        return_concat: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        fn = self._get_jitted(prepared.signature)
+        dev_out = fn(self.device_params, prepared.arrays)
+        self.stats["calls"] += 1
+        b = prepared.batch_size
+        result: Dict[str, np.ndarray] = {
+            "output": np.asarray(dev_out["output"])[:b]
+        }
+        if return_concat:
+            result["concat"] = np.asarray(dev_out["concat"])[:b]
+        if return_pooled:
+            pooled = {}
+            groups = dev_out["pooled_groups"]
+            for col, (gid, idx) in self.compiled.column_slot.items():
+                pooled[col] = np.asarray(groups[gid][:b, idx, :])
+            result["pooled"] = pooled
+        return result
+
+    # ------------------------------------------------------------------
+    def benchmark(
+        self, batch: Dict, iters: int = 100, warmup: int = 10
+    ) -> Dict[str, float]:
+        """Steady-state latency over pre-prepared inputs (device time only;
+        mirrors the reference protocol: warm-up then N timed iterations,
+        AE/build_and_run.py:57-71)."""
+        prepared = prepare_batch(self.compiled, batch)
+        fn = self._get_jitted(prepared.signature)
+        for _ in range(warmup):
+            out = fn(self.device_params, prepared.arrays)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(self.device_params, prepared.arrays)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        return {
+            "latency_ms": dt * 1e3,
+            "examples_per_s": prepared.batch_size / dt,
+        }

@@ -1,0 +1,165 @@
+"""Host-side preprocessing: raw features -> packed device arrays.
+
+The analogue of the reference's CPU-pinned FC prefixes + ConcatInputs
+single-blob H2D staging (concat_inputs_ops.cc:42-77): strings are hashed and
+ragged features packed on host, then everything crosses to the device as a
+few large dense arrays:
+
+  * dense tower features          [Bp, n_dense]  f32
+  * per non-ragged group:  raw bucketize floats [Bp, n_bz] f32
+                           host-computed ids    [Bp, C_host, 1] int32
+  * per ragged group:      padded ids           [Bp, C, L] int32 (-1 = pad)
+                           weights (optional)   [Bp, C, L] f32
+
+Semantics of the host transform chains are shared with the NumPy oracle
+(oracle/reference.py) — one implementation of truth; the C++ fast path in
+recom_tpu/native replaces only the hash inner loop.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from recom_tpu.compiler.buckets import pick_bucket
+from recom_tpu.compiler.lowering import CompiledModel, LookupGroup
+from recom_tpu.oracle.reference import (
+    SparseFeature,
+    apply_transform,
+    materialize_source,
+)
+
+
+def _pack_sparse(
+    sp: SparseFeature, rowlen: int, batch_padded: int
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(values, row_ids[, weights]) -> ids [Bp, L] int32 (-1 pad) and
+    weights [Bp, L] f32 (0 pad) or None.  Preserves in-row entry order."""
+    ids = np.full((batch_padded, rowlen), -1, dtype=np.int32)
+    values = np.asarray(sp.values, dtype=np.int64)
+    row_ids = sp.row_ids
+    if values.size:
+        counts = np.bincount(row_ids, minlength=sp.batch)
+        if counts.max() > rowlen:
+            raise ValueError(
+                f"row length {int(counts.max())} exceeds bucket {rowlen}"
+            )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = np.arange(row_ids.shape[0]) - starts[row_ids]
+        ids[row_ids, pos] = values.astype(np.int32)
+    weights = None
+    if sp.weights is not None:
+        weights = np.zeros((batch_padded, rowlen), dtype=np.float32)
+        if values.size:
+            weights[row_ids, pos] = sp.weights
+    return ids, weights
+
+
+def host_ids_for_member(
+    member, batch: Dict, memo: Optional[Dict] = None
+) -> SparseFeature:
+    """Evaluate the member's host transform chain to final ids.
+
+    ``memo`` dedups identical (source, transform-chain, weight-field)
+    evaluations across columns — the runtime effect of the
+    dedup_subcolumns compiler pass (shared sub-columns hash once)."""
+    wf = member.column.lookup.weight_field
+    key = (member.column.chain_key(), wf) if memo is not None else None
+    if key is not None and key in memo:
+        return memo[key]
+    sp = materialize_source(member.column, batch, wf)
+    for t in member.host_chain:
+        sp = apply_transform(t, sp)
+    if key is not None:
+        memo[key] = sp
+    return sp
+
+
+class PreparedBatch:
+    """Packed arrays + the static shape signature they were packed for."""
+
+    def __init__(self, batch_size, batch_padded, rowlens, arrays):
+        self.batch_size = batch_size
+        self.batch_padded = batch_padded
+        self.rowlens = rowlens          # tuple, one per group (1 if dense)
+        self.arrays = arrays            # pytree fed to the jitted function
+
+    @property
+    def signature(self) -> Tuple[int, Tuple[int, ...]]:
+        return (self.batch_padded, self.rowlens)
+
+
+def prepare_batch(
+    compiled: CompiledModel,
+    batch: Dict,
+    batch_size: Optional[int] = None,
+) -> PreparedBatch:
+    model, config = compiled.model, compiled.config
+
+    if batch_size is None:
+        probe = model.columns[0].source.field
+        batch_size = len(batch[probe])
+    bp = pick_bucket(config.batch_buckets, batch_size, config.allow_truncate_overflow)
+
+    # dense tower features
+    dense = np.zeros((bp, compiled.n_dense), dtype=np.float32)
+    for i, col in enumerate(model.dense_columns):
+        dense[:batch_size, i] = np.asarray(
+            batch[col.source.field], dtype=np.float32
+        )
+
+    memo: Dict = {} if config.dedup_subcolumns else None
+    group_arrays: List[Dict[str, np.ndarray]] = []
+    rowlens: List[int] = []
+    for g in compiled.groups:
+        arrs: Dict[str, np.ndarray] = {}
+        host_members = g.members[g.n_bucketize :]
+
+        if g.n_bucketize:
+            raw = np.zeros((bp, g.n_bucketize), dtype=np.float32)
+            for i, m in enumerate(g.members[: g.n_bucketize]):
+                raw[:batch_size, i] = np.asarray(
+                    batch[m.column.source.field], dtype=np.float32
+                )
+            arrs["raw_bz"] = raw
+
+        if not g.ragged:
+            rowlen = 1
+            if host_members:
+                ids = np.full((bp, len(host_members), 1), -1, dtype=np.int32)
+                for i, m in enumerate(host_members):
+                    sp = host_ids_for_member(m, batch, memo)
+                    packed, _ = _pack_sparse(sp, 1, bp)
+                    ids[:, i, :] = packed
+                arrs["host_ids"] = ids
+        else:
+            sparses = [host_ids_for_member(m, batch, memo) for m in host_members]
+            max_len = 1
+            for sp in sparses:
+                if sp.values is not None and len(sp.row_ids):
+                    c = np.bincount(sp.row_ids, minlength=sp.batch).max()
+                    max_len = max(max_len, int(c))
+            rowlen = pick_bucket(
+                config.rowlen_buckets, max_len, config.allow_truncate_overflow
+            )
+            ids = np.full((bp, len(host_members), rowlen), -1, dtype=np.int32)
+            weights = (
+                np.zeros((bp, len(host_members), rowlen), dtype=np.float32)
+                if g.has_weights
+                else None
+            )
+            for i, (m, sp) in enumerate(zip(host_members, sparses)):
+                packed, w = _pack_sparse(sp, rowlen, bp)
+                ids[:, i, :] = packed
+                if weights is not None:
+                    # unweighted members of a weighted group get mask weights
+                    weights[:, i, :] = w if w is not None else (packed >= 0)
+            arrs["host_ids"] = ids
+            if weights is not None:
+                arrs["weights"] = weights
+        rowlens.append(rowlen)
+        group_arrays.append(arrs)
+
+    arrays = {"dense": dense, "groups": group_arrays}
+    return PreparedBatch(batch_size, bp, tuple(rowlens), arrays)

@@ -1,0 +1,153 @@
+import numpy as np
+import pytest
+
+from recom_tpu import Engine, EngineConfig
+from recom_tpu.ir.spec import (
+    Combiner,
+    FeatureColumn,
+    FeatureKind,
+    FeatureSource,
+    LookupSpec,
+    ModelSpec,
+    NumToId,
+    TableSpec,
+    TowerSpec,
+)
+from recom_tpu.models import make_random_batch
+from recom_tpu.models.criteo import make_criteo_dlrm
+from recom_tpu.models.synthetic import make_dlrm_model, make_microbenchmark_model
+from recom_tpu.oracle import OracleModel
+
+CFG = EngineConfig(use_pallas=False)
+
+
+def make_mini_e():
+    """Scaled model with every reference column type (bucketize, int-hash,
+    str-hash, ragged sparse-str, large ragged) + dense + MLP tower."""
+    return make_dlrm_model(
+        6, 2, 2, 2, 1, 4, [8], [16], name="mini", large_rows=20_000
+    )
+
+
+def assert_pooled_bitexact(model, batch, config=CFG):
+    eng = Engine(model, config)
+    out = eng.predict(batch, return_pooled=True, return_concat=True)
+    ref = OracleModel(model).forward(batch)
+    for col, r in ref["pooled"].items():
+        np.testing.assert_array_equal(
+            out["pooled"][col], r, err_msg=f"column {col} not bit-exact"
+        )
+    return eng, out, ref
+
+
+def test_micro_model_bitexact_and_tower():
+    m = make_microbenchmark_model(6)
+    b = make_random_batch(m, 40, seed=1)
+    eng, out, ref = assert_pooled_bitexact(m, b)
+    # identity tower: concat itself must be bit-exact
+    np.testing.assert_array_equal(out["concat"], ref["concat"])
+
+
+def test_mini_model_e_all_column_types():
+    m = make_mini_e()
+    b = make_random_batch(m, 70, seed=2)
+    eng, out, ref = assert_pooled_bitexact(m, b)
+    np.testing.assert_allclose(
+        out["output"], ref["output"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_weighted_lookup_bitexact_all_combiners():
+    tables = {"t": TableSpec("t", 50, 8)}
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": [list(rng.integers(0, 50, size=int(n)))
+              for n in rng.integers(1, 9, 64)]
+    }
+    batch["w"] = [list(rng.random(len(r)).astype(np.float32))
+                  for r in batch["x"]]
+    for comb in Combiner:
+        cols = [
+            FeatureColumn(
+                "c", FeatureSource("x", FeatureKind.INT_LIST),
+                (NumToId(50),), LookupSpec("t", comb, weight_field="w"),
+            )
+        ]
+        m = ModelSpec(
+            "w", dict(tables), cols,
+            TowerSpec(arch="mlp", top_mlp=(), final_activation=None),
+        )
+        assert_pooled_bitexact(m, batch)
+
+
+def test_dlrm_dot_tower():
+    m = make_criteo_dlrm(embedding_dim=8, bottom_mlp=(16, 8),
+                         top_mlp=(32, 1), vocabs=(100,) * 5)
+    b = make_random_batch(m, 32, seed=3)
+    eng, out, ref = assert_pooled_bitexact(m, b)
+    np.testing.assert_allclose(
+        out["output"], ref["output"], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_batch_bucketing_bounds_compiles():
+    m = make_microbenchmark_model(3)
+    eng = Engine(m, CFG)
+    # batches 10, 20, 30 all land in the 32-bucket: ONE compile
+    for bs in (10, 20, 30):
+        eng.predict(make_random_batch(m, bs, seed=bs))
+    assert eng.stats["compiles"] == 1
+    # 33 -> 64-bucket: second compile
+    eng.predict(make_random_batch(m, 33, seed=0))
+    assert eng.stats["compiles"] == 2
+    # results at a non-bucket batch size still match oracle
+    b = make_random_batch(m, 17, seed=9)
+    out = eng.predict(b, return_concat=True)
+    ref = OracleModel(m).forward(b)
+    assert out["concat"].shape[0] == 17
+    np.testing.assert_array_equal(out["concat"], ref["concat"])
+
+
+def test_rowlen_bucketing():
+    tables = {"t": TableSpec("t", 50, 4)}
+    cols = [
+        FeatureColumn("c", FeatureSource("x", FeatureKind.INT_LIST),
+                      (NumToId(50),), LookupSpec("t", Combiner.SUM))
+    ]
+    m = ModelSpec("rl", tables, cols,
+                  TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    eng = Engine(m, CFG)
+    # rowlen 3 -> bucket 4; rowlen 7 -> bucket 8 (new compile)
+    eng.predict({"x": [[1, 2, 3], [4]]})
+    assert eng.stats["compiles"] == 1
+    eng.predict({"x": [[1, 2, 3], [4, 5]]})
+    assert eng.stats["compiles"] == 1  # still bucket 4
+    eng.predict({"x": [list(range(7))]})
+    assert eng.stats["compiles"] == 2
+    # overflow beyond the ladder raises by default
+    with pytest.raises(ValueError):
+        eng.predict({"x": [list(range(200))]})
+
+
+def test_empty_and_single_rows():
+    tables = {"t": TableSpec("t", 10, 4)}
+    cols = [
+        FeatureColumn("c", FeatureSource("x", FeatureKind.INT_LIST),
+                      (NumToId(10),), LookupSpec("t", Combiner.MEAN))
+    ]
+    m = ModelSpec("e", tables, cols,
+                  TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    b = {"x": [[], [5], [], [1, 1, 1]]}
+    eng, out, ref = assert_pooled_bitexact(m, b)
+    np.testing.assert_array_equal(out["pooled"]["c"][0], np.zeros(4))
+    np.testing.assert_array_equal(out["pooled"]["c"][2], np.zeros(4))
+
+
+def test_pass_report_present():
+    m = make_microbenchmark_model(4)
+    eng = Engine(m, CFG)
+    names = [s["pass"] for s in eng.pass_report.stages]
+    assert names == [
+        "prune_useless", "simplify_pre_lookup", "canonicalize_lookup",
+        "dedup_subcolumns",
+    ]
