@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark driver: one JSON line for the perf tracker.
+
+Mirrors the reference AE protocol (AE/build_and_run.py:57-71: models x batch
+sizes, 100 timed iters after warm-up) on the flagship 1000-column synthetic
+model (model E analogue).  The headline metric is examples/s/chip at batch
+512 on the device path (host inputs staged once, like the reference's
+device-resident warm state), compared against the NumPy oracle running the
+same model on CPU — the stand-in for the TF-CPU baseline the reference
+reports 6.61x over (README.md:29-31).
+
+Usage:
+  python bench.py             # full: model E analogue, batch 512
+  python bench.py --smoke     # tiny model, quick correctness + timing
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def time_fn(fn, iters, warmup=5):
+    import jax
+
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--oracle-iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.oracle import OracleModel
+    from recom_tpu.runtime.host_prep import prepare_batch
+
+    if args.smoke:
+        model = make_dlrm_model(
+            20, 5, 5, 3, 2, 8, [16], [64, 32], name="smoke", large_rows=50_000
+        )
+        args.iters = min(args.iters, 20)
+    else:
+        # model E analogue: 1000 embedding columns (reference dlrm.py:193)
+        model = make_dlrm_model(
+            880, 50, 50, 15, 5, 32, [32], [1024, 1024, 128, 1], name="E"
+        )
+
+    batch = make_random_batch(model, args.batch, seed=7)
+
+    eng = Engine(model, EngineConfig())
+    prep = prepare_batch(eng.compiled, batch)
+    darrays = jax.device_put(prep.arrays)
+    jax.block_until_ready(darrays)
+    fn = eng._get_jitted(prep.signature)
+
+    dev_s = time_fn(lambda: fn(eng.device_params, darrays), args.iters)
+
+    # end-to-end: host preprocessing + H2D + device step (the honest
+    # analogue of the reference's timed session->Run)
+    def e2e():
+        p = prepare_batch(eng.compiled, batch)
+        f = eng._get_jitted(p.signature)
+        return f(eng.device_params, p.arrays)
+
+    e2e_s = time_fn(e2e, max(3, args.iters // 10), warmup=2)
+    ex_s = args.batch / e2e_s
+
+    # correctness gate: pooled outputs must be bit-exact vs oracle
+    out = eng.predict(batch, return_pooled=True)
+    oracle = OracleModel(model, params=None)
+    ref_pooled = oracle.pooled_outputs(batch)
+    mismatched = [
+        c for c, r in ref_pooled.items()
+        if not np.array_equal(out["pooled"][c], r)
+    ]
+    if mismatched:
+        print(f"BITEXACT FAILURE: {mismatched[:5]}", file=sys.stderr)
+        sys.exit(1)
+
+    # oracle (NumPy, CPU) as the TF-CPU baseline stand-in
+    t0 = time.perf_counter()
+    for _ in range(args.oracle_iters):
+        oracle.forward(batch)
+    oracle_s = (time.perf_counter() - t0) / args.oracle_iters
+    baseline_ex_s = args.batch / oracle_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "examples_per_s_per_chip_batch512_modelE",
+                "value": round(ex_s, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(ex_s / baseline_ex_s, 2),
+                "detail": {
+                    "e2e_latency_ms": round(e2e_s * 1e3, 3),
+                    "device_latency_ms": round(dev_s * 1e3, 3),
+                    "oracle_cpu_latency_ms": round(oracle_s * 1e3, 1),
+                    "batch": args.batch,
+                    "model": model.name,
+                    "backend": jax.default_backend(),
+                    "bitexact_lookup": True,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

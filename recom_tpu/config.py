@@ -61,6 +61,10 @@ class EngineConfig:
     # the TF oracle; "bfloat16" trades exactness for bandwidth).
     table_dtype: str = "float32"
     compute_dtype: str = "float32"      # tower compute dtype
+    # TPU hardware division/sqrt are reciprocal-approximation based (not
+    # IEEE correctly rounded); exact mode routes combiner divisor math
+    # through emulated f64 so mean/sqrtn pooling stays bit-exact with TF.
+    exact_combiner_math: bool = True
 
     # --- parallelism ---
     mesh_shape: Optional[Sequence[int]] = None   # None -> single device

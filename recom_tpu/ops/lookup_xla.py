@@ -4,15 +4,19 @@ cover (the analogue of the reference's CPU fallback for un-emittable columns,
 cuda_emitter.cc:192-211 — except our fallback still runs on the TPU).
 
 Bit-exactness contract (vs the NumPy oracle): pooling accumulates float32 in
-in-row entry order (lax.scan over the L axis), empty rows produce zeros,
-ids < 0 are masked out.  Combiner divisors are applied once, after the sum,
-as float32 divisions — identical operation order to oracle/reference.py
-pool_lookup.
+in-row entry order, empty rows produce zeros, ids < 0 are masked out.
+Combiner divisors are applied once, after the sum, as IEEE float32 divisions.
+TPU hardware divides/square-roots via reciprocal approximation (NOT correctly
+rounded), so exact mode routes the divisor math through emulated float64 —
+measured bit-identical to IEEE float32 division on TPU, at negligible cost
+for [B, C]-sized divisor arrays.
 """
 
 from __future__ import annotations
 
 from typing import Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -35,12 +39,32 @@ def device_bucketize(
     return jnp.clip(ids, 0, counts[None, :])
 
 
+def exact_div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """float32 division with IEEE correct rounding on TPU (via emulated f64;
+    requires jax_enable_x64 — the Engine turns it on)."""
+    a64 = a.astype(jnp.float64)
+    if a64.dtype != jnp.float64:
+        raise RuntimeError(
+            "exact_div needs jax_enable_x64 (Engine enables it; set "
+            "EngineConfig.exact_combiner_math=False to use hardware division)"
+        )
+    return (a64 / b.astype(jnp.float64)).astype(jnp.float32)
+
+
+def exact_sqrt(a: jnp.ndarray) -> jnp.ndarray:
+    a64 = a.astype(jnp.float64)
+    if a64.dtype != jnp.float64:
+        raise RuntimeError("exact_sqrt needs jax_enable_x64")
+    return jnp.sqrt(a64).astype(jnp.float32)
+
+
 def group_pooled(
     table: jnp.ndarray,          # [R, d] stacked group table, f32
     ids: jnp.ndarray,            # [B, C, L] int32, -1 = missing/pad
-    row_offsets: jnp.ndarray,    # [C] int32
-    combiner_code: jnp.ndarray,  # [C] int32: 0 sum / 1 mean / 2 sqrtn
+    row_offsets: np.ndarray,     # [C] int32, STATIC (baked into the program)
+    combiner_code: np.ndarray,   # [C] int32: 0 sum / 1 mean / 2 sqrtn, STATIC
     weights: Optional[jnp.ndarray] = None,  # [B, C, L] f32 (0 at pads)
+    exact_math: bool = True,
 ) -> jnp.ndarray:
     """Masked, in-order segment pooling of a whole column group.
 
@@ -48,50 +72,34 @@ def group_pooled(
     (the reference LookupOptimizer's {ids, segment_ids, num_segments,
     combiner} canonical form, lookup_optimizer.cc:157-268, restated for
     static shapes: segment_ids are implicit in the [B, C, L] layout)."""
+    row_offsets = np.asarray(row_offsets)
+    combiner_code = np.asarray(combiner_code)
     b, c, l = ids.shape
     mask = ids >= 0
-    weighted = weights is not None
     w = mask.astype(jnp.float32) if weights is None else weights * mask
-    safe_ids = jnp.where(mask, ids, 0) + row_offsets[None, :, None]
+    safe_ids = jnp.where(mask, ids, 0) + jnp.asarray(row_offsets)[None, :, None]
+
+    need_mean = bool((combiner_code == 1).any())
+    need_sqrtn = bool((combiner_code == 2).any())
 
     if l == 1:
         emb = jnp.take(table, safe_ids[:, :, 0], axis=0)      # [B, C, d]
         acc = emb * w[:, :, 0][:, :, None]
         wsum = w[:, :, 0]
-        w2sum = w[:, :, 0] * w[:, :, 0]
-    elif not weighted:
-        # Unweighted hot path: fused gather+mask+accumulate scan, sequential
-        # over the L axis (left-to-right, matching the oracle).  Mask
-        # weights are exactly 0/1, so even FMA contraction of mul+add
-        # cannot change the rounding.
-        ids_l = jnp.moveaxis(safe_ids, 2, 0)                  # [L, B, C]
-        w_l = jnp.moveaxis(w, 2, 0)                           # [L, B, C]
-
-        def step(carry, xs):
-            acc, wsum = carry
-            idx, wl = xs
-            emb = jnp.take(table, idx, axis=0)                # [B, C, d]
-            acc = acc + emb * wl[:, :, None]
-            wsum = wsum + wl
-            return (acc, wsum), None
-
-        init = (
-            jnp.zeros((b, c, table.shape[1]), jnp.float32),
-            jnp.zeros((b, c), jnp.float32),
-        )
-        (acc, wsum), _ = jax.lax.scan(step, init, (ids_l, w_l))
-        w2sum = wsum  # 0/1 weights: sum of squares == sum
+        w2sum = w[:, :, 0] * w[:, :, 0] if need_sqrtn else wsum
     else:
-        # Weighted path: XLA contracts mul+add into an FMA (single rounding)
-        # even across an optimization_barrier on the product, which breaks
-        # bit-exactness with the oracle's separately-rounded multiply-then-
-        # add.  Materialize all products first (vectorized, exact), barrier,
-        # then an add-only sequential scan.  Costs L x the activation
-        # memory, acceptable because explicit weight_field columns are rare.
+        # Ragged path: ONE flat gather (a scan of small per-l gathers is
+        # latency-bound and far slower on TPU), masked products
+        # materialized, then an add-only sequential scan over L.  The
+        # add-only scan keeps the oracle's left-to-right float32 order; the
+        # optimization barrier stops XLA from contracting the multiply into
+        # the scan's add as an FMA (single rounding != the oracle's
+        # separately-rounded multiply-then-add).
         ids_l = jnp.moveaxis(safe_ids, 2, 0)                  # [L, B, C]
         w_l = jnp.moveaxis(w, 2, 0)                           # [L, B, C]
-        prods = jnp.take(table, ids_l, axis=0) * w_l[..., None]
-        w2 = w_l * w_l
+        rows = jnp.take(table, ids_l.reshape(l, b * c), axis=0)
+        prods = rows.reshape(l, b, c, table.shape[1]) * w_l[..., None]
+        w2 = w_l * w_l if need_sqrtn else w_l
         prods, w2 = jax.lax.optimization_barrier((prods, w2))
 
         def add_step(carry, xs):
@@ -108,12 +116,20 @@ def group_pooled(
             add_step, init, (prods, w_l, w2)
         )
 
-    code = combiner_code[None, :]
-    denom = jnp.where(
-        code == 1, wsum, jnp.where(code == 2, jnp.sqrt(w2sum), 1.0)
-    )
+    if not (need_mean or need_sqrtn):
+        return acc
+
+    div = exact_div if exact_math else (lambda a, b_: a / b_)
+    sqrt = exact_sqrt if exact_math else jnp.sqrt
+
+    code = jnp.asarray(combiner_code)[None, :]
+    if need_sqrtn:
+        sq = sqrt(w2sum)
+        denom = jnp.where(code == 1, wsum, jnp.where(code == 2, sq, 1.0))
+    else:
+        denom = jnp.where(code == 1, wsum, 1.0)
     nonzero = denom > 0
     safe_denom = jnp.where(nonzero, denom, 1.0)
     return jnp.where(
-        nonzero[:, :, None], acc / safe_denom[:, :, None], 0.0
+        nonzero[:, :, None], div(acc, safe_denom[:, :, None]), 0.0
     )

@@ -37,8 +37,13 @@ def _act(name: Optional[str], x):
 
 
 def mlp_apply(layers, x, activation: str, final_activation):
+    # TPU f32 matmul defaults to bfloat16-pass precision; the tower keeps
+    # full f32 MXU passes so accuracy tracks the float32 oracle.
     for i, layer in enumerate(layers):
-        x = x @ layer["w"] + layer["b"]
+        x = (
+            jnp.dot(x, layer["w"], precision=jax.lax.Precision.HIGHEST)
+            + layer["b"]
+        )
         last = i == len(layers) - 1
         if not last:
             x = _act(activation, x)
@@ -61,6 +66,10 @@ class Engine:
         params: Optional[Dict] = None,
     ):
         self.config = config or EngineConfig()
+        if self.config.exact_combiner_math:
+            # TPU hw div/sqrt are not correctly rounded; combiner divisors
+            # go through emulated f64 (see ops/lookup_xla.exact_div)
+            jax.config.update("jax_enable_x64", True)
         self.model, self.pass_report = run_passes(model, self.config)
         self.compiled: CompiledModel = lower_model(self.model, self.config)
         np_params = params if params is not None else init_model_params(model)
@@ -107,9 +116,10 @@ class Engine:
             pooled = lookup_xla.group_pooled(
                 table,
                 ids,
-                jnp.asarray(g.row_offsets),
-                jnp.asarray(g.combiner_code),
+                g.row_offsets,
+                g.combiner_code,
                 arrs.get("weights"),
+                exact_math=self.config.exact_combiner_math,
             )                                                    # [Bp, C, d]
             pooled_list.append(pooled)
             group_out.append(pooled.reshape(pooled.shape[0], -1))
@@ -146,6 +156,7 @@ class Engine:
             gram = jnp.einsum(
                 "bnd,bmd->bnm", vecs, vecs,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             n_vec = n_emb + 1
             iu = np.triu_indices(n_vec, k=1)
