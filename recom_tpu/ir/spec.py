@@ -48,6 +48,12 @@ _STRING_KINDS = (FeatureKind.STRING, FeatureKind.STRING_LIST)
 class FeatureSource:
     field: str
     kind: FeatureKind
+    # For STRING_LIST sources: when set, the raw wire format is ONE
+    # delimiter-joined string per example (the reference's
+    # tf.strings.split(';') idiom, dlrm.py:49-53) and the native host path
+    # splits+hashes it in C++ without touching Python.  List-of-lists input
+    # is accepted either way.
+    delimiter: Optional[str] = None
 
     @property
     def is_ragged(self) -> bool:
@@ -296,7 +302,11 @@ class FeatureColumn:
     def chain_key(self) -> str:
         """Identity of the source+transform chain, for shared-sub-column
         dedup (two columns with equal chain_key compute identical ids)."""
-        parts = [self.source.field, self.source.kind.value]
+        parts = [
+            self.source.field,
+            self.source.kind.value,
+            str(self.source.delimiter),
+        ]
         parts += [t.cache_key() for t in self.transforms]
         return "|".join(parts)
 

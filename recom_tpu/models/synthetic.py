@@ -127,7 +127,8 @@ def make_dlrm_model(
             FeatureColumn(
                 f"categ_hashbucket_sparse{i}",
                 FeatureSource(
-                    f"categ_hashbucket_sparse{i}", FeatureKind.STRING_LIST
+                    f"categ_hashbucket_sparse{i}", FeatureKind.STRING_LIST,
+                    delimiter=";",
                 ),
                 (HashBucket(mid_rows),),
                 LookupSpec(t, Combiner.SUM),
@@ -140,7 +141,8 @@ def make_dlrm_model(
             FeatureColumn(
                 f"categ_large_hashbucket_sparse{i}",
                 FeatureSource(
-                    f"categ_large_hashbucket_sparse{i}", FeatureKind.STRING_LIST
+                    f"categ_large_hashbucket_sparse{i}",
+                    FeatureKind.STRING_LIST, delimiter=";",
                 ),
                 (HashBucket(large_rows),),
                 LookupSpec(t, Combiner.SUM),
@@ -219,12 +221,20 @@ def make_random_batch(
         elif kind == FeatureKind.DENSE_INT:
             out[field] = rng.integers(0, 100, size=batch).astype(np.int64)
         elif kind == FeatureKind.STRING:
-            out[field] = _rand_strings(rng, batch)
+            out[field] = np.asarray(_rand_strings(rng, batch), dtype="S")
         elif kind == FeatureKind.STRING_LIST:
             lens = rng.integers(1, max_list_len + 1, size=batch)
-            out[field] = [
-                _rand_strings(rng, int(n)) for n in lens
-            ]
+            if col.source.delimiter is not None:
+                # delimited wire format (reference dlrm.py:49-53)
+                out[field] = np.asarray(
+                    [
+                        col.source.delimiter.join(_rand_strings(rng, int(n)))
+                        for n in lens
+                    ],
+                    dtype="S",
+                )
+            else:
+                out[field] = [_rand_strings(rng, int(n)) for n in lens]
         elif kind == FeatureKind.INT_LIST:
             lens = rng.integers(1, max_list_len + 1, size=batch)
             out[field] = [

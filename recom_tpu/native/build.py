@@ -1,0 +1,106 @@
+"""JIT build + cache for the native host-ops library.
+
+The reference compiles generated CUDA with `nvcc --shared -O3`, keys the
+artifact by source MD5, and dlopens it (cuda_emitter.cc:86-116).  We apply
+the same pattern to the host library: g++ -O3 -shared, artifact cached in
+RECOM_TPU_CACHE_DIR keyed by source hash, loaded via ctypes.  A build/load
+failure degrades to the pure-Python hash path (the reference's
+graceful-degradation contract) with a one-time warning.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+_SRC = os.path.join(os.path.dirname(__file__), "host_ops.cc")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _cache_dir() -> str:
+    return os.environ.get(
+        "RECOM_TPU_CACHE_DIR", os.path.expanduser("~/.cache/recom_tpu")
+    )
+
+
+def build_lib(verbose: bool = False) -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    key = hashlib.md5(src).hexdigest()[:16]
+    out_dir = _cache_dir()
+    os.makedirs(out_dir, exist_ok=True)
+    so_path = os.path.join(out_dir, f"libhostops_{key}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", tmp,
+    ]
+    if verbose:
+        print("[recom_tpu.native]", " ".join(cmd), file=sys.stderr)
+    subprocess.run(cmd, check=True, capture_output=not verbose)
+    os.replace(tmp, so_path)  # atomic: safe under concurrent builds
+    return so_path
+
+
+def _declare(lib: ctypes.CDLL):
+    c = ctypes
+    lib.rt_farmhash64.restype = c.c_uint64
+    lib.rt_farmhash64.argtypes = [c.c_char_p, c.c_int64]
+    lib.rt_hash_bytes_batch.restype = None
+    lib.rt_hash_bytes_batch.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p
+    ]
+    lib.rt_hash_fixed_batch.restype = None
+    lib.rt_hash_fixed_batch.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p
+    ]
+    lib.rt_hash_int_batch.restype = None
+    lib.rt_hash_int_batch.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_void_p
+    ]
+    lib.rt_split_count_max.restype = c.c_int64
+    lib.rt_split_count_max.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_uint8
+    ]
+    lib.rt_split_hash_pad.restype = c.c_int64
+    lib.rt_split_hash_pad.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_uint8, c.c_int64, c.c_int64,
+        c.c_void_p,
+    ]
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, building it on first use; None if the
+    toolchain is unavailable (callers fall back to pure Python)."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            path = build_lib()
+            lib = ctypes.CDLL(path)
+            _declare(lib)
+            _lib = lib
+        except Exception as e:  # pragma: no cover - toolchain-dependent
+            _failed = True
+            print(
+                f"[recom_tpu.native] build/load failed ({e}); "
+                "falling back to pure-Python host ops",
+                file=sys.stderr,
+            )
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None

@@ -1,0 +1,285 @@
+// Native host-side feature ops for recom_tpu.
+//
+// The TPU host analogue of the reference's CPU-pinned feature ops: the
+// reference keeps string parsing/hashing on CPU TF ops (cuda_emitter.cc
+// SetFCBeginToCPU pins string producers to host) and stages everything
+// through one ConcatInputs blob.  Our host path replaces the Python hash
+// loop with batched C++ (FarmHash Fingerprint64, same public-domain
+// algorithm as oracle/hashing.py — the two are cross-checked bit-for-bit in
+// tests/test_hashing.py).
+//
+// Exposed as a plain C ABI for ctypes; built JIT by recom_tpu/native/build.py
+// with g++ -O3 and MD5-cached in the engine cache dir (the reference's
+// nvcc+MD5 kernel-cache pattern, cuda_emitter.cc:86-111, applied to host
+// code).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint64_t k0 = 0xc3a5c85c97cb3127ULL;
+constexpr uint64_t k1 = 0xb492b66fbe98f273ULL;
+constexpr uint64_t k2 = 0x9ae16a3b2f90404fULL;
+
+inline uint64_t Fetch64(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;  // little-endian hosts only (x86/arm LE)
+}
+
+inline uint32_t Fetch32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+inline uint64_t Rotate(uint64_t v, int n) {
+  return (v >> n) | (v << (64 - n));
+}
+
+inline uint64_t ShiftMix(uint64_t v) { return v ^ (v >> 47); }
+
+inline uint64_t HashLen16(uint64_t u, uint64_t v, uint64_t mul) {
+  uint64_t a = (u ^ v) * mul;
+  a ^= (a >> 47);
+  uint64_t b = (v ^ a) * mul;
+  b ^= (b >> 47);
+  b *= mul;
+  return b;
+}
+
+uint64_t HashLen0to16(const uint8_t* s, size_t len) {
+  if (len >= 8) {
+    uint64_t mul = k2 + len * 2;
+    uint64_t a = Fetch64(s) + k2;
+    uint64_t b = Fetch64(s + len - 8);
+    uint64_t c = Rotate(b, 37) * mul + a;
+    uint64_t d = (Rotate(a, 25) + b) * mul;
+    return HashLen16(c, d, mul);
+  }
+  if (len >= 4) {
+    uint64_t mul = k2 + len * 2;
+    uint64_t a = Fetch32(s);
+    return HashLen16(len + (a << 3), Fetch32(s + len - 4), mul);
+  }
+  if (len > 0) {
+    uint8_t a = s[0];
+    uint8_t b = s[len >> 1];
+    uint8_t c = s[len - 1];
+    uint32_t y = static_cast<uint32_t>(a) + (static_cast<uint32_t>(b) << 8);
+    uint32_t z = static_cast<uint32_t>(len) + (static_cast<uint32_t>(c) << 2);
+    return ShiftMix(y * k2 ^ z * k0) * k2;
+  }
+  return k2;
+}
+
+uint64_t HashLen17to32(const uint8_t* s, size_t len) {
+  uint64_t mul = k2 + len * 2;
+  uint64_t a = Fetch64(s) * k1;
+  uint64_t b = Fetch64(s + 8);
+  uint64_t c = Fetch64(s + len - 8) * mul;
+  uint64_t d = Fetch64(s + len - 16) * k2;
+  return HashLen16(Rotate(a + b, 43) + Rotate(c, 30) + d,
+                   a + Rotate(b + k2, 18) + c, mul);
+}
+
+uint64_t HashLen33to64(const uint8_t* s, size_t len) {
+  uint64_t mul = k2 + len * 2;
+  uint64_t a = Fetch64(s) * k2;
+  uint64_t b = Fetch64(s + 8);
+  uint64_t c = Fetch64(s + len - 8) * mul;
+  uint64_t d = Fetch64(s + len - 16) * k2;
+  uint64_t y = Rotate(a + b, 43) + Rotate(c, 30) + d;
+  uint64_t z = HashLen16(y, a + Rotate(b + k2, 18) + c, mul);
+  uint64_t e = Fetch64(s + 16) * mul;
+  uint64_t f = Fetch64(s + 24);
+  uint64_t g = (y + Fetch64(s + len - 32)) * mul;
+  uint64_t h = (z + Fetch64(s + len - 24)) * mul;
+  return HashLen16(Rotate(e + f, 43) + Rotate(g, 30) + h,
+                   e + Rotate(f + a, 18) + g, mul);
+}
+
+struct U64Pair {
+  uint64_t first, second;
+};
+
+U64Pair WeakHashLen32WithSeeds(const uint8_t* s, uint64_t a, uint64_t b) {
+  uint64_t w = Fetch64(s);
+  uint64_t x = Fetch64(s + 8);
+  uint64_t y = Fetch64(s + 16);
+  uint64_t z = Fetch64(s + 24);
+  a += w;
+  b = Rotate(b + a + z, 21);
+  uint64_t c = a;
+  a += x;
+  a += y;
+  b += Rotate(a, 44);
+  return {a + z, b + c};
+}
+
+uint64_t Hash64(const uint8_t* s, size_t len) {
+  if (len <= 16) return HashLen0to16(s, len);
+  if (len <= 32) return HashLen17to32(s, len);
+  if (len <= 64) return HashLen33to64(s, len);
+
+  const uint64_t seed = 81;
+  uint64_t x = seed;
+  uint64_t y = seed * k1 + 113;
+  uint64_t z = ShiftMix(y * k2 + 113) * k2;
+  U64Pair v = {0, 0};
+  U64Pair w = {0, 0};
+  x = x * k2 + Fetch64(s);
+
+  const uint8_t* end = s + ((len - 1) / 64) * 64;
+  const uint8_t* last64 = end + ((len - 1) & 63) - 63;
+  do {
+    x = Rotate(x + y + v.first + Fetch64(s + 8), 37) * k1;
+    y = Rotate(y + v.second + Fetch64(s + 48), 42) * k1;
+    x ^= w.second;
+    y += v.first + Fetch64(s + 40);
+    z = Rotate(z + w.first, 33) * k1;
+    v = WeakHashLen32WithSeeds(s, v.second * k1, x + w.first);
+    w = WeakHashLen32WithSeeds(s + 32, z + w.second, y + Fetch64(s + 16));
+    uint64_t t = z;
+    z = x;
+    x = t;
+    s += 64;
+  } while (s != end);
+
+  uint64_t mul = k1 + ((z & 0xff) << 1);
+  s = last64;
+  w.first += ((len - 1) & 63);
+  v.first += w.first;
+  w.first += v.first;
+  x = Rotate(x + y + v.first + Fetch64(s + 8), 37) * mul;
+  y = Rotate(y + v.second + Fetch64(s + 48), 42) * mul;
+  x ^= w.second * 9;
+  y += v.first * 9 + Fetch64(s + 40);
+  z = Rotate(z + w.first, 33) * mul;
+  v = WeakHashLen32WithSeeds(s, v.second * mul, x + w.first);
+  w = WeakHashLen32WithSeeds(s + 32, z + w.second, y + Fetch64(s + 16));
+  uint64_t t = z;
+  z = x;
+  x = t;
+  return HashLen16(HashLen16(v.first, w.first, mul) + ShiftMix(y) * k0 + z,
+                   HashLen16(v.second, w.second, mul) + x, mul);
+}
+
+// decimal formatting matching Python str(int) for int64
+inline size_t FormatInt(int64_t value, uint8_t* buf) {
+  uint8_t tmp[24];
+  size_t n = 0;
+  bool neg = value < 0;
+  uint64_t u = neg ? (~static_cast<uint64_t>(value)) + 1ULL
+                   : static_cast<uint64_t>(value);
+  do {
+    tmp[n++] = static_cast<uint8_t>('0' + (u % 10));
+    u /= 10;
+  } while (u);
+  size_t len = 0;
+  if (neg) buf[len++] = '-';
+  while (n) buf[len++] = tmp[--n];
+  return len;
+}
+
+inline size_t FixedLen(const uint8_t* p, int64_t width) {
+  // numpy 'S<width>' entries are NUL-padded on the right
+  int64_t n = width;
+  while (n > 0 && p[n - 1] == 0) --n;
+  return static_cast<size_t>(n);
+}
+
+}  // namespace
+
+extern "C" {
+
+uint64_t rt_farmhash64(const uint8_t* data, int64_t len) {
+  return Hash64(data, static_cast<size_t>(len));
+}
+
+// Hash n variable-length byte strings (concatenated buffer + n+1 offsets).
+void rt_hash_bytes_batch(const uint8_t* buf, const int64_t* offsets,
+                         int64_t n, int64_t num_buckets, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t h = Hash64(buf + offsets[i],
+                        static_cast<size_t>(offsets[i + 1] - offsets[i]));
+    out[i] = static_cast<int64_t>(h % static_cast<uint64_t>(num_buckets));
+  }
+}
+
+// Hash n fixed-width (numpy 'S<width>', NUL-padded) byte strings.
+void rt_hash_fixed_batch(const uint8_t* buf, int64_t width, int64_t n,
+                         int64_t num_buckets, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = buf + i * width;
+    uint64_t h = Hash64(p, FixedLen(p, width));
+    out[i] = static_cast<int64_t>(h % static_cast<uint64_t>(num_buckets));
+  }
+}
+
+// Hash n int64 values via their decimal-string form (TF feature_column
+// hash_bucket semantics for integer dtypes).
+void rt_hash_int_batch(const int64_t* vals, int64_t n, int64_t num_buckets,
+                       int64_t* out) {
+  uint8_t buf[24];
+  for (int64_t i = 0; i < n; ++i) {
+    size_t len = FormatInt(vals[i], buf);
+    uint64_t h = Hash64(buf, len);
+    out[i] = static_cast<int64_t>(h % static_cast<uint64_t>(num_buckets));
+  }
+}
+
+// Max number of delimiter-separated pieces over n fixed-width rows
+// (empty rows count 0 pieces; empty strings between delimiters DO count,
+// matching tf.strings.split semantics).
+int64_t rt_split_count_max(const uint8_t* buf, int64_t width, int64_t n,
+                           uint8_t delim) {
+  int64_t maxp = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = buf + i * width;
+    size_t len = FixedLen(p, width);
+    if (len == 0) continue;
+    int64_t pieces = 1;
+    for (size_t j = 0; j < len; ++j)
+      if (p[j] == delim) ++pieces;
+    if (pieces > maxp) maxp = pieces;
+  }
+  return maxp;
+}
+
+// Split each fixed-width row by `delim`, hash every piece, write ids into
+// out[i*rowlen .. ] padded with -1.  Pieces beyond rowlen are dropped
+// (caller sizes rowlen via rt_split_count_max, so this only triggers under
+// explicit truncation).  Returns the max piece count seen.
+int64_t rt_split_hash_pad(const uint8_t* buf, int64_t width, int64_t n,
+                          uint8_t delim, int64_t num_buckets, int64_t rowlen,
+                          int32_t* out) {
+  int64_t maxp = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = buf + i * width;
+    size_t len = FixedLen(p, width);
+    int32_t* row = out + i * rowlen;
+    int64_t cnt = 0;
+    if (len > 0) {
+      size_t start = 0;
+      for (size_t j = 0; j <= len; ++j) {
+        if (j == len || p[j] == delim) {
+          if (cnt < rowlen) {
+            uint64_t h = Hash64(p + start, j - start);
+            row[cnt] = static_cast<int32_t>(
+                h % static_cast<uint64_t>(num_buckets));
+          }
+          ++cnt;
+          start = j + 1;
+        }
+      }
+    }
+    if (cnt > maxp) maxp = cnt;
+    for (int64_t j = cnt < rowlen ? cnt : rowlen; j < rowlen; ++j)
+      row[j] = -1;
+  }
+  return maxp;
+}
+
+}  // extern "C"

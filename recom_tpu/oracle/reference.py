@@ -83,6 +83,17 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         b = len(data)
         return SparseFeature(list(data), np.arange(b, dtype=np.int64), None, b)
     if kind in (FeatureKind.INT_LIST, FeatureKind.STRING_LIST):
+        if col.source.delimiter is not None and len(data) and not isinstance(
+            data[0], (list, tuple, np.ndarray)
+        ):
+            # delimited wire format: one joined string per example
+            delim = col.source.delimiter
+            rows = []
+            for s in data:
+                if isinstance(s, (bytes, np.bytes_)):
+                    s = s.decode()
+                rows.append(s.split(delim) if s else [])
+            data = rows
         b = len(data)
         values, row_ids = _ragged_to_sparse(
             data, b, kind == FeatureKind.STRING_LIST

@@ -24,6 +24,7 @@ import numpy as np
 
 from recom_tpu.compiler.buckets import pick_bucket
 from recom_tpu.compiler.lowering import CompiledModel, LookupGroup
+from recom_tpu.ir import spec as spec_mod
 from recom_tpu.oracle.reference import (
     SparseFeature,
     apply_transform,
@@ -54,6 +55,56 @@ def _pack_sparse(
         if values.size:
             weights[row_ids, pos] = sp.weights
     return ids, weights
+
+
+def _is_string_array(data) -> bool:
+    if isinstance(data, np.ndarray):
+        return data.dtype.kind in ("S", "U")
+    return bool(len(data)) and isinstance(data[0], (str, bytes, np.str_, np.bytes_))
+
+
+def fast_dense_ids(member, batch: Dict) -> Optional[np.ndarray]:
+    """Native-path final ids [B] for a non-ragged member, or None.
+
+    Covers the dominant host chains: STRING->HashBucket and
+    DENSE_INT->HashBucket (reference model E: 100 such columns)."""
+    from recom_tpu.native import ops as native_ops
+
+    col = member.column
+    if member.host_chain and len(member.host_chain) == 1 and isinstance(
+        member.host_chain[0], spec_mod.HashBucket
+    ):
+        hb = member.host_chain[0]
+        data = batch[col.source.field]
+        if col.source.kind == spec_mod.FeatureKind.STRING and _is_string_array(data):
+            return native_ops.hash_strings(np.asarray(data), hb.num_buckets)
+        if col.source.kind == spec_mod.FeatureKind.DENSE_INT:
+            return native_ops.hash_ints(np.asarray(data), hb.num_buckets)
+    return None
+
+
+def fast_ragged_plan(member, batch: Dict):
+    """(values_S_array, delimiter, num_buckets) for the native split+hash
+    path, or None.  Applies to delimited STRING_LIST -> HashBucket chains
+    whose wire input is an array of joined strings."""
+    col = member.column
+    if (
+        col.source.kind == spec_mod.FeatureKind.STRING_LIST
+        and col.source.delimiter is not None
+        and len(member.host_chain) == 1
+        and isinstance(member.host_chain[0], spec_mod.HashBucket)
+        and col.lookup.weight_field is None
+    ):
+        data = batch[col.source.field]
+        if _is_string_array(data):
+            arr = np.asarray(data)
+            if arr.dtype.kind == "U":
+                try:
+                    arr = arr.astype("S")
+                except UnicodeEncodeError:
+                    return None
+            return arr, col.source.delimiter, member.host_chain[0].num_buckets
+    return None
 
 
 def host_ids_for_member(
@@ -129,17 +180,33 @@ def prepare_batch(
             if host_members:
                 ids = np.full((bp, len(host_members), 1), -1, dtype=np.int32)
                 for i, m in enumerate(host_members):
+                    fast = fast_dense_ids(m, batch)
+                    if fast is not None:
+                        ids[: len(fast), i, 0] = fast.astype(np.int32)
+                        continue
                     sp = host_ids_for_member(m, batch, memo)
                     packed, _ = _pack_sparse(sp, 1, bp)
                     ids[:, i, :] = packed
                 arrs["host_ids"] = ids
         else:
-            sparses = [host_ids_for_member(m, batch, memo) for m in host_members]
+            from recom_tpu.native import ops as native_ops
+
+            # first pass: row-length discovery (native count for delimited
+            # columns, oracle chain + bincount otherwise)
+            plans = []
             max_len = 1
-            for sp in sparses:
-                if sp.values is not None and len(sp.row_ids):
-                    c = np.bincount(sp.row_ids, minlength=sp.batch).max()
-                    max_len = max(max_len, int(c))
+            for m in host_members:
+                fp = fast_ragged_plan(m, batch)
+                if fp is not None:
+                    arr, delim, _nb = fp
+                    max_len = max(max_len, native_ops.split_count_max(arr, delim))
+                    plans.append(("fast", fp))
+                else:
+                    sp = host_ids_for_member(m, batch, memo)
+                    if sp.values is not None and len(sp.row_ids):
+                        c = np.bincount(sp.row_ids, minlength=sp.batch).max()
+                        max_len = max(max_len, int(c))
+                    plans.append(("slow", sp))
             rowlen = pick_bucket(
                 config.rowlen_buckets, max_len, config.allow_truncate_overflow
             )
@@ -149,12 +216,21 @@ def prepare_batch(
                 if g.has_weights
                 else None
             )
-            for i, (m, sp) in enumerate(zip(host_members, sparses)):
-                packed, w = _pack_sparse(sp, rowlen, bp)
-                ids[:, i, :] = packed
+            for i, (tag, payload) in enumerate(plans):
+                if tag == "fast":
+                    arr, delim, nb = payload
+                    packed, _ = native_ops.split_hash_padded(
+                        arr, delim, nb, rowlen
+                    )
+                    ids[: packed.shape[0], i, :] = packed
+                    w = None
+                else:
+                    packed, w = _pack_sparse(payload, rowlen, bp)
+                    ids[:, i, :] = packed
                 if weights is not None:
-                    # unweighted members of a weighted group get mask weights
-                    weights[:, i, :] = w if w is not None else (packed >= 0)
+                    weights[:, i, :] = (
+                        w if w is not None else (ids[:, i, :] >= 0)
+                    )
             arrs["host_ids"] = ids
             if weights is not None:
                 arrs["weights"] = weights

@@ -1,0 +1,97 @@
+"""Native host ops must agree bit-for-bit with the pure-Python oracle hash
+(the C++ and Python implementations of FarmHash64 cross-validate each
+other)."""
+
+import numpy as np
+import pytest
+
+from recom_tpu.native import native_available, ops
+from recom_tpu.oracle.hashing import farmhash64, hash_bucket_fast
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def _rand_strings(n, maxlen=200, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        "".join(chr(97 + int(c)) for c in rng.integers(0, 26, int(k)))
+        for k in rng.integers(0, maxlen, n)
+    ]
+
+
+def test_farmhash_scalar_matches_python():
+    from recom_tpu.native.build import get_lib
+
+    lib = get_lib()
+    for s in ["", "a", "Hello", "x" * 63, "x" * 64, "x" * 65, "y" * 1000]:
+        assert lib.rt_farmhash64(s.encode(), len(s.encode())) == farmhash64(s)
+
+
+def test_hash_strings_all_paths_match():
+    strs = _rand_strings(300)
+    ref = hash_bucket_fast(strs, 10**6)
+    np.testing.assert_array_equal(ops.hash_strings(strs, 10**6), ref)
+    np.testing.assert_array_equal(
+        ops.hash_strings(np.array(strs), 10**6), ref
+    )
+    np.testing.assert_array_equal(
+        ops.hash_strings(np.array(strs, dtype="S"), 10**6), ref
+    )
+
+
+def test_hash_ints_matches_python():
+    rng = np.random.default_rng(1)
+    ints = rng.integers(-(10**15), 10**15, 500)
+    np.testing.assert_array_equal(
+        ops.hash_ints(ints, 99991),
+        hash_bucket_fast(list(ints), 99991),
+    )
+    np.testing.assert_array_equal(
+        ops.hash_ints([0, -1, 1], 7), hash_bucket_fast([0, -1, 1], 7)
+    )
+
+
+def test_split_hash_padded_matches_python():
+    rng = np.random.default_rng(2)
+    pieces = _rand_strings(100, maxlen=12, seed=3)
+    rows = []
+    for _ in range(150):
+        k = int(rng.integers(1, 7))
+        rows.append(";".join(pieces[int(j)] or "q" for j in rng.integers(0, 100, k)))
+    rows.append("")          # empty row -> zero pieces
+    rows.append("solo")
+    arr = np.array(rows, dtype="S")
+    ids, maxp = ops.split_hash_padded(arr, ";", 10000, 8)
+    assert maxp <= 8
+    for i, r in enumerate(rows):
+        parts = r.split(";") if r else []
+        exp = list(hash_bucket_fast(parts, 10000)) + [-1] * (8 - len(parts))
+        np.testing.assert_array_equal(ids[i], exp, err_msg=f"row {i}: {r!r}")
+    assert ops.split_count_max(arr, ";") == maxp
+
+
+def test_split_empty_pieces_counted():
+    # "a;;b" has 3 pieces incl the empty middle (tf.strings.split behavior)
+    arr = np.array(["a;;b"], dtype="S")
+    ids, maxp = ops.split_hash_padded(arr, ";", 100, 4)
+    assert maxp == 3
+    exp = hash_bucket_fast(["a", "", "b"], 100)
+    np.testing.assert_array_equal(ids[0][:3], exp)
+
+
+def test_delimited_engine_path_bitexact():
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.oracle import OracleModel
+
+    m = make_dlrm_model(2, 1, 1, 3, 1, 2, [4], [8], name="nat",
+                        large_rows=5_000)
+    b = make_random_batch(m, 50, seed=4)
+    eng = Engine(m, EngineConfig(use_pallas=False))
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r)
