@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--oracle-iters", type=int, default=3)
+    ap.add_argument("--oracle-iters", type=int, default=1)
     args = ap.parse_args()
 
     import jax

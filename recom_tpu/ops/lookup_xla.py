@@ -107,11 +107,9 @@ def group_pooled(
             p, wl, w2l = xs
             return (acc + p, wsum + wl, w2sum + w2l), None
 
-        init = (
-            jnp.zeros((b, c, table.shape[1]), jnp.float32),
-            jnp.zeros((b, c), jnp.float32),
-            jnp.zeros((b, c), jnp.float32),
-        )
+        # init derived from inputs (x*0) so the carry inherits shard_map's
+        # varying-axis type when this runs inside a sharded lookup
+        init = (prods[0] * 0.0, w_l[0] * 0.0, w2[0] * 0.0)
         (acc, wsum, w2sum), _ = jax.lax.scan(
             add_step, init, (prods, w_l, w2)
         )

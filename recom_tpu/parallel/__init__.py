@@ -1,0 +1,2 @@
+from recom_tpu.parallel.mesh import make_mesh  # noqa: F401
+from recom_tpu.parallel.sharded_lookup import sharded_group_pooled  # noqa: F401

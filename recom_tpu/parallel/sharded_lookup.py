@@ -1,0 +1,130 @@
+"""Row-sharded embedding lookup over a device mesh.
+
+The communication spine that replaces the reference's ConcatInputs H2D blob
+(SURVEY.md section 2.7: the reference's only data movement is one
+cudaMemcpy; scaling past one chip's HBM requires sharding tables).  Tables
+whose stacked rows exceed ``EngineConfig.shard_rows_above`` are row-sharded
+over the mesh's "model" axis; the lookup runs as:
+
+    ids (replicated over model, sharded over data)
+      -> each shard gathers the rows IT owns, masks the rest to zero
+      -> partial pooled sums
+      -> psum over the model axis (rides ICI)
+
+Static shapes throughout (no dynamic all-to-all send sizes — the masked
+-psum formulation is the XLA-friendly equivalent of the NCCL all-to-all id
+exchange; ids are tiny relative to embeddings, so replicating them over the
+model axis costs less than an id exchange would).
+
+Determinism note: the cross-shard psum adds partial sums in ring order,
+which is deterministic run-to-run but MAY differ in final float32 ulps from
+the single-device left-to-right accumulation when a row's entries live on
+different shards.  Single-device execution remains bit-exact with the
+oracle; sharded execution is validated to 1e-6 and for exact equality
+whenever each row's ids land on one shard.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from recom_tpu.ops import lookup_xla
+
+
+def pad_rows_to_multiple(table: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad stacked table rows so they divide evenly across shards (pad rows
+    are never addressed: ids always target real rows)."""
+    r = table.shape[0]
+    pad = (-r) % multiple
+    if pad == 0:
+        return table
+    return np.concatenate(
+        [table, np.zeros((pad, table.shape[1]), table.dtype)], axis=0
+    )
+
+
+def sharded_group_pooled(
+    mesh: Mesh,
+    table: jnp.ndarray,          # [R_padded, d], R_padded % model_size == 0
+    ids: jnp.ndarray,            # [B, C, L] int32, -1 = pad (global batch)
+    row_offsets: np.ndarray,     # [C] static
+    combiner_code: np.ndarray,   # [C] static
+    weights: Optional[jnp.ndarray] = None,
+    exact_math: bool = True,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> jnp.ndarray:
+    """group_pooled with the table row-sharded over ``model_axis`` and the
+    batch sharded over ``data_axis``.  Returns [B, C, d] sharded on batch."""
+    row_offsets = np.asarray(row_offsets)
+    combiner_code = np.asarray(combiner_code)
+    m = mesh.shape[model_axis]
+    r_padded, d = table.shape
+    assert r_padded % m == 0, "pad table with pad_rows_to_multiple first"
+    shard_rows = r_padded // m
+
+    def local_fn(tbl_local, ids_local, w_local):
+        # tbl_local: [shard_rows, d]; ids_local: [b_local, C, L]
+        k = jax.lax.axis_index(model_axis)
+        base = k * shard_rows
+        valid = ids_local >= 0
+        gids = jnp.where(valid, ids_local, 0) + jnp.asarray(row_offsets)[None, :, None]
+        lids = gids - base
+        mine = valid & (lids >= 0) & (lids < shard_rows)
+        # reuse the single-device kernel on the local shard: ids out of my
+        # range become -1 (masked), so partial sums cover only my rows.
+        local_ids = jnp.where(mine, lids, -1).astype(jnp.int32)
+        # partial sums only (divide AFTER the psum): force sum combiner
+        partial = lookup_xla.group_pooled(
+            tbl_local,
+            local_ids,
+            np.zeros_like(row_offsets),
+            np.zeros_like(combiner_code),   # all-sum
+            w_local,
+            exact_math=exact_math,
+        )                                                # [b_local, C, d]
+        total = jax.lax.psum(partial, model_axis)
+
+        # divisors from the (model-replicated) ids — no comm needed
+        wfull = (
+            valid.astype(jnp.float32)
+            if w_local is None
+            else w_local * valid
+        )
+        wsum = wfull.sum(axis=2)
+        w2sum = (wfull * wfull).sum(axis=2)
+        code = jnp.asarray(combiner_code)[None, :]
+        div = lookup_xla.exact_div if exact_math else (lambda a, b: a / b)
+        sqrt = lookup_xla.exact_sqrt if exact_math else jnp.sqrt
+        denom = jnp.where(
+            code == 1, wsum, jnp.where(code == 2, sqrt(w2sum), 1.0)
+        )
+        nz = denom > 0
+        safe = jnp.where(nz, denom, 1.0)
+        return jnp.where(nz[:, :, None], div(total, safe[:, :, None]), 0.0)
+
+    if weights is not None:
+        fn = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                P(model_axis, None),
+                P(data_axis, None, None),
+                P(data_axis, None, None),
+            ),
+            out_specs=P(data_axis, None, None),
+        )
+        return fn(table, ids, weights)
+    fn = jax.shard_map(
+        lambda t, i: local_fn(t, i, None),
+        mesh=mesh,
+        in_specs=(P(model_axis, None), P(data_axis, None, None)),
+        out_specs=P(data_axis, None, None),
+    )
+    return fn(table, ids)

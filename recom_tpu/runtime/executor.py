@@ -72,6 +72,21 @@ class Engine:
             jax.config.update("jax_enable_x64", True)
         self.model, self.pass_report = run_passes(model, self.config)
         self.compiled: CompiledModel = lower_model(self.model, self.config)
+
+        # --- mesh / sharding decisions (None mesh = single device) ------
+        self.mesh = None
+        self._sharded_gids = set()
+        if self.config.mesh_shape is not None:
+            from recom_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(
+                self.config.mesh_shape, tuple(self.config.mesh_axis_names)
+            )
+            if self.mesh.shape["model"] > 1:
+                for g in self.compiled.groups:
+                    if g.stacked_rows > self.config.shard_rows_above:
+                        self._sharded_gids.add(g.gid)
+
         np_params = params if params is not None else init_model_params(model)
         self.device_params = self._build_device_params(np_params)
         self._jit_cache: Dict[Tuple, object] = {}
@@ -79,17 +94,58 @@ class Engine:
 
     # ------------------------------------------------------------------
     def _build_device_params(self, np_params: Dict) -> Dict:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         dp: Dict = {"stacked": {}, "tower": {}}
         tdtype = jnp.dtype(self.config.table_dtype)
         for g in self.compiled.groups:
             stacked = self.compiled.stacked_table(g, np_params["tables"])
-            dp["stacked"][str(g.gid)] = jnp.asarray(stacked, dtype=tdtype)
+            if g.gid in self._sharded_gids:
+                from recom_tpu.parallel.sharded_lookup import (
+                    pad_rows_to_multiple,
+                )
+
+                m = self.mesh.shape["model"]
+                stacked = pad_rows_to_multiple(stacked, m)
+                sh = NamedSharding(self.mesh, P("model", None))
+                dp["stacked"][str(g.gid)] = jax.device_put(
+                    stacked.astype(tdtype), sh
+                )
+            else:
+                arr = jnp.asarray(stacked, dtype=tdtype)
+                if self.mesh is not None:
+                    arr = jax.device_put(
+                        arr, NamedSharding(self.mesh, P(None, None))
+                    )
+                dp["stacked"][str(g.gid)] = arr
+        rep = (
+            NamedSharding(self.mesh, P()) if self.mesh is not None else None
+        )
         for key, layers in np_params["tower"].items():
             dp["tower"][key] = [
-                {"w": jnp.asarray(l["w"]), "b": jnp.asarray(l["b"])}
+                {
+                    "w": jax.device_put(jnp.asarray(l["w"]), rep)
+                    if rep is not None
+                    else jnp.asarray(l["w"]),
+                    "b": jax.device_put(jnp.asarray(l["b"]), rep)
+                    if rep is not None
+                    else jnp.asarray(l["b"]),
+                }
                 for l in layers
             ]
         return dp
+
+    def shard_batch_arrays(self, arrays):
+        """Place prepared host arrays on the mesh (batch over "data")."""
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            spec = P(*(["data"] + [None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(put, arrays)
 
     # ------------------------------------------------------------------
     def _embedding_forward(self, params, arrays) -> Tuple[jnp.ndarray, List]:
@@ -113,14 +169,29 @@ class Engine:
             if "host_ids" in arrs:
                 parts.append(arrs["host_ids"])
             ids = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-            pooled = lookup_xla.group_pooled(
-                table,
-                ids,
-                g.row_offsets,
-                g.combiner_code,
-                arrs.get("weights"),
-                exact_math=self.config.exact_combiner_math,
-            )                                                    # [Bp, C, d]
+            if g.gid in self._sharded_gids:
+                from recom_tpu.parallel.sharded_lookup import (
+                    sharded_group_pooled,
+                )
+
+                pooled = sharded_group_pooled(
+                    self.mesh,
+                    table,
+                    ids,
+                    g.row_offsets,
+                    g.combiner_code,
+                    arrs.get("weights"),
+                    exact_math=self.config.exact_combiner_math,
+                )
+            else:
+                pooled = lookup_xla.group_pooled(
+                    table,
+                    ids,
+                    g.row_offsets,
+                    g.combiner_code,
+                    arrs.get("weights"),
+                    exact_math=self.config.exact_combiner_math,
+                )                                                # [Bp, C, d]
             pooled_list.append(pooled)
             group_out.append(pooled.reshape(pooled.shape[0], -1))
         if group_out:
@@ -131,7 +202,7 @@ class Engine:
             emb = jnp.zeros((bp, 0), jnp.float32)
         return emb, pooled_list
 
-    def _tower_forward(self, params, dense, emb):
+    def _tower_forward(self, params, dense, emb, logits_only: bool = False):
         tower = self.model.tower
         if tower.arch == "mlp":
             front = dense
@@ -167,7 +238,7 @@ class Engine:
             raise ValueError(self.model.tower.arch)
         out = mlp_apply(
             params["tower"]["top"], tower_in, tower.activation,
-            tower.final_activation,
+            None if logits_only else tower.final_activation,
         )
         return out, concat
 
@@ -204,7 +275,8 @@ class Engine:
         return_concat: bool = False,
     ) -> Dict[str, np.ndarray]:
         fn = self._get_jitted(prepared.signature)
-        dev_out = fn(self.device_params, prepared.arrays)
+        arrays = self.shard_batch_arrays(prepared.arrays)
+        dev_out = fn(self.device_params, arrays)
         self.stats["calls"] += 1
         b = prepared.batch_size
         result: Dict[str, np.ndarray] = {

@@ -1,0 +1,107 @@
+"""Training on top of the inference engine.
+
+The reference is inference-only (frozen VariableV2 tables, SURVEY.md
+section 5 "checkpoint/resume: none"), but a complete TPU framework must
+close the loop: the same compiled forward — grouped stacked-table lookups,
+shard_map'd when row-sharded — is differentiable end-to-end, so training is
+jax.grad over Engine._forward plus an optax optimizer.  Gradients of
+jnp.take are scatter-adds into (sharded) dense table cotangents; the model
+axis keeps table grads and optimizer state sharded alongside the tables.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from recom_tpu.config import EngineConfig
+from recom_tpu.ir.spec import ModelSpec
+from recom_tpu.runtime.executor import Engine, mlp_apply
+from recom_tpu.runtime.host_prep import prepare_batch
+
+
+def forward_logits(engine: Engine, params, arrays) -> jnp.ndarray:
+    """Engine forward but with the final activation stripped (losses want
+    logits)."""
+    emb, _ = engine._embedding_forward(params, arrays)
+    out, _ = engine._tower_forward(
+        params, arrays["dense"], emb, logits_only=True
+    )
+    return out
+
+
+class Trainer:
+    """Mini training loop: BCE loss on the tower output, optax optimizer,
+    one jitted train_step per shape bucket.
+
+    >>> tr = Trainer(model, EngineConfig(mesh_shape=(2, 4)))
+    >>> loss = tr.step(raw_batch, labels)
+    """
+
+    def __init__(
+        self,
+        model: ModelSpec,
+        config: Optional[EngineConfig] = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        params: Optional[Dict] = None,
+    ):
+        self.engine = Engine(model, config, params)
+        self.optimizer = optimizer or optax.adam(1e-3)
+        self.opt_state = self.optimizer.init(self.engine.device_params)
+        self._step_cache: Dict[Tuple, object] = {}
+
+    @property
+    def params(self):
+        return self.engine.device_params
+
+    def _make_step(self):
+        eng = self.engine
+        opt = self.optimizer
+
+        def loss_fn(params, arrays, labels, mask):
+            logits = forward_logits(eng, params, arrays)
+            per = optax.sigmoid_binary_cross_entropy(logits[:, 0], labels)
+            return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+        def train_step(params, opt_state, arrays, labels, mask):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, arrays, labels, mask
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def step(self, batch: Dict, labels: np.ndarray) -> float:
+        prepared = prepare_batch(self.engine.compiled, batch)
+        bp = prepared.batch_padded
+        lab = np.zeros((bp,), np.float32)
+        lab[: prepared.batch_size] = np.asarray(labels, np.float32)
+        mask = np.zeros((bp,), np.float32)
+        mask[: prepared.batch_size] = 1.0
+
+        fn = self._step_cache.get(prepared.signature)
+        if fn is None:
+            fn = self._make_step()
+            self._step_cache[prepared.signature] = fn
+
+        arrays = self.engine.shard_batch_arrays(prepared.arrays)
+        if self.engine.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.engine.mesh, P("data"))
+            lab = jax.device_put(lab, sh)
+            mask = jax.device_put(mask, sh)
+
+        params, opt_state, loss = fn(
+            self.engine.device_params, self.opt_state, arrays, lab, mask
+        )
+        self.engine.device_params = params
+        self.opt_state = opt_state
+        return float(loss)

@@ -24,10 +24,11 @@ def _rng(seed: int, name: str) -> np.random.Generator:
 
 def init_table(spec: TableSpec) -> np.ndarray:
     rng = _rng(spec.init_seed, spec.name)
-    scale = spec.init_scale / np.sqrt(spec.dim)
-    return (rng.standard_normal((spec.vocab_size, spec.dim)) * scale).astype(
-        np.float32
-    )
+    scale = np.float32(spec.init_scale / np.sqrt(spec.dim))
+    # float32 generation: half the RNG cost, matters for multi-GB tables
+    t = rng.standard_normal((spec.vocab_size, spec.dim), dtype=np.float32)
+    t *= scale
+    return t
 
 
 def init_mlp(

@@ -53,7 +53,7 @@ def test_mini_model_e_all_column_types():
     b = make_random_batch(m, 70, seed=2)
     eng, out, ref = assert_pooled_bitexact(m, b)
     np.testing.assert_allclose(
-        out["output"], ref["output"], rtol=1e-5, atol=1e-6
+        out["output"], ref["output"], rtol=1e-4, atol=1e-5
     )
 
 
@@ -86,7 +86,7 @@ def test_dlrm_dot_tower():
     b = make_random_batch(m, 32, seed=3)
     eng, out, ref = assert_pooled_bitexact(m, b)
     np.testing.assert_allclose(
-        out["output"], ref["output"], rtol=1e-5, atol=1e-6
+        out["output"], ref["output"], rtol=1e-4, atol=1e-5
     )
 
 

@@ -1,0 +1,128 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(conftest.py sets xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recom_tpu import Engine, EngineConfig
+from recom_tpu.ir.spec import Combiner
+from recom_tpu.models import make_random_batch
+from recom_tpu.models.synthetic import make_dlrm_model
+from recom_tpu.oracle import OracleModel
+from recom_tpu.ops import lookup_xla
+from recom_tpu.parallel import make_mesh, sharded_group_pooled
+from recom_tpu.parallel.sharded_lookup import pad_rows_to_multiple
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8
+def test_sharded_group_pooled_matches_single_device():
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(0)
+    C, V, d, B, L = 3, 100, 8, 16, 4
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = pad_rows_to_multiple(table, 4)
+    ids = rng.integers(0, V, size=(B, C, L)).astype(np.int32)
+    ids[rng.random((B, C, L)) < 0.3] = -1
+    offs = (np.arange(C) * V).astype(np.int32)
+    code = np.array([0, 1, 2], np.int32)
+
+    out_sh = jax.jit(
+        lambda t, i: sharded_group_pooled(mesh, t, i, offs, code)
+    )(jnp.asarray(tp), jnp.asarray(ids))
+    out_1d = lookup_xla.group_pooled(
+        jnp.asarray(table), jnp.asarray(ids), offs, code
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh), np.asarray(out_1d), atol=1e-6, rtol=1e-6
+    )
+
+
+@needs_8
+def test_sharded_engine_matches_oracle():
+    m = make_dlrm_model(4, 2, 2, 2, 1, 4, [8], [16], name="shard",
+                        large_rows=4096)
+    cfg = EngineConfig(
+        mesh_shape=(2, 4), shard_rows_above=2048, use_pallas=False,
+        batch_buckets=(32, 64),
+    )
+    eng = Engine(m, cfg)
+    assert eng._sharded_gids, "expected sharded groups"
+    b = make_random_batch(m, 30, seed=2)
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_allclose(
+            out["pooled"][c], r, atol=1e-6, rtol=1e-6, err_msg=c
+        )
+    np.testing.assert_allclose(
+        out["output"], ref["output"], atol=1e-5, rtol=1e-4
+    )
+
+
+@needs_8
+def test_pure_data_parallel_unsharded_tables_bitexact():
+    m = make_dlrm_model(4, 2, 2, 1, 0, 2, [4], [8], name="dp")
+    cfg = EngineConfig(mesh_shape=(8, 1), use_pallas=False,
+                      batch_buckets=(32, 64))
+    eng = Engine(m, cfg)
+    assert not eng._sharded_gids
+    b = make_random_batch(m, 32, seed=3)
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        # replicated tables + DP batch keeps single-device exactness
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+
+@needs_8
+def test_trainer_loss_decreases():
+    from recom_tpu.train import Trainer
+
+    m = make_dlrm_model(3, 1, 1, 1, 1, 2, [4], [8, 1], name="train",
+                        large_rows=2048)
+    cfg = EngineConfig(
+        mesh_shape=(4, 2), shard_rows_above=1024, use_pallas=False,
+        batch_buckets=(32,),
+    )
+    tr = Trainer(m, cfg)
+    rng = np.random.default_rng(0)
+    losses = []
+    b = make_random_batch(m, 32, seed=5)
+    labels = rng.integers(0, 2, 32)
+    for _ in range(5):
+        losses.append(tr.step(b, labels))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    # scaled-down flagship for test time
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.runtime.host_prep import prepare_batch
+
+    model = make_dlrm_model(8, 2, 2, 2, 1, 4, [8], [16, 1], name="entry",
+                            large_rows=4096)
+    eng = Engine(model, EngineConfig(use_pallas=False))
+    batch = make_random_batch(model, 16, seed=0)
+    prepared = prepare_batch(eng.compiled, batch)
+    fn = lambda p, a: eng._forward(p, a)["output"]
+    out = jax.jit(fn)(eng.device_params, prepared.arrays)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@needs_8
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
