@@ -18,3 +18,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# exact combiner math (ops/lookup_xla.exact_div) needs x64; Engine enables
+# this itself, but low-level op tests may run before any Engine exists
+jax.config.update("jax_enable_x64", True)
