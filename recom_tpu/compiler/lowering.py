@@ -57,6 +57,9 @@ class LookupGroup:
     dim: int
     ragged: bool                 # True -> runtime row-length bucket (L >= 1)
     members: List[GroupMember]
+    # uniform per-column vocab when this group lowers to the Pallas one-hot
+    # MXU megakernel (ops/lookup_pallas.py); None -> XLA gather path
+    pallas_vocab: Optional[int] = None
     stacked_rows: int = 0
     row_offsets: Optional[np.ndarray] = None     # [C] int32
     combiner_code: Optional[np.ndarray] = None   # [C] int32
@@ -118,10 +121,24 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
     for col in model.embedding_columns:
         tspec = model.tables[col.lookup.table]
         ragged = col.source.is_ragged
-        key = (tspec.dim, ragged)
+        # Pallas one-hot megakernel eligibility: dense (L=1) unweighted
+        # columns with small vocab — grouped by vocab so the kernel sees a
+        # uniform [C, V, d] table stack
+        pallas_vocab = None
+        if (
+            config.use_pallas
+            and not ragged
+            and col.lookup.weight_field is None
+            and tspec.vocab_size <= config.onehot_vocab_limit
+        ):
+            # group by 128-padded vocab so e.g. V=100 and V=101 columns
+            # share one kernel invocation
+            pallas_vocab = ((tspec.vocab_size + 127) // 128) * 128
+        key = (tspec.dim, ragged, pallas_vocab)
         if key not in group_map:
             group_map[key] = LookupGroup(
-                gid=len(group_map), dim=tspec.dim, ragged=ragged, members=[]
+                gid=len(group_map), dim=tspec.dim, ragged=ragged,
+                members=[], pallas_vocab=pallas_vocab,
             )
         g = group_map[key]
         bz, host_chain = _split_host_device(col)

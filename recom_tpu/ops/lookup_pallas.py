@@ -1,0 +1,140 @@
+"""Pallas megakernel: one-hot MXU lookup for uniform-vocab column groups.
+
+The TPU-native reinterpretation of the reference's generated FusedKnl (one
+CUDA thread block per column, cuda_emitter.cc:2097-2134): here one *grid
+step* handles a (batch-tile x column-tile) block of the whole group, and the
+"gather" is a one-hot matmul on the MXU — table rows are *streamed* through
+VMEM instead of randomly addressed, so the kernel is immune to random-access
+HBM inefficiency and keeps the MXU busy.
+
+  out[c, b, :] = sum_v (ids[b, c] == v) * table[c, v, :]
+
+accumulated over vocab tiles (the reduction grid dimension).  With
+Precision.HIGHEST the selected row is added to zeros only, so results are
+bit-exact with the gather path and the NumPy oracle.
+
+Measured reality on TPU v5e (batch 512, 980 columns, dim 8): XLA's native
+gather already runs at HBM speed-of-light (~0.02 ms), so this kernel is an
+*alternative* backend — selected via EngineConfig.use_pallas for groups with
+uniform vocab <= onehot_vocab_limit — rather than an unconditional win.  It
+becomes favorable when random-access gathers degrade (very large batch x
+columns with small tables that stay VMEM-resident across batch tiles).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ids_ref, tbl_ref, out_ref, *, vt: int):
+    vi = pl.program_id(2)
+
+    @pl.when(vi == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ids_blk = ids_ref[:]                                  # [CT, B_t]
+    # keep index math in int32: under jax_enable_x64 a python-int product
+    # would promote to i64, which Mosaic cannot legalize
+    voff = jnp.int32(vi) * jnp.int32(vt)
+    local = ids_blk - voff                                # ids in this v-tile
+    iota = jax.lax.broadcasted_iota(jnp.int32, local.shape + (vt,), 2)
+    onehot = (local[:, :, None] == iota).astype(jnp.float32)  # [CT, B_t, VT]
+    # batched (over the column tile) one-hot matmul: [CT, B_t, d]
+    part = jax.lax.dot_general(
+        onehot,
+        tbl_ref[:],                                       # [CT, VT, d]
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] += part
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bt", "ct", "vt", "interpret")
+)
+def onehot_lookup(
+    table3: jnp.ndarray,   # [C_pad, V_pad, d] per-column tables (zero padded)
+    ids_t: jnp.ndarray,    # [C_pad, B] int32 local ids, -1 = missing
+    bt: int = 128,
+    ct: int = 8,
+    vt: int = 512,
+    interpret: bool = False,
+):
+    """Returns gathered-and-masked rows [C_pad, B, d] (missing ids -> 0)."""
+    c_pad, v_pad, d = table3.shape
+    b = ids_t.shape[1]
+    bt = min(bt, b)
+    ct = min(ct, c_pad)
+    vt = min(vt, v_pad)
+    assert b % bt == 0 and c_pad % ct == 0 and v_pad % vt == 0
+    grid = (c_pad // ct, b // bt, v_pad // vt)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, vt=vt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ct, bt), lambda ci, bi, vi: (ci, bi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                # literal index 0 must stay int32: under jax_enable_x64 a
+                # bare 0 promotes to i64 and Mosaic rejects the index map
+                (ct, vt, d), lambda ci, bi, vi: (ci, vi, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ct, bt, d), lambda ci, bi, vi: (ci, bi, jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c_pad, b, d), jnp.float32),
+        interpret=interpret,
+    )(ids_t, table3)
+
+
+def group_pooled_onehot(
+    table3: jnp.ndarray,          # [C_pad, V_pad, d] zero-padded
+    ids: jnp.ndarray,             # [B, C, 1] int32 stacked-group layout
+    combiner_code: np.ndarray,    # [C] static
+    num_columns: int,             # true C (un-padded)
+    exact_math: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for lookup_xla.group_pooled on an L=1 uniform-vocab group
+    (ids here are LOCAL per-column, not stacked-row-offset)."""
+    from recom_tpu.ops import lookup_xla
+
+    b = ids.shape[0]
+    c_pad = table3.shape[0]
+    ids2 = ids[:, :, 0]
+    if ids2.shape[1] < c_pad:
+        pad = jnp.full((b, c_pad - ids2.shape[1]), -1, jnp.int32)
+        ids2 = jnp.concatenate([ids2, pad], axis=1)
+    rows = onehot_lookup(table3, ids2.T, interpret=interpret)  # [C_pad, B, d]
+    acc = jnp.transpose(rows[:num_columns], (1, 0, 2))        # [B, C, d]
+
+    mask = (ids[:, :, 0] >= 0).astype(jnp.float32)            # [B, C]
+    combiner_code = np.asarray(combiner_code)
+    if not (combiner_code != 0).any():
+        return acc
+    div = lookup_xla.exact_div if exact_math else (lambda a, b_: a / b_)
+    code = jnp.asarray(combiner_code)[None, :]
+    # L == 1: wsum == w2sum == mask, and sqrt(mask) == mask
+    denom = jnp.where(code == 0, 1.0, mask)
+    nz = denom > 0
+    safe = jnp.where(nz, denom, 1.0)
+    return jnp.where(nz[:, :, None], div(acc, safe[:, :, None]), 0.0)

@@ -1,0 +1,120 @@
+"""Checkpoint / restore.
+
+The reference persists nothing but its generated-kernel cache (SURVEY.md
+section 5: "checkpoint/resume: none" — tables are frozen graph variables).
+A complete framework needs both:
+
+  * parameter checkpoints (orbax): the model spec JSON travels with the
+    weights, so a saved engine restores standalone
+  * the XLA persistent compilation cache (the analogue of the reference's
+    MD5-keyed .so cache): enabled per EngineConfig.persistent_compilation_cache
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from recom_tpu.ir.serde import model_from_json, model_to_json
+from recom_tpu.ir.spec import ModelSpec
+
+
+def export_params(engine) -> Dict:
+    """Engine device params -> portable {tables: {name: np}, tower: ...}
+    pytree (stacked group tables sliced back into per-table arrays)."""
+    out: Dict = {"tables": {}, "tower": {}}
+    for g in engine.compiled.groups:
+        stacked = np.asarray(engine.device_params["stacked"][str(g.gid)])
+        if stacked.ndim == 3:  # Pallas one-hot layout [C_pad, V_pad, d]
+            for i, m in enumerate(g.members):
+                out["tables"][m.table] = stacked[i, : m.vocab_size].astype(
+                    np.float32
+                )
+            continue
+        for m in g.members:
+            out["tables"][m.table] = stacked[
+                m.row_offset : m.row_offset + m.vocab_size
+            ].astype(np.float32)
+    for key, layers in engine.device_params["tower"].items():
+        out["tower"][key] = [
+            {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+            for l in layers
+        ]
+    return out
+
+
+def save_checkpoint(path: str, engine) -> None:
+    """Save spec + params under ``path`` (orbax if available, else npz)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model_spec.json"), "w") as f:
+        f.write(model_to_json(engine.model))
+    params = export_params(engine)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(
+            os.path.join(os.path.abspath(path), "params"), params, force=True
+        )
+        ckpt.wait_until_finished()
+    except Exception:
+        flat = {}
+        for t, arr in params["tables"].items():
+            flat[f"tables/{t}"] = arr
+        for key, layers in params["tower"].items():
+            for i, l in enumerate(layers):
+                flat[f"tower/{key}/{i}/w"] = l["w"]
+                flat[f"tower/{key}/{i}/b"] = l["b"]
+        np.savez(os.path.join(path, "params.npz"), **flat)
+
+
+def load_checkpoint(path: str) -> Tuple[ModelSpec, Dict]:
+    """Restore (model spec, np params pytree) from ``path``."""
+    with open(os.path.join(path, "model_spec.json")) as f:
+        model = model_from_json(f.read())
+    params_dir = os.path.join(os.path.abspath(path), "params")
+    if os.path.exists(params_dir):
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        params = ckpt.restore(params_dir)
+        # orbax may return lists as dicts of index keys; normalize tower
+        params = _normalize(params)
+        return model, params
+    npz = np.load(os.path.join(path, "params.npz"))
+    params: Dict = {"tables": {}, "tower": {}}
+    for key in npz.files:
+        parts = key.split("/")
+        if parts[0] == "tables":
+            params["tables"][parts[1]] = npz[key]
+        else:
+            _, tk, idx, wb = parts
+            layers = params["tower"].setdefault(tk, [])
+            while len(layers) <= int(idx):
+                layers.append({})
+            layers[int(idx)][wb] = npz[key]
+    return model, params
+
+
+def _normalize(params):
+    def conv(x):
+        if isinstance(x, dict):
+            keys = list(x.keys())
+            if keys and all(str(k).isdigit() for k in keys):
+                return [conv(x[k]) for k in sorted(keys, key=int)]
+            return {k: conv(v) for k, v in x.items()}
+        return np.asarray(x)
+
+    return conv(dict(params))
+
+
+def enable_persistent_compilation_cache(cache_dir: str) -> None:
+    """Point XLA's persistent compilation cache at ``cache_dir`` (the
+    reference's nvcc/MD5 kernel cache analogue for whole XLA programs)."""
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -9,6 +9,7 @@ reference's nvcc/MD5 kernel cache and its symbolic-shape machinery.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -66,6 +67,14 @@ class Engine:
         params: Optional[Dict] = None,
     ):
         self.config = config or EngineConfig()
+        if self.config.persistent_compilation_cache:
+            from recom_tpu.runtime.checkpoint import (
+                enable_persistent_compilation_cache,
+            )
+
+            enable_persistent_compilation_cache(
+                os.path.join(self.config.cache_dir, "xla")
+            )
         if self.config.exact_combiner_math:
             # TPU hw div/sqrt are not correctly rounded; combiner divisors
             # go through emulated f64 (see ops/lookup_xla.exact_div)
@@ -99,6 +108,16 @@ class Engine:
         dp: Dict = {"stacked": {}, "tower": {}}
         tdtype = jnp.dtype(self.config.table_dtype)
         for g in self.compiled.groups:
+            if g.pallas_vocab is not None and g.gid not in self._sharded_gids:
+                # Pallas one-hot megakernel layout: [C_pad, V_pad, d]
+                # (pallas_vocab is already 128-padded by lowering)
+                c_pad = ((g.num_columns + 7) // 8) * 8
+                t3 = np.zeros((c_pad, g.pallas_vocab, g.dim), np.float32)
+                for i, m in enumerate(g.members):
+                    tbl = np.asarray(np_params["tables"][m.table], np.float32)
+                    t3[i, : tbl.shape[0]] = tbl
+                dp["stacked"][str(g.gid)] = jnp.asarray(t3, dtype=tdtype)
+                continue
             stacked = self.compiled.stacked_table(g, np_params["tables"])
             if g.gid in self._sharded_gids:
                 from recom_tpu.parallel.sharded_lookup import (
@@ -169,7 +188,22 @@ class Engine:
             if "host_ids" in arrs:
                 parts.append(arrs["host_ids"])
             ids = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-            if g.gid in self._sharded_gids:
+            if g.pallas_vocab is not None and g.gid not in self._sharded_gids:
+                from recom_tpu.ops.lookup_pallas import group_pooled_onehot
+
+                interp = (
+                    self.config.interpret
+                    or jax.default_backend() != "tpu"
+                )
+                pooled = group_pooled_onehot(
+                    table,
+                    ids,
+                    g.combiner_code,
+                    g.num_columns,
+                    exact_math=self.config.exact_combiner_math,
+                    interpret=interp,
+                )
+            elif g.gid in self._sharded_gids:
                 from recom_tpu.parallel.sharded_lookup import (
                     sharded_group_pooled,
                 )

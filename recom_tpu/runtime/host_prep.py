@@ -153,11 +153,13 @@ def prepare_batch(
         batch_size = len(batch[probe])
     bp = pick_bucket(config.batch_buckets, batch_size, config.allow_truncate_overflow)
 
-    # dense tower features
+    # dense tower features (single stacked copy, not per-column writes)
     dense = np.zeros((bp, compiled.n_dense), dtype=np.float32)
-    for i, col in enumerate(model.dense_columns):
-        dense[:batch_size, i] = np.asarray(
-            batch[col.source.field], dtype=np.float32
+    if compiled.n_dense:
+        dense[:batch_size] = np.stack(
+            [np.asarray(batch[c.source.field], dtype=np.float32)
+             for c in model.dense_columns],
+            axis=1,
         )
 
     memo: Dict = {} if config.dedup_subcolumns else None
@@ -169,10 +171,11 @@ def prepare_batch(
 
         if g.n_bucketize:
             raw = np.zeros((bp, g.n_bucketize), dtype=np.float32)
-            for i, m in enumerate(g.members[: g.n_bucketize]):
-                raw[:batch_size, i] = np.asarray(
-                    batch[m.column.source.field], dtype=np.float32
-                )
+            raw[:batch_size] = np.stack(
+                [np.asarray(batch[m.column.source.field], dtype=np.float32)
+                 for m in g.members[: g.n_bucketize]],
+                axis=1,
+            )
             arrs["raw_bz"] = raw
 
         if not g.ragged:

@@ -1,0 +1,77 @@
+"""Pallas one-hot megakernel tests (interpret mode on CPU; the real-TPU
+bit-exactness drive lives in the verify recipe and bench gate)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from recom_tpu import Engine, EngineConfig
+from recom_tpu.models import make_microbenchmark_model, make_random_batch
+from recom_tpu.models.synthetic import make_dlrm_model
+from recom_tpu.ops.lookup_pallas import group_pooled_onehot, onehot_lookup
+from recom_tpu.oracle import OracleModel
+
+
+def test_onehot_lookup_interpret_bitexact():
+    rng = np.random.default_rng(0)
+    C, V, d, B = 16, 256, 8, 64
+    table3 = rng.standard_normal((C, V, d)).astype(np.float32)
+    ids = rng.integers(0, V, (B, C)).astype(np.int32)
+    ids[rng.random((B, C)) < 0.2] = -1
+    rows = onehot_lookup(
+        jnp.asarray(table3), jnp.asarray(ids.T), interpret=True
+    )
+    ref = np.zeros((C, B, d), np.float32)
+    for c in range(C):
+        for b in range(B):
+            if ids[b, c] >= 0:
+                ref[c, b] = table3[c, ids[b, c]]
+    np.testing.assert_array_equal(np.asarray(rows), ref)
+
+
+def test_group_pooled_onehot_combiners():
+    rng = np.random.default_rng(1)
+    C, V, d, B = 8, 128, 4, 32
+    table3 = rng.standard_normal((C, V, d)).astype(np.float32)
+    ids = rng.integers(0, V, (B, C, 1)).astype(np.int32)
+    ids[rng.random((B, C, 1)) < 0.3] = -1
+    code = np.array([0, 1, 2, 0, 1, 2, 0, 1], np.int32)
+    out = group_pooled_onehot(
+        jnp.asarray(table3), jnp.asarray(ids), code, C, interpret=True
+    )
+    ref = np.zeros((B, C, d), np.float32)
+    for b in range(B):
+        for c in range(C):
+            i = ids[b, c, 0]
+            if i >= 0:
+                ref[b, c] = table3[c, i]  # count==1: all combiners identical
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_engine_pallas_path_matches_oracle():
+    m = make_dlrm_model(6, 2, 2, 2, 1, 4, [8], [16], name="plcpu",
+                        large_rows=20_000)
+    b = make_random_batch(m, 70, seed=2)
+    eng = Engine(m, EngineConfig(use_pallas=True, interpret=True))
+    pallas_groups = [g for g in eng.compiled.groups if g.pallas_vocab]
+    assert pallas_groups, "expected pallas-eligible groups"
+    # V=101 and V=100 merge into one 128-padded group
+    assert len(pallas_groups) == 1 and pallas_groups[0].num_columns == 8
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+
+def test_pallas_checkpoint_export_roundtrip(tmp_path):
+    from recom_tpu.runtime.checkpoint import export_params
+    from recom_tpu.utils.params import init_model_params
+
+    m = make_microbenchmark_model(5)
+    np_params = init_model_params(m)
+    eng = Engine(m, EngineConfig(use_pallas=True, interpret=True),
+                 params=np_params)
+    exported = export_params(eng)
+    for t, arr in np_params["tables"].items():
+        np.testing.assert_array_equal(exported["tables"][t], arr)
