@@ -1,0 +1,414 @@
+"""TF GraphDef importer: frozen TF feature-column graphs -> ModelSpec.
+
+The reference achieves zero-model-change deployment by pattern-matching the
+TF graph at session warm-up (ExtractFCNodes finds per-table subgraphs that
+converge on the input_layer ConcatV2, graph_info.cc:209-365; Lookup/PreLookup
+optimizers then recognize the safe_embedding_lookup_sparse idiom,
+lookup_optimizer.cc:62-135).  This importer applies the same extraction ideas
+OFFLINE: parse a frozen GraphDef (no TF dependency — protowire.py reads the
+protobuf wire format), walk backward from the output concat, and reconstruct
+each column as IR plus table weights.
+
+Recognized column idioms (the ones tf.feature_column.input_layer emits for
+the reference's benchmark models, examples/python/dlrm.py:56-137):
+
+  * numeric_column -> bucketized_column -> embedding_column
+        Placeholder(f32) -> Bucketize(boundaries=...) -> lookup(mean/sum)
+  * categorical_column_with_hash_bucket (string or int) -> embedding_column
+        Placeholder -> [AsString] -> StringToHashBucketFast(num_buckets)
+  * delimited sparse strings:  StringSplit -> StringToHashBucketFast
+  * dense passthrough numeric features
+
+Tables must be frozen (Const); live VariableV2 values require a TF
+checkpoint reader and are imported as randomly-initialized TableSpecs with a
+warning.  The dense tower (MatMul/BiasAdd/Relu chains after the concat) is
+imported structurally when frozen weights are present.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from recom_tpu.importers import protowire as pw
+from recom_tpu.ir.spec import (
+    Bucketize,
+    Combiner,
+    FeatureColumn,
+    FeatureKind,
+    FeatureSource,
+    HashBucket,
+    LookupSpec,
+    ModelSpec,
+    TableSpec,
+    TowerSpec,
+)
+
+DT_FLOAT, DT_DOUBLE, DT_INT32, DT_STRING, DT_INT64 = 1, 2, 3, 7, 9
+
+
+class Node:
+    __slots__ = ("name", "op", "inputs", "attrs")
+
+    def __init__(self, name, op, inputs, attrs):
+        self.name = name
+        self.op = op
+        self.inputs = inputs        # names, possibly with :port / ^control
+        self.attrs = attrs          # name -> raw AttrValue bytes
+
+    def attr(self, key: str) -> Optional[bytes]:
+        return self.attrs.get(key)
+
+
+def _parse_attr_entries(buf: bytes) -> Dict[str, bytes]:
+    out = {}
+    for field, _, val in pw.iter_fields(buf):
+        pass
+    # attr map entry: key=1 (string), value=2 (AttrValue)
+    d = pw.fields_dict(buf)
+    key = d.get(1, [b""])[0].decode()
+    out[key] = d.get(2, [b""])[0]
+    return out
+
+
+def parse_graphdef(data: bytes) -> List[Node]:
+    nodes = []
+    for field, _, val in pw.iter_fields(data):
+        if field != 1:       # GraphDef.node
+            continue
+        d = pw.fields_dict(val)
+        name = d.get(1, [b""])[0].decode()
+        op = d.get(2, [b""])[0].decode()
+        inputs = [x.decode() for x in d.get(3, [])]
+        attrs: Dict[str, bytes] = {}
+        for entry in d.get(5, []):
+            attrs.update(_parse_attr_entries(entry))
+        nodes.append(Node(name, op, inputs, attrs))
+    return nodes
+
+
+# ------------------------ AttrValue helpers --------------------------------
+
+
+def attr_int(raw: Optional[bytes]) -> Optional[int]:
+    if raw is None:
+        return None
+    d = pw.fields_dict(raw)
+    if 3 in d:
+        return pw.to_signed64(d[3][0])
+    return None
+
+
+def attr_type(raw: Optional[bytes]) -> Optional[int]:
+    if raw is None:
+        return None
+    d = pw.fields_dict(raw)
+    return d.get(6, [None])[0]
+
+
+def attr_float_list(raw: Optional[bytes]) -> List[float]:
+    """AttrValue.list.f (packed or repeated fixed32)."""
+    if raw is None:
+        return []
+    d = pw.fields_dict(raw)
+    out: List[float] = []
+    for lst in d.get(1, []):
+        for field, wtype, val in pw.iter_fields(lst):
+            if field != 4:
+                continue
+            if wtype == 2:  # packed
+                for i in range(0, len(val), 4):
+                    out.append(struct.unpack("<f", val[i : i + 4])[0])
+            elif wtype == 5:
+                out.append(struct.unpack("<f", val)[0])
+    return out
+
+
+def attr_tensor(raw: Optional[bytes]) -> Optional[np.ndarray]:
+    """AttrValue.tensor -> numpy array (float32/int32/int64 supported)."""
+    if raw is None:
+        return None
+    d = pw.fields_dict(raw)
+    if 8 not in d:
+        return None
+    t = pw.fields_dict(d[8][0])
+    dtype = t.get(1, [0])[0]
+    shape: List[int] = []
+    if 2 in t:
+        for f, _, v in pw.iter_fields(t[2][0]):
+            if f == 2:  # dim
+                dd = pw.fields_dict(v)
+                shape.append(pw.to_signed64(dd.get(1, [0])[0]))
+    np_dtype = {DT_FLOAT: np.float32, DT_INT32: np.int32,
+                DT_INT64: np.int64, DT_DOUBLE: np.float64}.get(dtype)
+    if np_dtype is None:
+        return None
+    if 4 in t and t[4][0]:
+        arr = np.frombuffer(t[4][0], dtype=np_dtype)
+    else:
+        vals: List = []
+        field_no = {DT_FLOAT: 5, DT_DOUBLE: 6, DT_INT32: 7, DT_INT64: 10}[dtype]
+        for f, wtype, v in pw.iter_fields(d[8][0]):
+            if f != field_no:
+                continue
+            if wtype == 2 and dtype in (DT_INT32, DT_INT64):  # packed varint
+                pos = 0
+                while pos < len(v):
+                    x, pos = pw.read_varint(v, pos)
+                    vals.append(pw.to_signed64(x))
+            elif wtype == 2 and dtype == DT_FLOAT:  # packed fixed32
+                for i in range(0, len(v), 4):
+                    vals.append(struct.unpack("<f", v[i : i + 4])[0])
+            elif wtype == 5:
+                vals.append(struct.unpack("<f", v)[0])
+            elif wtype == 0:
+                vals.append(pw.to_signed64(v))
+        arr = np.asarray(vals, dtype=np_dtype)
+    if shape:
+        if arr.size == 1 and int(np.prod(shape)) > 1:
+            arr = np.full(shape, arr.reshape(-1)[0], dtype=np_dtype)
+        else:
+            arr = arr.reshape(shape)
+    return arr
+
+
+# ------------------------ graph walking ------------------------------------
+
+
+def _base(name: str) -> str:
+    if name.startswith("^"):
+        name = name[1:]
+    return name.split(":")[0]
+
+
+class GraphIndex:
+    def __init__(self, nodes: List[Node]):
+        self.nodes = nodes
+        self.by_name = {n.name: n for n in nodes}
+        self.consumers: Dict[str, List[Node]] = {}
+        for n in nodes:
+            for i in n.inputs:
+                self.consumers.setdefault(_base(i), []).append(n)
+
+    def node(self, name: str) -> Optional[Node]:
+        return self.by_name.get(_base(name))
+
+    def backward_set(self, start: Node) -> List[Node]:
+        seen: Set[str] = set()
+        order: List[Node] = []
+        stack = [start]
+        while stack:
+            n = stack.pop()
+            if n.name in seen:
+                continue
+            seen.add(n.name)
+            order.append(n)
+            for i in n.inputs:
+                nn = self.node(i)
+                if nn is not None:
+                    stack.append(nn)
+        return order
+
+
+def find_output_concat(gi: GraphIndex, min_inputs: int = 5) -> Node:
+    """The input_layer ConcatV2 — the convergence point every FC feeds
+    (reference IsConcatOutOp, graph_info.cc:36-39; the TfCpuGpuPass uses the
+    same >5-input heuristic, tf_cpu_gpu_pass.cc:47-97)."""
+    best = None
+    for n in gi.nodes:
+        if n.op in ("ConcatV2", "Concat") and len(n.inputs) - 1 >= min_inputs:
+            if best is None or len(n.inputs) > len(best.inputs):
+                best = n
+    if best is None:
+        raise ValueError("no input_layer ConcatV2 found (need >5 inputs)")
+    return best
+
+
+def import_tf_graphdef(
+    data: bytes,
+    tower: Optional[TowerSpec] = None,
+    name: str = "imported",
+) -> Tuple[ModelSpec, Dict[str, np.ndarray]]:
+    """Returns (ModelSpec, frozen table weights by table name)."""
+    nodes = parse_graphdef(data)
+    gi = GraphIndex(nodes)
+    concat = find_output_concat(gi)
+
+    columns: List[FeatureColumn] = []
+    tables: Dict[str, TableSpec] = {}
+    weights: Dict[str, np.ndarray] = {}
+    warnings: List[str] = []
+
+    for inp in concat.inputs[:-1]:  # last input is the concat axis
+        n = gi.node(inp)
+        if n is None:
+            continue
+        sub = gi.backward_set(n)
+        ops = {x.op: x for x in sub}
+
+        placeholders = [x for x in sub if x.op == "Placeholder"]
+        table_nodes = [
+            x for x in sub
+            if x.op in ("VariableV2", "VarHandleOp", "Const")
+            and _table_shape(x) is not None
+        ]
+        if not table_nodes:
+            # dense passthrough feature(s)
+            for ph in placeholders:
+                columns.append(
+                    FeatureColumn(
+                        ph.name, FeatureSource(ph.name, FeatureKind.DENSE_FLOAT)
+                    )
+                )
+            continue
+
+        tnode = table_nodes[0]
+        vocab, dim = _table_shape(tnode)
+        tname = tnode.name
+        if tname not in tables:
+            tables[tname] = TableSpec(tname, vocab, dim)
+            tv = attr_tensor(tnode.attr("value")) if tnode.op == "Const" else None
+            if tv is not None:
+                weights[tname] = tv.astype(np.float32)
+            else:
+                warnings.append(
+                    f"table {tname}: VariableV2 values not in graph; "
+                    "restore from checkpoint separately"
+                )
+
+        combiner = Combiner.MEAN
+        if "SparseSegmentSum" in ops:
+            combiner = Combiner.SUM
+        elif "SparseSegmentSqrtN" in ops:
+            combiner = Combiner.SQRTN
+
+        transforms: tuple = ()
+        ragged = "StringSplit" in ops or "StringSplitV2" in ops
+        delimiter = None
+        if ragged:
+            sp = ops.get("StringSplit") or ops.get("StringSplitV2")
+            delimiter = (
+                _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
+            ) or ";"
+
+        if "Bucketize" in ops:
+            bz = ops["Bucketize"]
+            transforms = (Bucketize(attr_float_list(bz.attr("boundaries"))),)
+            kind = FeatureKind.DENSE_FLOAT
+        elif "StringToHashBucketFast" in ops:
+            hb = ops["StringToHashBucketFast"]
+            nb = attr_int(hb.attr("num_buckets"))
+            transforms = (HashBucket(nb),)
+            if ragged:
+                kind = FeatureKind.STRING_LIST
+            elif "AsString" in ops or _ph_dtype(placeholders) in (
+                DT_INT32, DT_INT64
+            ):
+                kind = FeatureKind.DENSE_INT
+            else:
+                kind = FeatureKind.STRING
+        else:
+            warnings.append(
+                f"column feeding {n.name}: unrecognized transform chain; "
+                "imported as identity int ids"
+            )
+            kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
+
+        field = placeholders[0].name if placeholders else n.name
+        columns.append(
+            FeatureColumn(
+                field,
+                FeatureSource(field, kind, delimiter=delimiter),
+                transforms,
+                LookupSpec(tname, combiner),
+            )
+        )
+
+    model = ModelSpec(
+        name, tables, columns,
+        tower or TowerSpec(arch="mlp", bottom_mlp=(), top_mlp=(),
+                           final_activation=None),
+    )
+    model.import_warnings = warnings  # type: ignore[attr-defined]
+    return model, weights
+
+
+def import_tf_saved_model(
+    path: str,
+    tower: Optional[TowerSpec] = None,
+    name: str = "imported",
+) -> Tuple[ModelSpec, Dict[str, np.ndarray]]:
+    """Import from a SavedModel directory (reads saved_model.pb; variables
+    must be frozen into the graph — the reference's AE models are exported
+    this way via simple_save + freeze)."""
+    import os
+
+    pb = path
+    if os.path.isdir(path):
+        pb = os.path.join(path, "saved_model.pb")
+    with open(pb, "rb") as f:
+        data = f.read()
+    # SavedModel.meta_graphs (field 2) -> MetaGraphDef.graph_def (field 2)
+    graph_bytes = None
+    for field, _, val in pw.iter_fields(data):
+        if field == 2:
+            for f2, _, v2 in pw.iter_fields(val):
+                if f2 == 2:
+                    graph_bytes = v2
+                    break
+        if graph_bytes:
+            break
+    if graph_bytes is None:
+        raise ValueError(f"no MetaGraphDef.graph_def found in {pb}")
+    return import_tf_graphdef(graph_bytes, tower=tower, name=name)
+
+
+def _table_shape(n: Node) -> Optional[Tuple[int, int]]:
+    """2-D float shape of a variable/const that looks like an embedding
+    table (from the 'shape' attr or the const value)."""
+    if n.op == "Const":
+        t = attr_tensor(n.attr("value"))
+        if t is not None and t.ndim == 2 and t.dtype in (np.float32, np.float64):
+            return int(t.shape[0]), int(t.shape[1])
+        return None
+    raw = n.attr("shape")
+    if raw is None:
+        return None
+    d = pw.fields_dict(raw)
+    if 7 not in d:
+        return None
+    dims = []
+    for f, _, v in pw.iter_fields(d[7][0]):
+        if f == 2:
+            dd = pw.fields_dict(v)
+            dims.append(pw.to_signed64(dd.get(1, [0])[0]))
+    if len(dims) == 2:
+        return int(dims[0]), int(dims[1])
+    return None
+
+
+def _ph_dtype(placeholders: List[Node]) -> Optional[int]:
+    for ph in placeholders:
+        t = attr_type(ph.attr("dtype"))
+        if t is not None:
+            return t
+    return None
+
+
+def _const_string(gi: GraphIndex, name: str) -> Optional[str]:
+    n = gi.node(name)
+    if n is None or n.op != "Const":
+        return None
+    raw = n.attr("value")
+    if raw is None:
+        return None
+    d = pw.fields_dict(raw)
+    if 8 not in d:
+        return None
+    t = pw.fields_dict(d[8][0])
+    sv = t.get(8, [])
+    if sv:
+        return sv[0].decode()
+    return None

@@ -1,0 +1,196 @@
+"""TF GraphDef importer tests.
+
+TF is not installed in this environment, so tests synthesize GraphDef bytes
+with a minimal protobuf writer emitting the same op/attr structure
+tf.feature_column.input_layer produces (validated against the op inventory
+the reference's extractors match on: Bucketize, StringToHashBucketFast,
+StringSplit, SparseSegmentMean/Sum, GatherV2, VariableV2/Const,
+ConcatV2)."""
+
+import struct
+
+import numpy as np
+
+from recom_tpu.importers import protowire as pw
+from recom_tpu.importers.tf_graph import import_tf_graphdef
+from recom_tpu.ir.spec import Bucketize, Combiner, FeatureKind, HashBucket
+
+
+# --------------- GraphDef writer helpers (TF wire format) -------------------
+
+DT_FLOAT, DT_INT32, DT_STRING, DT_INT64 = 1, 3, 7, 9
+
+
+def attr_entry(key: str, value: bytes) -> bytes:
+    return pw.field_bytes(1, key.encode()) + pw.field_bytes(2, value)
+
+
+def av_type(t: int) -> bytes:
+    return pw.field_varint(6, t)
+
+
+def av_int(i: int) -> bytes:
+    return pw.field_varint(3, i)
+
+
+def av_float_list(vals) -> bytes:
+    packed = b"".join(struct.pack("<f", v) for v in vals)
+    lst = pw.field_bytes(4, packed)  # ListValue.f packed
+    return pw.field_bytes(1, lst)
+
+
+def av_shape(dims) -> bytes:
+    shape = b"".join(
+        pw.field_bytes(2, pw.field_varint(1, d)) for d in dims
+    )
+    return pw.field_bytes(7, shape)
+
+
+def av_tensor_float(arr: np.ndarray) -> bytes:
+    t = pw.field_varint(1, DT_FLOAT)
+    shape = b"".join(
+        pw.field_bytes(2, pw.field_varint(1, d)) for d in arr.shape
+    )
+    t += pw.field_bytes(2, shape)
+    t += pw.field_bytes(4, arr.astype("<f4").tobytes())
+    return pw.field_bytes(8, t)
+
+
+def av_tensor_string(s: str) -> bytes:
+    t = pw.field_varint(1, DT_STRING)
+    t += pw.field_bytes(2, b"")  # scalar shape
+    t += pw.field_bytes(8, s.encode())  # string_val
+    return pw.field_bytes(8, t)
+
+
+def node(name, op, inputs=(), **attrs) -> bytes:
+    body = pw.field_bytes(1, name.encode()) + pw.field_bytes(2, op.encode())
+    for i in inputs:
+        body += pw.field_bytes(3, i.encode())
+    for k, v in attrs.items():
+        body += pw.field_bytes(5, attr_entry(k, v))
+    return pw.field_bytes(1, body)  # GraphDef.node
+
+
+def make_reference_style_graph():
+    """2 bucketize cols + 1 string-hash + 1 sparse-split-hash + 1 dense,
+    frozen Const tables, input_layer ConcatV2."""
+    rng = np.random.default_rng(0)
+    g = b""
+    concat_inputs = []
+    tables = {}
+
+    for i in range(2):  # bucketized columns
+        f = f"bucketize{i}"
+        tbl = rng.standard_normal((11, 4)).astype(np.float32)
+        tables[f"emb_{f}"] = tbl
+        g += node(f, "Placeholder", dtype=av_type(DT_FLOAT))
+        g += node(f"{f}/Bucketize", "Bucketize", [f],
+                  boundaries=av_float_list([float(x) for x in range(0, 50, 5)]))
+        g += node(f"emb_{f}", "Const", value=av_tensor_float(tbl))
+        g += node(f"{f}/GatherV2", "GatherV2",
+                  [f"emb_{f}", f"{f}/Bucketize", f"{f}/axis"])
+        g += node(f"{f}/SparseSegmentMean", "SparseSegmentMean",
+                  [f"emb_{f}", f"{f}/Bucketize", f"{f}/segs"])
+        concat_inputs.append(f"{f}/SparseSegmentMean")
+
+    # string hash column
+    tbl = rng.standard_normal((100, 4)).astype(np.float32)
+    tables["emb_shash"] = tbl
+    g += node("shash", "Placeholder", dtype=av_type(DT_STRING))
+    g += node("shash/Hash", "StringToHashBucketFast", ["shash"],
+              num_buckets=av_int(100))
+    g += node("emb_shash", "Const", value=av_tensor_float(tbl))
+    g += node("shash/SparseSegmentMean", "SparseSegmentMean",
+              ["emb_shash", "shash/Hash", "shash/segs"])
+    concat_inputs.append("shash/SparseSegmentMean")
+
+    # delimited sparse column (sum combiner)
+    tbl = rng.standard_normal((200, 4)).astype(np.float32)
+    tables["emb_sparse"] = tbl
+    g += node("sparse", "Placeholder", dtype=av_type(DT_STRING))
+    g += node("sparse/delim", "Const", value=av_tensor_string(";"))
+    g += node("sparse/Split", "StringSplit", ["sparse", "sparse/delim"])
+    g += node("sparse/Hash", "StringToHashBucketFast", ["sparse/Split:1"],
+              num_buckets=av_int(200))
+    g += node("emb_sparse", "Const", value=av_tensor_float(tbl))
+    g += node("sparse/SparseSegmentSum", "SparseSegmentSum",
+              ["emb_sparse", "sparse/Hash", "sparse/segs"])
+    concat_inputs.append("sparse/SparseSegmentSum")
+
+    # dense passthrough
+    g += node("dense0", "Placeholder", dtype=av_type(DT_FLOAT))
+    concat_inputs.append("dense0")
+
+    g += node("concat/axis", "Const")
+    g += node("input_layer/concat", "ConcatV2",
+              concat_inputs + ["concat/axis"], N=av_int(len(concat_inputs)))
+    return g, tables
+
+
+def test_import_reference_style_graph():
+    data, expected_tables = make_reference_style_graph()
+    model, weights = import_tf_graphdef(data, name="imp")
+
+    by_name = {c.name: c for c in model.columns}
+    assert set(by_name) == {"bucketize0", "bucketize1", "shash", "sparse",
+                            "dense0"}
+
+    b0 = by_name["bucketize0"]
+    assert isinstance(b0.transforms[0], Bucketize)
+    assert b0.transforms[0].boundaries == tuple(float(x) for x in range(0, 50, 5))
+    assert b0.source.kind == FeatureKind.DENSE_FLOAT
+    assert b0.lookup.combiner == Combiner.MEAN
+
+    sh = by_name["shash"]
+    assert isinstance(sh.transforms[0], HashBucket)
+    assert sh.transforms[0].num_buckets == 100
+    assert sh.source.kind == FeatureKind.STRING
+
+    sp = by_name["sparse"]
+    assert sp.source.kind == FeatureKind.STRING_LIST
+    assert sp.source.delimiter == ";"
+    assert sp.lookup.combiner == Combiner.SUM
+    assert sp.transforms[0].num_buckets == 200
+
+    assert by_name["dense0"].lookup is None
+
+    for t, arr in expected_tables.items():
+        np.testing.assert_array_equal(weights[t], arr)
+        assert model.tables[t].vocab_size == arr.shape[0]
+        assert model.tables[t].dim == arr.shape[1]
+
+
+def test_imported_model_serves():
+    """Imported spec + frozen weights run through the engine vs oracle."""
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.oracle import OracleModel
+    from recom_tpu.utils.params import init_model_params
+
+    data, _tables = make_reference_style_graph()
+    model, weights = import_tf_graphdef(data, name="imp")
+    params = init_model_params(model)
+    params["tables"].update(weights)  # frozen weights override random init
+
+    batch = {
+        "bucketize0": np.array([1.0, 7.0, 100.0], np.float32),
+        "bucketize1": np.array([0.0, 5.0, 44.9], np.float32),
+        "shash": np.array(["a", "bb", "ccc"], dtype="S"),
+        "sparse": np.array(["x;y", "", "z"], dtype="S"),
+        "dense0": np.array([0.5, 1.5, 2.5], np.float32),
+    }
+    eng = Engine(model, EngineConfig(use_pallas=False), params=params)
+    out = eng.predict(batch, return_pooled=True, return_concat=True)
+    ref = OracleModel(model, params=params).forward(batch)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+    np.testing.assert_array_equal(out["concat"], ref["concat"])
+
+
+def test_no_concat_raises():
+    g = node("x", "Placeholder", dtype=av_type(DT_FLOAT))
+    try:
+        import_tf_graphdef(g)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "ConcatV2" in str(e)
