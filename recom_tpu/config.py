@@ -84,7 +84,12 @@ class EngineConfig:
     cache_dir: str = os.environ.get(
         "RECOM_TPU_CACHE_DIR", os.path.expanduser("~/.cache/recom_tpu")
     )
-    persistent_compilation_cache: bool = True
+    # XLA persistent compilation cache: ~10x faster process restarts (0.7s
+    # vs 6s re-compiles measured), but executable serialization makes the
+    # FIRST-ever compile much slower through remote-compile tunnels
+    # (~130s measured under axon).  Opt-in; recommended on for production
+    # serving hosts with local compilers.
+    persistent_compilation_cache: bool = False
 
     interpret: bool = False             # run Pallas kernels in interpreter
                                         # mode (CPU tests)

@@ -100,6 +100,12 @@ class Engine:
         self.device_params = self._build_device_params(np_params)
         self._jit_cache: Dict[Tuple, object] = {}
         self.stats = {"compiles": 0, "calls": 0}
+        from recom_tpu.utils.logging import Logger, StageTimer
+
+        self.log = Logger("engine", self.config.log_verbosity or None)
+        self.timers = StageTimer()
+        for s in self.pass_report.stages:
+            self.log.vlog(f"pass {s}")
 
     # ------------------------------------------------------------------
     def _build_device_params(self, np_params: Dict) -> Dict:
@@ -297,7 +303,9 @@ class Engine:
         return_pooled: bool = False,
         return_concat: bool = False,
     ) -> Dict[str, np.ndarray]:
+        t0 = time.perf_counter()
         prepared = prepare_batch(self.compiled, batch, batch_size)
+        self.timers.add("host_prep", time.perf_counter() - t0)
         return self.predict_prepared(
             prepared, return_pooled=return_pooled, return_concat=return_concat
         )
@@ -310,7 +318,10 @@ class Engine:
     ) -> Dict[str, np.ndarray]:
         fn = self._get_jitted(prepared.signature)
         arrays = self.shard_batch_arrays(prepared.arrays)
+        t0 = time.perf_counter()
         dev_out = fn(self.device_params, arrays)
+        jax.block_until_ready(dev_out["output"])
+        self.timers.add("device_step", time.perf_counter() - t0)
         self.stats["calls"] += 1
         b = prepared.batch_size
         result: Dict[str, np.ndarray] = {

@@ -1,0 +1,164 @@
+"""Compiler-pass property tests: every pass preserves oracle semantics on
+randomized transform chains (the executable form of the reference's
+graceful-degradation contract, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from recom_tpu.compiler import passes
+from recom_tpu.config import EngineConfig
+from recom_tpu.compiler.pipeline import run_passes
+from recom_tpu.ir.intervals import IntervalSet
+from recom_tpu.ir.spec import (
+    Bucketize,
+    Cast,
+    Combiner,
+    FeatureColumn,
+    FeatureKind,
+    FeatureSource,
+    FilterRange,
+    HashBucket,
+    IdentityTransform,
+    LookupSpec,
+    Mod,
+    ModelSpec,
+    NumToId,
+    SelectRange,
+    TableSpec,
+    TowerSpec,
+)
+from recom_tpu.oracle import OracleModel
+
+
+def _random_chain(rng, vocab):
+    """Random transform chain over an INT_LIST source ending in-range."""
+    chain = [NumToId(10**6)]
+    r_lo, r_hi = 0, 10**6 - 1
+    for _ in range(int(rng.integers(0, 4))):
+        kind = rng.choice(["filter", "select", "keep", "mod"])
+        lo = int(rng.integers(0, 1000))
+        hi = lo + int(rng.integers(1, 5000))
+        if kind == "filter":
+            chain.append(FilterRange(IntervalSet.closed(lo, hi)))
+        elif kind == "select":
+            sub = int(rng.integers(0, 100))
+            chain.append(SelectRange(IntervalSet.closed(lo, hi), sub))
+        elif kind == "keep":
+            chain.append(Cast("int64") if rng.random() < 0.5
+                         else IdentityTransform())
+        else:
+            chain.append(Mod(int(rng.integers(50, 2000))))
+    chain.append(Mod(vocab))  # land in table range
+    return tuple(chain)
+
+
+def _oracle_out(model, batch):
+    out = OracleModel(model).forward(batch)
+    return out["pooled"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pipeline_preserves_semantics_random_chains(seed):
+    rng = np.random.default_rng(seed)
+    vocab = 97
+    tables = {"t": TableSpec("t", vocab, 4)}
+    cols = [
+        FeatureColumn(
+            f"c{i}",
+            FeatureSource("x", FeatureKind.INT_LIST),
+            _random_chain(rng, vocab),
+            LookupSpec("t", Combiner.MEAN),
+        )
+        for i in range(3)
+    ]
+    model = ModelSpec(
+        "prop", tables, cols,
+        TowerSpec(arch="mlp", top_mlp=(), final_activation=None),
+    )
+    batch = {
+        "x": [list(rng.integers(0, 10**6, size=int(n)))
+              for n in rng.integers(0, 6, 40)]
+    }
+    before = _oracle_out(model, batch)
+    optimized, report = run_passes(model, EngineConfig())
+    after = _oracle_out(optimized, batch)
+    for c in before:
+        np.testing.assert_array_equal(before[c], after[c], err_msg=c)
+
+
+def test_filter_merging():
+    chain = (
+        NumToId(1000),
+        FilterRange(IntervalSet.closed(0, 500)),
+        FilterRange(IntervalSet.closed(100, 900)),
+    )
+    out, dropped = passes._simplify_chain(chain, IntervalSet.all())
+    filters = [t for t in out if isinstance(t, FilterRange)]
+    assert len(filters) == 1
+    assert filters[0].keep == IntervalSet.closed(100, 500)
+    assert dropped == 1
+
+
+def test_redundant_filter_dropped_after_map():
+    # Bucketize establishes [0, K]; a filter keeping [0, 10**6] is useless
+    chain = (
+        Bucketize([1.0, 2.0, 3.0]),
+        FilterRange(IntervalSet.closed(0, 10**6)),
+    )
+    out, dropped = passes._simplify_chain(chain, IntervalSet.all())
+    assert dropped == 1
+    assert len(out) == 1 and isinstance(out[0], Bucketize)
+
+
+def test_redundant_select_dropped():
+    chain = (
+        HashBucket(100),
+        SelectRange(IntervalSet.closed(0, 99), 0),   # can never substitute
+    )
+    out, dropped = passes._simplify_chain(chain, IntervalSet.all())
+    assert dropped == 1 and len(out) == 1
+
+
+def test_select_then_filter_fusion():
+    # Select(k, s) then Filter(f) with s not in f == Filter(k & f)
+    chain = (
+        NumToId(1000),
+        SelectRange(IntervalSet.closed(10, 50), substitute=500),
+        FilterRange(IntervalSet.closed(0, 100)),
+    )
+    out, dropped = passes._simplify_chain(chain, IntervalSet.all())
+    filters = [t for t in out if isinstance(t, FilterRange)]
+    selects = [t for t in out if isinstance(t, SelectRange)]
+    assert len(selects) == 0 and len(filters) == 1
+    assert filters[0].keep == IntervalSet.closed(10, 50)
+
+
+def test_canonicalize_rejects_overflow_chain():
+    tables = {"t": TableSpec("t", 10, 4)}
+    cols = [
+        FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.INT_LIST),
+            (Mod(100),),  # range [0, 99] but vocab is 10
+            LookupSpec("t", Combiner.SUM),
+        )
+    ]
+    model = ModelSpec("bad", tables, cols,
+                      TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    with pytest.raises(ValueError, match="can produce id"):
+        passes.canonicalize_lookup(model)
+
+
+def test_prune_useless_removes_identity_and_cast():
+    tables = {"t": TableSpec("t", 100, 4)}
+    cols = [
+        FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.INT_LIST),
+            (IdentityTransform(), NumToId(100), Cast("int32")),
+            LookupSpec("t", Combiner.SUM),
+        )
+    ]
+    model = ModelSpec("p", tables, cols,
+                      TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    out, info = passes.prune_useless(model)
+    assert info["removed_transforms"] == 2
+    assert len(out.columns[0].transforms) == 1
