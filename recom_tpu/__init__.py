@@ -23,6 +23,7 @@ from recom_tpu.ir.spec import (  # noqa: F401
     Bucketize,
     Cast,
     Combiner,
+    CrossHash,
     FeatureColumn,
     FeatureKind,
     FeatureSource,

@@ -36,6 +36,7 @@ from recom_tpu.importers import protowire as pw
 from recom_tpu.ir.spec import (
     Bucketize,
     Combiner,
+    CrossHash,
     FeatureColumn,
     FeatureKind,
     FeatureSource,
@@ -293,6 +294,25 @@ def import_tf_graphdef(
                 _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
             ) or ";"
 
+        cross = (
+            ops.get("SparseCrossHashed")
+            or ops.get("SparseCrossV2")
+            or ops.get("SparseCross")
+        )
+        if cross is not None:
+            nb = attr_int(cross.attr("num_buckets")) or vocab
+            hk = attr_int(cross.attr("hash_key"))
+            fields = tuple(ph.name for ph in placeholders) or (n.name,)
+            cname = "_x_".join(fields)
+            columns.append(
+                FeatureColumn(
+                    cname,
+                    FeatureSource(cname, FeatureKind.CROSS, fields=fields),
+                    (CrossHash(nb, hk if hk is not None else 0xDECAFCAFFE),),
+                    LookupSpec(tname, combiner),
+                )
+            )
+            continue
         if "Bucketize" in ops:
             bz = ops["Bucketize"]
             transforms = (Bucketize(attr_float_list(bz.attr("boundaries"))),)

@@ -15,6 +15,7 @@ from recom_tpu.ir.intervals import IntervalSet
 from recom_tpu.ir import spec as S
 
 _TRANSFORMS = {
+    "CrossHash": S.CrossHash,
     "HashBucket": S.HashBucket,
     "Bucketize": S.Bucketize,
     "NumToId": S.NumToId,
@@ -40,6 +41,8 @@ def transform_to_dict(t: S.Transform) -> Dict:
             "vocab": list(t.vocab), "num_oov": t.num_oov,
             "default": t.default,
         }
+    elif isinstance(t, S.CrossHash):
+        body = {"num_buckets": t.num_buckets, "hash_key": t.hash_key}
     elif isinstance(t, S.Mod):
         body = {"n": t.n}
     elif isinstance(t, S.FilterRange):
@@ -83,6 +86,7 @@ def model_to_dict(model: S.ModelSpec) -> Dict:
                     "field": c.source.field,
                     "kind": c.source.kind.value,
                     "delimiter": c.source.delimiter,
+                    "fields": list(c.source.fields) if c.source.fields else None,
                 },
                 "transforms": [transform_to_dict(t) for t in c.transforms],
                 "lookup": None
@@ -116,6 +120,9 @@ def model_from_dict(d: Dict) -> S.ModelSpec:
             c["source"]["field"],
             S.FeatureKind(c["source"]["kind"]),
             delimiter=c["source"].get("delimiter"),
+            fields=tuple(c["source"]["fields"])
+            if c["source"].get("fields")
+            else None,
         )
         lookup = None
         if c["lookup"] is not None:

@@ -38,6 +38,8 @@ class FeatureKind(enum.Enum):
     INT_LIST = "int_list"          # variable-length int list per example
     STRING_LIST = "string_list"    # variable-length string list per example
     FLOAT_LIST = "float_list"      # variable-length float list (weights)
+    CROSS = "cross"                # per-example cross product of the values
+                                   # of FeatureSource.fields (feature cross)
 
 
 _LIST_KINDS = (FeatureKind.INT_LIST, FeatureKind.STRING_LIST, FeatureKind.FLOAT_LIST)
@@ -54,10 +56,21 @@ class FeatureSource:
     # splits+hashes it in C++ without touching Python.  List-of-lists input
     # is accepted either way.
     delimiter: Optional[str] = None
+    # For CROSS sources: the raw feature fields whose per-example value
+    # tuples are crossed (tf.feature_column.crossed_column keys)
+    fields: Optional[Tuple[str, ...]] = None
+
+    def __post_init__(self):
+        if self.kind == FeatureKind.CROSS and not self.fields:
+            raise ValueError("CROSS source requires fields")
+        if self.fields is not None:
+            object.__setattr__(self, "fields", tuple(self.fields))
 
     @property
     def is_ragged(self) -> bool:
-        return self.kind in _LIST_KINDS
+        # a cross of k fields yields a variable number of tuples per example
+        # whenever any key is a list feature; treat all crosses as ragged
+        return self.kind in _LIST_KINDS or self.kind == FeatureKind.CROSS
 
     @property
     def is_string(self) -> bool:
@@ -185,6 +198,27 @@ class VocabLookup(Transform):
 
 
 @dataclasses.dataclass(frozen=True)
+class CrossHash(Transform):
+    """Hashed feature cross (tf.feature_column.crossed_column semantics):
+    each crossed tuple's members are Fingerprint64-hashed (ints via decimal
+    string, like hash_bucket), combined left-to-right with TF's
+    FingerprintCat64 starting from ``hash_key`` (TF default 0xDECAFCAFFE),
+    then taken modulo ``num_buckets`` as an unsigned 64-bit value.
+
+    Applies to values produced by a CROSS source (tuples)."""
+
+    num_buckets: int
+    hash_key: int = 0xDECAFCAFFE
+
+    @property
+    def kind(self) -> str:
+        return "map"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return IntervalSet.closed(0, self.num_buckets - 1)
+
+
+@dataclasses.dataclass(frozen=True)
 class Mod(Transform):
     """Floored modulo (result in [0, n) for n > 0), applied to integer ids."""
 
@@ -306,6 +340,7 @@ class FeatureColumn:
             self.source.field,
             self.source.kind.value,
             str(self.source.delimiter),
+            str(self.source.fields),
         ]
         parts += [t.cache_key() for t in self.transforms]
         return "|".join(parts)

@@ -180,6 +180,35 @@ def farmhash64(data: Union[str, bytes]) -> int:
     )
 
 
+_KMUL = 0xC6A4A7935BD1E995  # MurmurHash64A multiplier (TF fingerprint.h)
+
+
+def fingerprint_cat64(fp1: int, fp2: int) -> int:
+    """TF FingerprintCat64: order-dependent combination of two 64-bit
+    fingerprints (tensorflow/core/platform/fingerprint.h), used by hashed
+    feature crosses."""
+    result = (fp1 ^ _KMUL) & _M64
+    result ^= _shift_mix((fp2 * _KMUL) & _M64) * _KMUL & _M64
+    result &= _M64
+    result = (result * _KMUL) & _M64
+    result = (_shift_mix(result) * _KMUL) & _M64
+    return result
+
+
+def cross_hash(values, num_buckets: int, hash_key: int = 0xDECAFCAFFE) -> int:
+    """Hashed cross of one tuple: per-member Fingerprint64 (ints via
+    decimal string), combined left-to-right from ``hash_key``, modulo
+    ``num_buckets`` (tf.feature_column.crossed_column semantics)."""
+    cur = hash_key
+    for v in values:
+        if isinstance(v, (int, np.integer)):
+            v = str(int(v))
+        elif isinstance(v, (bytes, np.bytes_)):
+            v = bytes(v)
+        cur = fingerprint_cat64(cur, farmhash64(v))
+    return cur % num_buckets
+
+
 def hash_bucket_fast(
     values: Iterable[Union[str, bytes, int, np.integer]], num_buckets: int
 ) -> np.ndarray:

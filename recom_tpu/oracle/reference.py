@@ -28,6 +28,7 @@ from recom_tpu.ir.spec import (
     Bucketize,
     Cast,
     Combiner,
+    CrossHash,
     FeatureColumn,
     FeatureKind,
     FilterRange,
@@ -40,7 +41,7 @@ from recom_tpu.ir.spec import (
     Transform,
     VocabLookup,
 )
-from recom_tpu.oracle.hashing import farmhash64, hash_bucket_fast
+from recom_tpu.oracle.hashing import cross_hash, farmhash64, hash_bucket_fast
 from recom_tpu.utils.params import init_model_params
 
 
@@ -71,8 +72,36 @@ def _ragged_to_sparse(rows: Sequence, batch: int, is_string: bool) -> Tuple:
     )
 
 
+def _field_rows(batch: Dict, field: str):
+    """Per-example value lists for a raw field of any wire format."""
+    data = batch[field]
+    rows = []
+    for v in data:
+        if isinstance(v, (list, tuple, np.ndarray)) and not isinstance(
+            v, (str, bytes, np.str_, np.bytes_)
+        ):
+            rows.append(list(v))
+        else:
+            rows.append([v])
+    return rows
+
+
 def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[str]) -> SparseFeature:
     kind = col.source.kind
+    if kind == FeatureKind.CROSS:
+        # per-example cross product of the key fields' value tuples
+        # (tf.feature_column.crossed_column; list keys cross combinatorially)
+        import itertools
+
+        per_field = [_field_rows(batch, f) for f in col.source.fields]
+        b = len(per_field[0])
+        values: List = []
+        row_ids: List[int] = []
+        for i in range(b):
+            for tup in itertools.product(*(rows[i] for rows in per_field)):
+                values.append(tup)
+                row_ids.append(i)
+        return SparseFeature(values, np.asarray(row_ids, np.int64), None, b)
     data = batch[col.source.field]
     if kind in (FeatureKind.DENSE_FLOAT, FeatureKind.DENSE_INT):
         arr = np.asarray(data)
@@ -81,7 +110,16 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         return SparseFeature(values, np.arange(b, dtype=np.int64), None, b)
     if kind == FeatureKind.STRING:
         b = len(data)
-        return SparseFeature(list(data), np.arange(b, dtype=np.int64), None, b)
+        vals = list(data)
+        if vals and not isinstance(
+            vals[0], (str, bytes, np.str_, np.bytes_)
+        ):
+            raise TypeError(
+                f"field {col.source.field!r} is declared STRING (one value "
+                f"per example) but got {type(vals[0]).__name__}; use "
+                "STRING_LIST for ragged values"
+            )
+        return SparseFeature(vals, np.arange(b, dtype=np.int64), None, b)
     if kind in (FeatureKind.INT_LIST, FeatureKind.STRING_LIST):
         if col.source.delimiter is not None and len(data) and not isinstance(
             data[0], (list, tuple, np.ndarray)
@@ -145,6 +183,12 @@ def apply_transform(t: Transform, sp: SparseFeature) -> SparseFeature:
                     idx = t.default
             out[i] = idx
         sp.values = out
+        return sp
+    if isinstance(t, CrossHash):
+        sp.values = np.asarray(
+            [cross_hash(tup, t.num_buckets, t.hash_key) for tup in sp.values],
+            dtype=np.int64,
+        )
         return sp
     if isinstance(t, Mod):
         sp.values = np.asarray(sp.values, dtype=np.int64) % t.n

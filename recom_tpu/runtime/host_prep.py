@@ -149,8 +149,16 @@ def prepare_batch(
     model, config = compiled.model, compiled.config
 
     if batch_size is None:
-        probe = model.columns[0].source.field
-        batch_size = len(batch[probe])
+        for col in model.columns:
+            probe = col.source.field
+            if probe in batch:
+                batch_size = len(batch[probe])
+                break
+            if col.source.fields:
+                batch_size = len(batch[col.source.fields[0]])
+                break
+        if batch_size is None:
+            raise ValueError("cannot infer batch size from batch dict")
     bp = pick_bucket(config.batch_buckets, batch_size, config.allow_truncate_overflow)
 
     # dense tower features (single stacked copy, not per-column writes)
