@@ -70,10 +70,20 @@ class EngineConfig:
     mesh_shape: Optional[Sequence[int]] = None   # None -> single device
     mesh_axis_names: Sequence[str] = ("data", "model")
     # tables whose row count exceeds this are row-sharded over the "model"
-    # axis with all-to-all id exchange (reference analogue: max_table_size
-    # CPU fallback, cuda_emitter.cc:1080-1094 — we shard instead of falling
-    # back to host).
+    # axis (reference analogue: max_table_size CPU fallback,
+    # cuda_emitter.cc:1080-1094 — we shard instead of falling back to host).
     shard_rows_above: int = 1 << 22
+    # comm strategy for row-sharded lookups:
+    #   "all_to_all" — id exchange + row return (bit-exact pooling order,
+    #                  1/m of the gather work per device)
+    #   "psum"       — masked local gather + psum of partial pools (moves
+    #                  pooled [b,C,d]; better for very long ragged rows)
+    #   "auto"       — all_to_all when the local batch divides the model
+    #                  axis and rows are short, else psum
+    shard_comm: str = "auto"
+    # static per-destination bucket capacity = ceil(N/m) * this factor for
+    # the all-to-all path; overflowing ids drop (counted + surfaced)
+    a2a_capacity_factor: float = 2.0
 
     # --- observability ---
     dump_ir_dir: Optional[str] = None   # per-pass IR dumps (reference:

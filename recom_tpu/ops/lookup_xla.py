@@ -58,6 +58,72 @@ def exact_sqrt(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(a64).astype(jnp.float32)
 
 
+def apply_combiner_divisors(
+    acc: jnp.ndarray,            # [B, C, d] in-order sums
+    wsum: jnp.ndarray,           # [B, C] sum of weights
+    w2sum: jnp.ndarray,          # [B, C] sum of squared weights
+    combiner_code: np.ndarray,   # [C] STATIC
+    exact_math: bool = True,
+) -> jnp.ndarray:
+    """Divide pooled sums by the combiner denominator (mean: wsum, sqrtn:
+    sqrt(w2sum)); empty rows (denominator 0) become zeros — the observable
+    behavior of the reference's SparseFillEmptyRows + Select patch-up idiom
+    (lookup_optimizer.cc:108-134)."""
+    combiner_code = np.asarray(combiner_code)
+    need_mean = bool((combiner_code == 1).any())
+    need_sqrtn = bool((combiner_code == 2).any())
+    if not (need_mean or need_sqrtn):
+        return acc
+    div = exact_div if exact_math else (lambda a, b_: a / b_)
+    sqrt = exact_sqrt if exact_math else jnp.sqrt
+    code = jnp.asarray(combiner_code)[None, :]
+    if need_sqrtn:
+        sq = sqrt(w2sum)
+        denom = jnp.where(code == 1, wsum, jnp.where(code == 2, sq, 1.0))
+    else:
+        denom = jnp.where(code == 1, wsum, 1.0)
+    nonzero = denom > 0
+    safe_denom = jnp.where(nonzero, denom, 1.0)
+    return jnp.where(
+        nonzero[:, :, None], div(acc, safe_denom[:, :, None]), 0.0
+    )
+
+
+def pool_rows_inorder(
+    rows: jnp.ndarray,           # [B, C, L, d] gathered rows (any value at
+                                 # masked slots — w must be 0 there)
+    w: jnp.ndarray,              # [B, C, L] f32 weights, 0 at pads
+    combiner_code: np.ndarray,   # [C] STATIC
+    exact_math: bool = True,
+) -> jnp.ndarray:
+    """Pool already-gathered rows left-to-right in float32 — the shared
+    in-order accumulation core of every lookup path (single-device gather,
+    all-to-all exchange).  Bit-exact with the NumPy oracle: the optimization
+    barrier stops XLA from FMA-contracting the multiply into the scan add
+    (single rounding != the oracle's separately-rounded mul-then-add)."""
+    combiner_code = np.asarray(combiner_code)
+    b, c, l, d = rows.shape
+    need_sqrtn = bool((combiner_code == 2).any())
+    if l == 1:
+        acc = rows[:, :, 0] * w[:, :, 0][:, :, None]
+        wsum = w[:, :, 0]
+        w2sum = w[:, :, 0] * w[:, :, 0] if need_sqrtn else wsum
+    else:
+        prods = jnp.moveaxis(rows, 2, 0) * jnp.moveaxis(w, 2, 0)[..., None]
+        w_l = jnp.moveaxis(w, 2, 0)
+        w2 = w_l * w_l if need_sqrtn else w_l
+        prods, w2 = jax.lax.optimization_barrier((prods, w2))
+
+        def add_step(carry, xs):
+            acc, wsum, w2sum = carry
+            p, wl, w2l = xs
+            return (acc + p, wsum + wl, w2sum + w2l), None
+
+        init = (prods[0] * 0.0, w_l[0] * 0.0, w2[0] * 0.0)
+        (acc, wsum, w2sum), _ = jax.lax.scan(add_step, init, (prods, w_l, w2))
+    return apply_combiner_divisors(acc, wsum, w2sum, combiner_code, exact_math)
+
+
 def group_pooled(
     table: jnp.ndarray,          # [R, d] stacked group table, f32
     ids: jnp.ndarray,            # [B, C, L] int32, -1 = missing/pad
@@ -116,18 +182,4 @@ def group_pooled(
 
     if not (need_mean or need_sqrtn):
         return acc
-
-    div = exact_div if exact_math else (lambda a, b_: a / b_)
-    sqrt = exact_sqrt if exact_math else jnp.sqrt
-
-    code = jnp.asarray(combiner_code)[None, :]
-    if need_sqrtn:
-        sq = sqrt(w2sum)
-        denom = jnp.where(code == 1, wsum, jnp.where(code == 2, sq, 1.0))
-    else:
-        denom = jnp.where(code == 1, wsum, 1.0)
-    nonzero = denom > 0
-    safe_denom = jnp.where(nonzero, denom, 1.0)
-    return jnp.where(
-        nonzero[:, :, None], div(acc, safe_denom[:, :, None]), 0.0
-    )
+    return apply_combiner_divisors(acc, wsum, w2sum, combiner_code, exact_math)

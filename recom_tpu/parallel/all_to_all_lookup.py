@@ -1,0 +1,176 @@
+"""All-to-all ID-exchange sharded embedding lookup.
+
+The second comm strategy for row-sharded tables (the first, masked-gather +
+psum, lives in sharded_lookup.py).  This one is the TPU restatement of the
+classic distributed-DLRM exchange the reference never had (SURVEY.md §2.7:
+"all-to-all ID exchange + embedding return over ICI"), built entirely from
+static shapes so XLA can compile it once per bucket:
+
+  each (data, model) device takes its 1/m slice of the local batch's ids
+    -> routes each id to the model-shard that owns the row
+       (fixed-capacity per-destination buckets; deterministic stable order)
+    -> lax.all_to_all over the model axis: ids out          [tiny]
+    -> owner shards gather their rows locally                [N/m gathers/dev]
+    -> lax.all_to_all back: embedding rows return            [the payload]
+    -> inverse permutation restores [b, C, L, d] entry order
+    -> in-order pooling (bit-exact with the single-device path)
+    -> all_gather over model rebuilds the data-shard's batch
+
+vs the psum path: each device gathers only its 1/m of the ids (instead of
+all ids masked), and pooling happens in original entry order, so this path
+is BIT-EXACT with the oracle even when a row's ids span shards.  The psum
+path remains preferable for very long ragged rows (it pools before it
+communicates: [b,C,d] moved instead of [b,C,L,d] row payloads).
+
+Capacity: per-destination bucket capacity is static.  With hashed ids the
+destination distribution is near-uniform, so capacity = ceil(N/m) * factor
+(default 2.0) virtually never overflows; overflowing ids are DROPPED (their
+rows pool as zeros) and the overflow count is returned so the caller can
+log, fall back to the psum path, or raise (Engine checks it on the first
+call of each shape bucket).  This is the fixed-capacity-with-overflow-
+fallback design SURVEY.md §7 prescribes in place of dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from recom_tpu.ops import lookup_xla
+
+
+def a2a_capacity(n_ids: int, m: int, factor: float = 2.0) -> int:
+    """Static per-destination bucket capacity, padded to a multiple of 8
+    (sublane alignment).  factor >= m gives a provably-lossless capacity."""
+    cap = int(np.ceil(n_ids / m * factor))
+    cap = min(cap, n_ids)            # never more than every id to one dest
+    return max(8, ((cap + 7) // 8) * 8)
+
+
+def all_to_all_group_pooled(
+    mesh: Mesh,
+    table: jnp.ndarray,          # [R_pad, d], R_pad % m == 0, P(model, None)
+    ids: jnp.ndarray,            # [B, C, L] int32 global batch, -1 = pad
+    row_offsets: np.ndarray,     # [C] static
+    combiner_code: np.ndarray,   # [C] static
+    weights: Optional[jnp.ndarray] = None,
+    exact_math: bool = True,
+    capacity_factor: float = 2.0,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (pooled [B, C, d] sharded over data, global overflow count).
+
+    ``table`` must be in the STRIPED physical layout (sharded_lookup
+    .stripe_rows): logical row r on shard r % m.  Requires
+    (B / data_axis_size) % model_axis_size == 0 — the local batch is sliced
+    evenly across model shards for routing."""
+    row_offsets = np.asarray(row_offsets)
+    combiner_code = np.asarray(combiner_code)
+    m = mesh.shape[model_axis]
+    dsize = mesh.shape[data_axis]
+    r_padded, d = table.shape
+    assert r_padded % m == 0, "pad table with pad_rows_to_multiple first"
+    shard_rows = r_padded // m
+    b, c, l = ids.shape
+    b_loc = b // dsize
+    assert b_loc % m == 0, (
+        f"local batch {b_loc} not divisible by model axis {m}"
+    )
+    b_my = b_loc // m
+    n = b_my * c * l
+    cap = a2a_capacity(n, m, capacity_factor)
+
+    def local_fn(tbl_local, ids_local, w_local):
+        k = jax.lax.axis_index(model_axis)
+        # my slice of this data-shard's batch rows
+        my = jax.lax.dynamic_slice_in_dim(ids_local, k * b_my, b_my, axis=0)
+        valid = my >= 0
+        gids = jnp.where(valid, my, 0) + jnp.asarray(row_offsets)[None, :, None]
+        flat = gids.reshape(n)
+        fvalid = valid.reshape(n)
+        # striped layout: logical row r -> shard r % m, local index r // m
+        owner = (flat % m).astype(jnp.int32)
+        local_row = (flat // m).astype(jnp.int32)
+        # invalid (pad) slots sort past every real bucket so they consume
+        # no capacity; their restore index falls on the zero-fill slot
+        okey = jnp.where(fvalid, owner, m).astype(jnp.int32)
+
+        # deterministic routing: stable sort by owner; rank within bucket
+        order = jnp.argsort(okey, stable=True)
+        sowner = okey[order]
+        starts = jnp.searchsorted(
+            sowner, jnp.arange(m + 1, dtype=sowner.dtype)
+        )
+        rank_sorted = (
+            jnp.arange(n, dtype=jnp.int32) - starts[sowner].astype(jnp.int32)
+        )
+        real = sowner < m
+        ok = real & (rank_sorted < cap)
+        overflow = jnp.sum(real & (rank_sorted >= cap)).astype(jnp.int32)
+        send_ids = (
+            jnp.zeros((m, cap), jnp.int32)
+            .at[sowner, jnp.where(ok, rank_sorted, cap)]
+            .set(local_row[order], mode="drop")
+        )
+
+        # --- exchange ids; owners gather; rows return -------------------
+        recv_ids = jax.lax.all_to_all(
+            send_ids, model_axis, split_axis=0, concat_axis=0, tiled=True
+        )                                                  # [m, cap]
+        rows = jnp.take(tbl_local, recv_ids.reshape(-1), axis=0)
+        rows_back = jax.lax.all_to_all(
+            rows.reshape(m, cap, d), model_axis,
+            split_axis=0, concat_axis=0, tiled=True,
+        )                                                  # [m, cap, d]
+
+        # --- inverse permutation: restore original entry order ----------
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+        ok_orig = jnp.zeros((n,), jnp.bool_).at[order].set(ok)
+        # dropped/invalid entries index the out-of-range fill slot -> 0 rows
+        lin = jnp.where(ok_orig, owner * cap + rank, m * cap)
+        rows_full = jnp.take(
+            rows_back.reshape(m * cap, d), lin, axis=0,
+            mode="fill", fill_value=0.0,
+        )                                                  # [n, d]
+        rows4 = rows_full.reshape(b_my, c, l, d)
+
+        if w_local is None:
+            w_my = valid.astype(jnp.float32)
+        else:
+            w_slice = jax.lax.dynamic_slice_in_dim(
+                w_local, k * b_my, b_my, axis=0
+            )
+            w_my = w_slice * valid
+        pooled_my = lookup_xla.pool_rows_inorder(
+            rows4, w_my, combiner_code, exact_math
+        )                                                  # [b_my, C, d]
+        # output batch sharded over (data, model): model shard k holds rows
+        # [k*b_my, (k+1)*b_my) of its data shard's local batch — exactly the
+        # P((data, model)) block order.  GSPMD re-shards for consumers
+        # (an all-gather over model it can overlap with downstream compute).
+        return pooled_my, jax.lax.psum(
+            jax.lax.psum(overflow, model_axis), data_axis
+        )
+
+    out_specs = (P((data_axis, model_axis), None, None), P())
+    in_specs = [P(model_axis, None), P(data_axis, None, None)]
+    args = [table, ids]
+    if weights is not None:
+        in_specs.append(P(data_axis, None, None))
+        args.append(weights)
+        fn = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=out_specs,
+        )
+    else:
+        fn = jax.shard_map(
+            lambda t, i: local_fn(t, i, None), mesh=mesh,
+            in_specs=tuple(in_specs), out_specs=out_specs,
+        )
+    return fn(*args)

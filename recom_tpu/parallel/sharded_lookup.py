@@ -49,6 +49,30 @@ def pad_rows_to_multiple(table: np.ndarray, multiple: int) -> np.ndarray:
     )
 
 
+def stripe_rows(table: np.ndarray, m: int) -> np.ndarray:
+    """Logical -> striped physical layout: logical row r lives on shard
+    r % m at local index r // m (physical[(r % m) * (R/m) + r // m] =
+    logical[r]).  Striping load-balances a stacked group whose members have
+    very different vocab sizes — with contiguous blocks, a small table's
+    rows land entirely on one shard and every batch's ids for that column
+    hammer it (the skew that overflows all-to-all capacity and serializes
+    the psum path's gathers)."""
+    r, d = table.shape
+    assert r % m == 0
+    return (
+        table.reshape(r // m, m, d).transpose(1, 0, 2).reshape(r, d)
+    )
+
+
+def unstripe_rows(table: np.ndarray, m: int) -> np.ndarray:
+    """Inverse of stripe_rows (physical -> logical), for checkpoint export."""
+    r, d = table.shape
+    assert r % m == 0
+    return (
+        table.reshape(m, r // m, d).transpose(1, 0, 2).reshape(r, d)
+    )
+
+
 def sharded_group_pooled(
     mesh: Mesh,
     table: jnp.ndarray,          # [R_padded, d], R_padded % model_size == 0
@@ -60,8 +84,9 @@ def sharded_group_pooled(
     data_axis: str = "data",
     model_axis: str = "model",
 ) -> jnp.ndarray:
-    """group_pooled with the table row-sharded over ``model_axis`` and the
-    batch sharded over ``data_axis``.  Returns [B, C, d] sharded on batch."""
+    """group_pooled with the table row-sharded over ``model_axis`` (STRIPED
+    layout — build the device array with stripe_rows) and the batch sharded
+    over ``data_axis``.  Returns [B, C, d] sharded on batch."""
     row_offsets = np.asarray(row_offsets)
     combiner_code = np.asarray(combiner_code)
     m = mesh.shape[model_axis]
@@ -70,13 +95,13 @@ def sharded_group_pooled(
     shard_rows = r_padded // m
 
     def local_fn(tbl_local, ids_local, w_local):
-        # tbl_local: [shard_rows, d]; ids_local: [b_local, C, L]
+        # tbl_local: [shard_rows, d] (striped: holds logical rows
+        # {r : r % m == k}); ids_local: [b_local, C, L]
         k = jax.lax.axis_index(model_axis)
-        base = k * shard_rows
         valid = ids_local >= 0
         gids = jnp.where(valid, ids_local, 0) + jnp.asarray(row_offsets)[None, :, None]
-        lids = gids - base
-        mine = valid & (lids >= 0) & (lids < shard_rows)
+        lids = gids // m
+        mine = valid & ((gids % m) == k)
         # reuse the single-device kernel on the local shard: ids out of my
         # range become -1 (masked), so partial sums cover only my rows.
         local_ids = jnp.where(mine, lids, -1).astype(jnp.int32)

@@ -33,6 +33,12 @@ def export_params(engine) -> Dict:
                     np.float32
                 )
             continue
+        if g.gid in engine._sharded_gids:  # undo the striped row layout
+            from recom_tpu.parallel.sharded_lookup import unstripe_rows
+
+            stacked = unstripe_rows(
+                stacked, engine.mesh.shape["model"]
+            )
         for m in g.members:
             out["tables"][m.table] = stacked[
                 m.row_offset : m.row_offset + m.vocab_size

@@ -128,10 +128,11 @@ class Engine:
             if g.gid in self._sharded_gids:
                 from recom_tpu.parallel.sharded_lookup import (
                     pad_rows_to_multiple,
+                    stripe_rows,
                 )
 
                 m = self.mesh.shape["model"]
-                stacked = pad_rows_to_multiple(stacked, m)
+                stacked = stripe_rows(pad_rows_to_multiple(stacked, m), m)
                 sh = NamedSharding(self.mesh, P("model", None))
                 dp["stacked"][str(g.gid)] = jax.device_put(
                     stacked.astype(tdtype), sh
@@ -173,12 +174,63 @@ class Engine:
         return jax.tree_util.tree_map(put, arrays)
 
     # ------------------------------------------------------------------
-    def _embedding_forward(self, params, arrays) -> Tuple[jnp.ndarray, List]:
+    def _sharded_lookup(self, g, table, ids, arrs):
+        """Row-sharded lookup via the configured comm strategy.  Returns
+        (pooled [B, C, d], overflow scalar int32) — overflow is 0 on the
+        psum path (it cannot drop ids)."""
+        import jax.numpy as _jnp
+
+        mode = self.config.shard_comm
+        m = self.mesh.shape["model"]
+        dsize = self.mesh.shape["data"]
+        b, _, l = ids.shape
+        divisible = b % (dsize * m) == 0
+        # traffic model: a2a returns [b,C,L,d] row payloads split m ways,
+        # psum reduces pooled [b,C,d] twice — a2a wins while L < 2m and
+        # does 1/m of the gather work per device (see all_to_all_lookup.py)
+        use_a2a = mode == "all_to_all" or (
+            mode == "auto" and divisible and l <= 2 * m
+        )
+        if use_a2a and divisible:
+            from recom_tpu.parallel.all_to_all_lookup import (
+                all_to_all_group_pooled,
+            )
+
+            return all_to_all_group_pooled(
+                self.mesh,
+                table,
+                ids,
+                g.row_offsets,
+                g.combiner_code,
+                arrs.get("weights"),
+                exact_math=self.config.exact_combiner_math,
+                capacity_factor=self.config.a2a_capacity_factor,
+            )
+        if use_a2a:
+            self.log.warning(
+                f"shard_comm=all_to_all needs batch divisible by "
+                f"{dsize * m}, got {b}; falling back to psum"
+            )
+        from recom_tpu.parallel.sharded_lookup import sharded_group_pooled
+
+        pooled = sharded_group_pooled(
+            self.mesh,
+            table,
+            ids,
+            g.row_offsets,
+            g.combiner_code,
+            arrs.get("weights"),
+            exact_math=self.config.exact_combiner_math,
+        )
+        return pooled, _jnp.int32(0)
+
+    def _embedding_forward(self, params, arrays) -> Tuple[jnp.ndarray, List, jnp.ndarray]:
         """Grouped lookups -> (model-order emb concat [Bp, total_emb],
-        per-group pooled [Bp, C, d] list)."""
+        per-group pooled [Bp, C, d] list, a2a overflow count scalar)."""
         compiled = self.compiled
         group_out = []
         pooled_list = []
+        overflow = jnp.int32(0)
         for g, arrs in zip(compiled.groups, arrays["groups"]):
             table = params["stacked"][str(g.gid)]
             if self.config.table_dtype != "float32":
@@ -210,19 +262,8 @@ class Engine:
                     interpret=interp,
                 )
             elif g.gid in self._sharded_gids:
-                from recom_tpu.parallel.sharded_lookup import (
-                    sharded_group_pooled,
-                )
-
-                pooled = sharded_group_pooled(
-                    self.mesh,
-                    table,
-                    ids,
-                    g.row_offsets,
-                    g.combiner_code,
-                    arrs.get("weights"),
-                    exact_math=self.config.exact_combiner_math,
-                )
+                pooled, ov = self._sharded_lookup(g, table, ids, arrs)
+                overflow = overflow + ov
             else:
                 pooled = lookup_xla.group_pooled(
                     table,
@@ -240,7 +281,7 @@ class Engine:
         else:
             bp = arrays["dense"].shape[0]
             emb = jnp.zeros((bp, 0), jnp.float32)
-        return emb, pooled_list
+        return emb, pooled_list, overflow
 
     def _tower_forward(self, params, dense, emb, logits_only: bool = False):
         tower = self.model.tower
@@ -283,9 +324,14 @@ class Engine:
         return out, concat
 
     def _forward(self, params, arrays):
-        emb, pooled_list = self._embedding_forward(params, arrays)
+        emb, pooled_list, overflow = self._embedding_forward(params, arrays)
         out, concat = self._tower_forward(params, arrays["dense"], emb)
-        return {"output": out, "concat": concat, "pooled_groups": pooled_list}
+        return {
+            "output": out,
+            "concat": concat,
+            "pooled_groups": pooled_list,
+            "a2a_overflow": overflow,
+        }
 
     # ------------------------------------------------------------------
     def _get_jitted(self, signature):
@@ -323,6 +369,17 @@ class Engine:
         jax.block_until_ready(dev_out["output"])
         self.timers.add("device_step", time.perf_counter() - t0)
         self.stats["calls"] += 1
+        if self._sharded_gids and "a2a_overflow" in dev_out:
+            ov = int(dev_out["a2a_overflow"])
+            if ov:
+                self.stats["a2a_overflow"] = (
+                    self.stats.get("a2a_overflow", 0) + ov
+                )
+                self.log.warning(
+                    f"all-to-all capacity overflow: {ov} ids dropped this "
+                    f"step (raise EngineConfig.a2a_capacity_factor or set "
+                    f"shard_comm='psum')"
+                )
         b = prepared.batch_size
         result: Dict[str, np.ndarray] = {
             "output": np.asarray(dev_out["output"])[:b]

@@ -28,7 +28,7 @@ from recom_tpu.runtime.host_prep import prepare_batch
 def forward_logits(engine: Engine, params, arrays) -> jnp.ndarray:
     """Engine forward but with the final activation stripped (losses want
     logits)."""
-    emb, _ = engine._embedding_forward(params, arrays)
+    emb, _, _ = engine._embedding_forward(params, arrays)
     out, _ = engine._tower_forward(
         params, arrays["dense"], emb, logits_only=True
     )

@@ -14,7 +14,7 @@ from recom_tpu.models.synthetic import make_dlrm_model
 from recom_tpu.oracle import OracleModel
 from recom_tpu.ops import lookup_xla
 from recom_tpu.parallel import make_mesh, sharded_group_pooled
-from recom_tpu.parallel.sharded_lookup import pad_rows_to_multiple
+from recom_tpu.parallel.sharded_lookup import pad_rows_to_multiple, stripe_rows
 
 needs_8 = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
@@ -27,7 +27,7 @@ def test_sharded_group_pooled_matches_single_device():
     rng = np.random.default_rng(0)
     C, V, d, B, L = 3, 100, 8, 16, 4
     table = rng.standard_normal((C * V, d)).astype(np.float32)
-    tp = pad_rows_to_multiple(table, 4)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
     ids = rng.integers(0, V, size=(B, C, L)).astype(np.int32)
     ids[rng.random((B, C, L)) < 0.3] = -1
     offs = (np.arange(C) * V).astype(np.int32)
@@ -42,6 +42,107 @@ def test_sharded_group_pooled_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out_sh), np.asarray(out_1d), atol=1e-6, rtol=1e-6
     )
+
+
+@needs_8
+def test_all_to_all_group_pooled_bitexact_vs_single_device():
+    """The a2a path restores entry order before pooling, so unlike the
+    psum path it must be BIT-exact with the single-device kernel."""
+    from recom_tpu.parallel import all_to_all_group_pooled
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(1)
+    C, V, d, B, L = 3, 128, 8, 32, 4
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
+    ids = rng.integers(0, V, size=(B, C, L)).astype(np.int32)
+    ids[rng.random((B, C, L)) < 0.3] = -1
+    offs = (np.arange(C) * V).astype(np.int32)
+    code = np.array([0, 1, 2], np.int32)
+
+    out_sh, overflow = jax.jit(
+        lambda t, i: all_to_all_group_pooled(mesh, t, i, offs, code)
+    )(jnp.asarray(tp), jnp.asarray(ids))
+    assert int(overflow) == 0
+    out_1d = lookup_xla.group_pooled(
+        jnp.asarray(table), jnp.asarray(ids), offs, code
+    )
+    np.testing.assert_array_equal(np.asarray(out_sh), np.asarray(out_1d))
+
+
+@needs_8
+def test_all_to_all_weighted_bitexact():
+    from recom_tpu.parallel import all_to_all_group_pooled
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(4)
+    C, V, d, B, L = 2, 64, 4, 16, 3
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
+    ids = rng.integers(0, V, size=(B, C, L)).astype(np.int32)
+    ids[rng.random((B, C, L)) < 0.4] = -1
+    w = rng.random((B, C, L)).astype(np.float32)
+    offs = (np.arange(C) * V).astype(np.int32)
+    code = np.array([1, 2], np.int32)
+
+    out_sh, overflow = jax.jit(
+        lambda t, i, ww: all_to_all_group_pooled(
+            mesh, t, i, offs, code, weights=ww
+        )
+    )(jnp.asarray(tp), jnp.asarray(ids), jnp.asarray(w))
+    assert int(overflow) == 0
+    out_1d = lookup_xla.group_pooled(
+        jnp.asarray(table), jnp.asarray(ids), offs, code, jnp.asarray(w)
+    )
+    np.testing.assert_array_equal(np.asarray(out_sh), np.asarray(out_1d))
+
+
+@needs_8
+def test_all_to_all_overflow_counted_and_rows_zeroed():
+    """Skew every id onto shard 0 with a sub-1.0 capacity factor: the
+    overflow must be counted, and dropped entries pool as zeros (graceful
+    degradation, not corruption)."""
+    from recom_tpu.parallel import all_to_all_group_pooled
+
+    mesh = make_mesh((1, 4))
+    rng = np.random.default_rng(5)
+    C, V, d, B, L = 1, 64, 4, 64, 4
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
+    # ids confined to rows [0, 4): each destination bucket receives ~n/4
+    # ids, well past the sub-1.0-factor capacity
+    ids = rng.integers(0, 4, size=(B, C, L)).astype(np.int32)
+    offs = np.zeros((C,), np.int32)
+    code = np.zeros((C,), np.int32)
+
+    out_sh, overflow = jax.jit(
+        lambda t, i: all_to_all_group_pooled(
+            mesh, t, i, offs, code, capacity_factor=0.5
+        )
+    )(jnp.asarray(tp), jnp.asarray(ids))
+    assert int(overflow) > 0
+    # every surviving contribution is a real table row; output is finite
+    assert np.isfinite(np.asarray(out_sh)).all()
+
+
+@needs_8
+def test_engine_all_to_all_bitexact_vs_oracle():
+    """Engine-level: row-sharded group via shard_comm=all_to_all must be
+    bit-exact with the oracle (the psum path only promises 1e-6)."""
+    m = make_dlrm_model(4, 2, 2, 2, 1, 4, [8], [16], name="sharda2a",
+                        large_rows=4096)
+    cfg = EngineConfig(
+        mesh_shape=(2, 4), shard_rows_above=2048, use_pallas=False,
+        batch_buckets=(32, 64), shard_comm="all_to_all",
+    )
+    eng = Engine(m, cfg)
+    assert eng._sharded_gids
+    b = make_random_batch(m, 32, seed=2)
+    out = eng.predict(b, return_pooled=True)
+    assert eng.stats.get("a2a_overflow", 0) == 0
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
 
 
 @needs_8
