@@ -130,6 +130,9 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             and not ragged
             and col.lookup.weight_field is None
             and tspec.vocab_size <= config.onehot_vocab_limit
+            # int8 groups take the gather path (per-row dequant scales
+            # don't fit the one-hot matmul formulation)
+            and config.table_dtype != "int8"
         ):
             # group by 128-padded vocab so e.g. V=100 and V=101 columns
             # share one kernel invocation

@@ -47,10 +47,14 @@ def _kernel(ids_ref, tbl_ref, out_ref, *, vt: int):
     local = ids_blk - voff                                # ids in this v-tile
     iota = jax.lax.broadcasted_iota(jnp.int32, local.shape + (vt,), 2)
     onehot = (local[:, :, None] == iota).astype(jnp.float32)  # [CT, B_t, VT]
+    # bf16-stored tables upcast per-tile in VMEM (free next to the matmul)
+    tbl = tbl_ref[:]
+    if tbl.dtype != jnp.float32:
+        tbl = tbl.astype(jnp.float32)
     # batched (over the column tile) one-hot matmul: [CT, B_t, d]
     part = jax.lax.dot_general(
         onehot,
-        tbl_ref[:],                                       # [CT, VT, d]
+        tbl,                                              # [CT, VT, d]
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,

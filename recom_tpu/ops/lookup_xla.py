@@ -58,6 +58,36 @@ def exact_sqrt(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(a64).astype(jnp.float32)
 
 
+def gather_rows_f32(table, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather table rows at ``idx`` and return float32.
+
+    ``table`` is a [R, d] array in any float dtype (bf16 rows upcast AFTER
+    the gather so HBM traffic stays at the stored width) or a
+    quant.QuantizedTable (int8 + per-row scale, dequantized post-gather)."""
+    from recom_tpu.ops.quant import QuantizedTable, dequantize_rows
+
+    if isinstance(table, QuantizedTable):
+        q_rows = jnp.take(table.q, idx, axis=0)
+        scales = jnp.take(table.scale, idx, axis=0)
+        return dequantize_rows(q_rows, scales)
+    rows = jnp.take(table, idx, axis=0)
+    if rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
+    return rows
+
+
+def table_num_rows(table) -> int:
+    from recom_tpu.ops.quant import QuantizedTable
+
+    return table.q.shape[0] if isinstance(table, QuantizedTable) else table.shape[0]
+
+
+def table_dim(table) -> int:
+    from recom_tpu.ops.quant import QuantizedTable
+
+    return table.q.shape[1] if isinstance(table, QuantizedTable) else table.shape[1]
+
+
 def apply_combiner_divisors(
     acc: jnp.ndarray,            # [B, C, d] in-order sums
     wsum: jnp.ndarray,           # [B, C] sum of weights
@@ -149,7 +179,7 @@ def group_pooled(
     need_sqrtn = bool((combiner_code == 2).any())
 
     if l == 1:
-        emb = jnp.take(table, safe_ids[:, :, 0], axis=0)      # [B, C, d]
+        emb = gather_rows_f32(table, safe_ids[:, :, 0])       # [B, C, d]
         acc = emb * w[:, :, 0][:, :, None]
         wsum = w[:, :, 0]
         w2sum = w[:, :, 0] * w[:, :, 0] if need_sqrtn else wsum
@@ -163,8 +193,9 @@ def group_pooled(
         # separately-rounded multiply-then-add).
         ids_l = jnp.moveaxis(safe_ids, 2, 0)                  # [L, B, C]
         w_l = jnp.moveaxis(w, 2, 0)                           # [L, B, C]
-        rows = jnp.take(table, ids_l.reshape(l, b * c), axis=0)
-        prods = rows.reshape(l, b, c, table.shape[1]) * w_l[..., None]
+        d = table_dim(table)
+        rows = gather_rows_f32(table, ids_l.reshape(l, b * c))
+        prods = rows.reshape(l, b, c, d) * w_l[..., None]
         w2 = w_l * w_l if need_sqrtn else w_l
         prods, w2 = jax.lax.optimization_barrier((prods, w2))
 

@@ -70,13 +70,21 @@ def all_to_all_group_pooled(
     .stripe_rows): logical row r on shard r % m.  Requires
     (B / data_axis_size) % model_axis_size == 0 — the local batch is sliced
     evenly across model shards for routing."""
+    from recom_tpu.ops.lookup_xla import table_dim, table_num_rows
+    from recom_tpu.ops.quant import QuantizedTable
+
     row_offsets = np.asarray(row_offsets)
     combiner_code = np.asarray(combiner_code)
     m = mesh.shape[model_axis]
     dsize = mesh.shape[data_axis]
-    r_padded, d = table.shape
+    r_padded, d = table_num_rows(table), table_dim(table)
     assert r_padded % m == 0, "pad table with pad_rows_to_multiple first"
     shard_rows = r_padded // m
+    table_spec = (
+        QuantizedTable(P(model_axis, None), P(model_axis))
+        if isinstance(table, QuantizedTable)
+        else P(model_axis, None)
+    )
     b, c, l = ids.shape
     b_loc = b // dsize
     assert b_loc % m == 0, (
@@ -123,7 +131,7 @@ def all_to_all_group_pooled(
         recv_ids = jax.lax.all_to_all(
             send_ids, model_axis, split_axis=0, concat_axis=0, tiled=True
         )                                                  # [m, cap]
-        rows = jnp.take(tbl_local, recv_ids.reshape(-1), axis=0)
+        rows = lookup_xla.gather_rows_f32(tbl_local, recv_ids.reshape(-1))
         rows_back = jax.lax.all_to_all(
             rows.reshape(m, cap, d), model_axis,
             split_axis=0, concat_axis=0, tiled=True,
@@ -159,7 +167,7 @@ def all_to_all_group_pooled(
         )
 
     out_specs = (P((data_axis, model_axis), None, None), P())
-    in_specs = [P(model_axis, None), P(data_axis, None, None)]
+    in_specs = [table_spec, P(data_axis, None, None)]
     args = [table, ids]
     if weights is not None:
         in_specs.append(P(data_axis, None, None))

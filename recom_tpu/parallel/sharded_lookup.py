@@ -45,7 +45,7 @@ def pad_rows_to_multiple(table: np.ndarray, multiple: int) -> np.ndarray:
     if pad == 0:
         return table
     return np.concatenate(
-        [table, np.zeros((pad, table.shape[1]), table.dtype)], axis=0
+        [table, np.zeros((pad,) + table.shape[1:], table.dtype)], axis=0
     )
 
 
@@ -56,21 +56,24 @@ def stripe_rows(table: np.ndarray, m: int) -> np.ndarray:
     very different vocab sizes — with contiguous blocks, a small table's
     rows land entirely on one shard and every batch's ids for that column
     hammer it (the skew that overflows all-to-all capacity and serializes
-    the psum path's gathers)."""
-    r, d = table.shape
+    the psum path's gathers).  Works on [R, ...] arrays (row vectors and
+    per-row scale vectors alike)."""
+    r = table.shape[0]
+    rest = table.shape[1:]
     assert r % m == 0
-    return (
-        table.reshape(r // m, m, d).transpose(1, 0, 2).reshape(r, d)
-    )
+    return np.moveaxis(
+        table.reshape((r // m, m) + rest), 1, 0
+    ).reshape((r,) + rest)
 
 
 def unstripe_rows(table: np.ndarray, m: int) -> np.ndarray:
     """Inverse of stripe_rows (physical -> logical), for checkpoint export."""
-    r, d = table.shape
+    r = table.shape[0]
+    rest = table.shape[1:]
     assert r % m == 0
-    return (
-        table.reshape(m, r // m, d).transpose(1, 0, 2).reshape(r, d)
-    )
+    return np.moveaxis(
+        table.reshape((m, r // m) + rest), 0, 1
+    ).reshape((r,) + rest)
 
 
 def sharded_group_pooled(
@@ -87,12 +90,20 @@ def sharded_group_pooled(
     """group_pooled with the table row-sharded over ``model_axis`` (STRIPED
     layout — build the device array with stripe_rows) and the batch sharded
     over ``data_axis``.  Returns [B, C, d] sharded on batch."""
+    from recom_tpu.ops.lookup_xla import table_num_rows
+    from recom_tpu.ops.quant import QuantizedTable
+
     row_offsets = np.asarray(row_offsets)
     combiner_code = np.asarray(combiner_code)
     m = mesh.shape[model_axis]
-    r_padded, d = table.shape
+    r_padded = table_num_rows(table)
     assert r_padded % m == 0, "pad table with pad_rows_to_multiple first"
     shard_rows = r_padded // m
+    table_spec = (
+        QuantizedTable(P(model_axis, None), P(model_axis))
+        if isinstance(table, QuantizedTable)
+        else P(model_axis, None)
+    )
 
     def local_fn(tbl_local, ids_local, w_local):
         # tbl_local: [shard_rows, d] (striped: holds logical rows
@@ -139,7 +150,7 @@ def sharded_group_pooled(
             local_fn,
             mesh=mesh,
             in_specs=(
-                P(model_axis, None),
+                table_spec,
                 P(data_axis, None, None),
                 P(data_axis, None, None),
             ),
@@ -149,7 +160,7 @@ def sharded_group_pooled(
     fn = jax.shard_map(
         lambda t, i: local_fn(t, i, None),
         mesh=mesh,
-        in_specs=(P(model_axis, None), P(data_axis, None, None)),
+        in_specs=(table_spec, P(data_axis, None, None)),
         out_specs=P(data_axis, None, None),
     )
     return fn(table, ids)

@@ -26,14 +26,28 @@ def export_params(engine) -> Dict:
     pytree (stacked group tables sliced back into per-table arrays)."""
     out: Dict = {"tables": {}, "tower": {}}
     for g in engine.compiled.groups:
-        stacked = np.asarray(engine.device_params["stacked"][str(g.gid)])
+        val = engine.device_params["stacked"][str(g.gid)]
+        from recom_tpu.ops.quant import QuantizedTable, dequantize_table
+
+        if isinstance(val, QuantizedTable):
+            q, s = np.asarray(val.q), np.asarray(val.scale)
+            if g.gid in engine._sharded_gids:
+                from recom_tpu.parallel.sharded_lookup import unstripe_rows
+
+                m_ax = engine.mesh.shape["model"]
+                q, s = unstripe_rows(q, m_ax), unstripe_rows(s, m_ax)
+            stacked = dequantize_table(q, s)
+        else:
+            stacked = np.asarray(val)
         if stacked.ndim == 3:  # Pallas one-hot layout [C_pad, V_pad, d]
             for i, m in enumerate(g.members):
                 out["tables"][m.table] = stacked[i, : m.vocab_size].astype(
                     np.float32
                 )
             continue
-        if g.gid in engine._sharded_gids:  # undo the striped row layout
+        if g.gid in engine._sharded_gids and not isinstance(
+            val, QuantizedTable
+        ):  # undo the striped row layout
             from recom_tpu.parallel.sharded_lookup import unstripe_rows
 
             stacked = unstripe_rows(

@@ -125,23 +125,50 @@ class Engine:
                 dp["stacked"][str(g.gid)] = jnp.asarray(t3, dtype=tdtype)
                 continue
             stacked = self.compiled.stacked_table(g, np_params["tables"])
+            int8 = self.config.table_dtype == "int8"
+            if int8:
+                from recom_tpu.ops.quant import quantize_rows_int8
+
+                q_np, s_np = quantize_rows_int8(stacked)
             if g.gid in self._sharded_gids:
+                from recom_tpu.ops.quant import QuantizedTable
                 from recom_tpu.parallel.sharded_lookup import (
                     pad_rows_to_multiple,
                     stripe_rows,
                 )
 
                 m = self.mesh.shape["model"]
-                stacked = stripe_rows(pad_rows_to_multiple(stacked, m), m)
-                sh = NamedSharding(self.mesh, P("model", None))
-                dp["stacked"][str(g.gid)] = jax.device_put(
-                    stacked.astype(tdtype), sh
-                )
+                sh2 = NamedSharding(self.mesh, P("model", None))
+                if int8:
+                    sh1 = NamedSharding(self.mesh, P("model"))
+                    dp["stacked"][str(g.gid)] = QuantizedTable(
+                        jax.device_put(
+                            stripe_rows(pad_rows_to_multiple(q_np, m), m),
+                            sh2,
+                        ),
+                        jax.device_put(
+                            stripe_rows(pad_rows_to_multiple(s_np, m), m),
+                            sh1,
+                        ),
+                    )
+                else:
+                    stacked = stripe_rows(
+                        pad_rows_to_multiple(stacked, m), m
+                    )
+                    dp["stacked"][str(g.gid)] = jax.device_put(
+                        stacked.astype(tdtype), sh2
+                    )
             else:
-                arr = jnp.asarray(stacked, dtype=tdtype)
+                from recom_tpu.ops.quant import QuantizedTable
+
+                if int8:
+                    arr = QuantizedTable(jnp.asarray(q_np), jnp.asarray(s_np))
+                else:
+                    arr = jnp.asarray(stacked, dtype=tdtype)
                 if self.mesh is not None:
-                    arr = jax.device_put(
-                        arr, NamedSharding(self.mesh, P(None, None))
+                    rep = NamedSharding(self.mesh, P())
+                    arr = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, rep), arr
                     )
                 dp["stacked"][str(g.gid)] = arr
         rep = (
@@ -232,9 +259,9 @@ class Engine:
         pooled_list = []
         overflow = jnp.int32(0)
         for g, arrs in zip(compiled.groups, arrays["groups"]):
+            # tables stay in their stored dtype through the gather: rows are
+            # upcast/dequantized AFTER (gather traffic = stored bytes)
             table = params["stacked"][str(g.gid)]
-            if self.config.table_dtype != "float32":
-                table = table.astype(jnp.float32)
             parts = []
             if g.n_bucketize:
                 bz_ids = lookup_xla.device_bucketize(

@@ -1,0 +1,151 @@
+"""Sharded-lookup scaling sweep — the measurement protocol for the
+BASELINE.json target ">=90% all-to-all scaling efficiency at 2+ hosts".
+
+Sweeps model-axis sizes m in {1, 2, 4, ...} over the available devices,
+holding the PER-SHARD table size constant (weak scaling: a 2x bigger mesh
+serves a 2x bigger table at the same batch), and reports examples/s plus
+efficiency = throughput(m) / throughput(1).  Runs on any mesh: virtual CPU
+devices validate the protocol and the collectives; real TPU slices produce
+the headline numbers.
+
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python -m recom_tpu.tools.scaling --rows-per-shard 65536 --dim 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def sweep(
+    rows_per_shard: int = 1 << 16,
+    dim: int = 64,
+    batch: int = 1024,
+    n_columns: int = 16,
+    rowlen: int = 1,
+    iters: int = 20,
+    comm: str = "all_to_all",
+    mesh_sizes=None,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from recom_tpu.parallel import (
+        all_to_all_group_pooled,
+        make_mesh,
+        sharded_group_pooled,
+    )
+    from recom_tpu.parallel.sharded_lookup import (
+        pad_rows_to_multiple,
+        stripe_rows,
+    )
+
+    n_dev = len(jax.devices())
+    if mesh_sizes is None:
+        mesh_sizes = [m for m in (1, 2, 4, 8, 16, 32) if m <= n_dev]
+
+    rng = np.random.default_rng(0)
+    results = []
+    base_rate = None
+    for m in mesh_sizes:
+        rows = rows_per_shard * m
+        # one wide stacked "table" of n_columns equal slices (weak scaling:
+        # rows grow with m); ids uniform over the full range
+        table = rng.standard_normal((rows, dim)).astype(np.float32)
+        tp = stripe_rows(pad_rows_to_multiple(table, m), m) if m > 1 else table
+        per_col = rows // n_columns
+        offs = (np.arange(n_columns) * per_col).astype(np.int32)
+        code = np.zeros((n_columns,), np.int32)
+        ids = rng.integers(
+            0, per_col, size=(batch, n_columns, rowlen)
+        ).astype(np.int32)
+
+        mesh = make_mesh((1, m))
+        if m == 1:
+            from recom_tpu.ops import lookup_xla
+
+            fn = jax.jit(
+                lambda t, i: lookup_xla.group_pooled(t, i, offs, code)
+            )
+        elif comm == "all_to_all":
+            fn = jax.jit(
+                lambda t, i, _mesh=mesh: all_to_all_group_pooled(
+                    _mesh, t, i, offs, code
+                )[0]
+            )
+        else:
+            fn = jax.jit(
+                lambda t, i, _mesh=mesh: sharded_group_pooled(
+                    _mesh, t, i, offs, code
+                )
+            )
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if m > 1:
+            td = jax.device_put(
+                jnp.asarray(tp), NamedSharding(mesh, P("model", None))
+            )
+            idd = jax.device_put(
+                jnp.asarray(ids), NamedSharding(mesh, P("data", None, None))
+            )
+        else:
+            td, idd = jnp.asarray(tp), jnp.asarray(ids)
+
+        out = fn(td, idd)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(td, idd)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        rate = batch / dt
+        if base_rate is None:
+            base_rate = rate
+        results.append(
+            {
+                "model_axis": m,
+                "rows_total": rows,
+                "latency_ms": round(dt * 1e3, 3),
+                "examples_per_s": round(rate, 1),
+                "efficiency": round(rate / base_rate, 3),
+            }
+        )
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rows-per-shard", type=int, default=1 << 16)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--columns", type=int, default=16)
+    ap.add_argument("--rowlen", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--comm", default="all_to_all",
+                    choices=["all_to_all", "psum"])
+    args = ap.parse_args()
+    results = sweep(
+        rows_per_shard=args.rows_per_shard,
+        dim=args.dim,
+        batch=args.batch,
+        n_columns=args.columns,
+        rowlen=args.rowlen,
+        iters=args.iters,
+        comm=args.comm,
+    )
+    print(json.dumps({"comm": args.comm, "sweep": results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
+
+
+# cited protocol: reference AE latency/throughput sweep discipline
+# (AE/build_and_run.py:57-80 — warm-up then timed iterations per config);
+# scaling efficiency target from BASELINE.json north star.

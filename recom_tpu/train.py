@@ -50,6 +50,11 @@ class Trainer:
         optimizer: Optional[optax.GradientTransformation] = None,
         params: Optional[Dict] = None,
     ):
+        if config is not None and config.table_dtype != "float32":
+            raise ValueError(
+                "training requires table_dtype='float32' (bf16/int8 table "
+                "storage is an inference-serving optimization)"
+            )
         self.engine = Engine(model, config, params)
         self.optimizer = optimizer or optax.adam(1e-3)
         self.opt_state = self.optimizer.init(self.engine.device_params)
