@@ -101,15 +101,15 @@ def main():
         ).astype(np.float32)
         want.append(arr)
     want_dev = jax.device_put(want)
+    dev_out = fn(eng.device_params, darrays)   # cached program, no recompile
 
-    def check(params, arrays, want):
-        pooled = eng._forward(params, arrays)["pooled_groups"]
+    def check(pooled, want):
         return jnp.asarray(
             [jnp.array_equal(p[:b], w) for p, w in zip(pooled, want)]
         )
 
     per_group = np.asarray(
-        jax.jit(check)(eng.device_params, darrays, want_dev)
+        jax.jit(check)(dev_out["pooled_groups"], want_dev)
     )
     if not per_group.all():
         bad = [i for i, v in enumerate(per_group) if not v]

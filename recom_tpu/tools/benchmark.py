@@ -131,6 +131,10 @@ def main():
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--mesh", default=None,
                     help="mesh shape, e.g. 2x4 (data x model)")
+    ap.add_argument("--sla-ms", type=float, default=None,
+                    help="SLA-pressure throughput mode (reference "
+                         "benchmark_throughput): raise concurrency until "
+                         "p99 exceeds this latency")
     args = ap.parse_args()
 
     from recom_tpu import EngineConfig
@@ -156,6 +160,22 @@ def main():
     config = EngineConfig()
     if args.mesh:
         config.mesh_shape = tuple(int(x) for x in args.mesh.split("x"))
+
+    if args.sla_ms is not None:
+        from recom_tpu import Engine
+        from recom_tpu.models import make_random_batch
+        from recom_tpu.runtime.server import throughput_under_sla
+
+        eng = Engine(model, config)
+        batches = [
+            make_random_batch(model, args.batch_size, seed=1000 + i)
+            for i in range(4)
+        ]
+        result = throughput_under_sla(
+            eng, batches, args.sla_ms, num_iterations=args.num_iterations
+        )
+        print(json.dumps(result, indent=1))
+        return
 
     result = run_benchmark(
         model,

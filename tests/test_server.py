@@ -1,0 +1,59 @@
+"""ServingPipeline: pipelined host-prep/device overlap must preserve
+per-request results exactly (same outputs as sequential Engine.predict)."""
+
+import numpy as np
+
+from recom_tpu import Engine, EngineConfig
+from recom_tpu.models import make_random_batch
+from recom_tpu.models.synthetic import make_dlrm_model
+from recom_tpu.runtime.server import ServingPipeline, throughput_under_sla
+
+
+def _small_model():
+    return make_dlrm_model(6, 2, 2, 2, 1, 4, [8], [16, 1], name="srv",
+                           large_rows=2048)
+
+
+def test_pipeline_matches_sequential_predict():
+    m = _small_model()
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32,)))
+    batches = [make_random_batch(m, 32, seed=100 + i) for i in range(6)]
+    want = [eng.predict(b)["output"] for b in batches]
+    with ServingPipeline(eng, prep_workers=3, max_inflight=3) as pipe:
+        got = pipe.map_stream(batches)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert pipe.stats["completed"] == len(batches)
+
+
+def test_pipeline_mixed_batch_sizes_and_signatures():
+    m = _small_model()
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(16, 32)))
+    batches = [
+        make_random_batch(m, bs, seed=i)
+        for i, bs in enumerate([16, 32, 25, 16, 30])
+    ]
+    with ServingPipeline(eng, prep_workers=2, max_inflight=2) as pipe:
+        outs = pipe.map_stream(batches)
+    for b, o in zip([16, 32, 25, 16, 30], outs):
+        assert o.shape[0] == b
+        assert np.isfinite(o).all()
+
+
+def test_throughput_under_sla_reports_ladder():
+    m = _small_model()
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32,)))
+    batches = [make_random_batch(m, 32, seed=i) for i in range(2)]
+    rep = throughput_under_sla(
+        eng, batches, sla_ms=10_000.0, num_iterations=3,
+        worker_ladder=(1, 2),
+    )
+    assert rep["best_under_sla"] is not None
+    assert rep["best_under_sla"]["workers"] == 2
+    assert all(r["meets_sla"] for r in rep["ladder"])
+    # an impossible SLA stops the ladder at the first rung
+    rep2 = throughput_under_sla(
+        eng, batches, sla_ms=0.0, num_iterations=2, worker_ladder=(1, 2),
+    )
+    assert rep2["best_under_sla"] is None
+    assert len(rep2["ladder"]) == 1
