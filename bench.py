@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--oracle-iters", type=int, default=1)
+    ap.add_argument("--serve", action="store_true",
+                    help="also measure per-request-confirmed pipeline "
+                         "serving (local-attach TPUs; RPC-bound over axon)")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +119,31 @@ def main():
         print(f"BITEXACT FAILURE: groups {bad}", file=sys.stderr)
         sys.exit(1)
 
+    # optional: per-request-confirmed serving throughput via the pipeline.
+    # Meaningful on locally-attached TPUs; over the axon tunnel every
+    # block_until_ready is a ~30ms RPC, so it is off by default here.
+    serve_s = None
+    if args.serve:
+        from recom_tpu.runtime.server import ServingPipeline
+
+        serve_batches = [
+            make_random_batch(model, args.batch, seed=100 + i)
+            for i in range(4)
+        ]
+        serve_iters = max(8, args.iters // 4)
+        with ServingPipeline(
+            eng, prep_workers=4, max_inflight=4, fetch_outputs=False
+        ) as pipe:
+            for sb in serve_batches:                # warm every signature
+                pipe.submit(sb).result()
+            t0 = time.perf_counter()
+            futs = [
+                pipe.submit(serve_batches[i % 4]) for i in range(serve_iters)
+            ]
+            for f in futs:
+                f.result()
+            serve_s = (time.perf_counter() - t0) / serve_iters
+
     # oracle (NumPy, CPU) as the TF-CPU baseline stand-in
     t0 = time.perf_counter()
     for _ in range(args.oracle_iters):
@@ -133,6 +161,9 @@ def main():
                 "detail": {
                     "e2e_latency_ms": round(e2e_s * 1e3, 3),
                     "device_latency_ms": round(dev_s * 1e3, 3),
+                    "serve_latency_ms": (
+                        round(serve_s * 1e3, 3) if serve_s else None
+                    ),
                     "oracle_cpu_latency_ms": round(oracle_s * 1e3, 1),
                     "batch": args.batch,
                     "model": model.name,

@@ -32,8 +32,14 @@ class ServingPipeline:
         engine,
         prep_workers: int = 4,
         max_inflight: int = 4,
+        fetch_outputs: bool = True,
     ):
+        """``fetch_outputs=False`` leaves results as device arrays (resolved
+        with block_until_ready) — for benchmarking on remote-tunneled
+        devices where per-request D2H RPC would swamp the measurement, and
+        for servers whose next stage consumes device-resident outputs."""
         self.engine = engine
+        self.fetch_outputs = fetch_outputs
         self._pool = ThreadPoolExecutor(
             max_workers=prep_workers, thread_name_prefix="recom-prep"
         )
@@ -55,8 +61,12 @@ class ServingPipeline:
         # would double-compile; steady-state dispatch itself is cheap
         with self._dispatch_lock:
             dev_out = fn(eng.device_params, arrays)
-        out = np.asarray(dev_out["output"])[: prepared.batch_size]
-        return out
+        if self.fetch_outputs:
+            return np.asarray(dev_out["output"])[: prepared.batch_size]
+        import jax
+
+        jax.block_until_ready(dev_out["output"])
+        return dev_out["output"]
 
     def submit(
         self, batch: Dict, batch_size: Optional[int] = None
