@@ -69,7 +69,7 @@ def _pad_to(x: int, m: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("bt", "ct", "vt", "interpret")
 )
-def onehot_lookup(
+def _onehot_lookup_impl(
     table3: jnp.ndarray,   # [C_pad, V_pad, d] per-column tables (zero padded)
     ids_t: jnp.ndarray,    # [C_pad, B] int32 local ids, -1 = missing
     bt: int = 128,
@@ -110,6 +110,44 @@ def onehot_lookup(
     )(ids_t, table3)
 
 
+def onehot_lookup(
+    table3: jnp.ndarray,
+    ids_t: jnp.ndarray,
+    bt: int = 128,
+    ct: int = 8,
+    vt: int = 512,
+    interpret: bool = False,
+):
+    """onehot_lookup, differentiable w.r.t. table3.
+
+    Pallas kernels have no automatic transpose, so the VJP is explicit:
+    d(table3)[c, v, :] = sum_b [ids_t[c, b] == v] * g[c, b, :] — a
+    per-column scatter-add (XLA), with missing (-1) ids dropped.  Shapes
+    and dtype are captured in the closure (static at trace time)."""
+    _, v_pad, d = table3.shape
+    tdtype = table3.dtype
+
+    @jax.custom_vjp
+    def _lookup(t, i):
+        return _onehot_lookup_impl(t, i, bt, ct, vt, interpret)
+
+    def _fwd(t, i):
+        return _lookup(t, i), i
+
+    def _bwd(i, g):
+        def col_grad(ids_c, g_c):
+            z = jnp.zeros((v_pad, d), jnp.float32)
+            return z.at[ids_c].add(g_c, mode="drop")
+
+        dt = jax.vmap(col_grad)(
+            jnp.where(i >= 0, i, v_pad), g.astype(jnp.float32)
+        )
+        return dt.astype(tdtype), None
+
+    _lookup.defvjp(_fwd, _bwd)
+    return _lookup(table3, ids_t)
+
+
 def group_pooled_onehot(
     table3: jnp.ndarray,          # [C_pad, V_pad, d] zero-padded
     ids: jnp.ndarray,             # [B, C, 1] int32 stacked-group layout
@@ -128,7 +166,8 @@ def group_pooled_onehot(
     if ids2.shape[1] < c_pad:
         pad = jnp.full((b, c_pad - ids2.shape[1]), -1, jnp.int32)
         ids2 = jnp.concatenate([ids2, pad], axis=1)
-    rows = onehot_lookup(table3, ids2.T, interpret=interpret)  # [C_pad, B, d]
+    # positional args: custom_vjp nondiff_argnums require positional form
+    rows = onehot_lookup(table3, ids2.T, 128, 8, 512, interpret)  # [C_pad, B, d]
     acc = jnp.transpose(rows[:num_columns], (1, 0, 2))        # [B, C, d]
 
     mask = (ids[:, :, 0] >= 0).astype(jnp.float32)            # [B, C]

@@ -20,7 +20,7 @@ def test_onehot_lookup_interpret_bitexact():
     ids = rng.integers(0, V, (B, C)).astype(np.int32)
     ids[rng.random((B, C)) < 0.2] = -1
     rows = onehot_lookup(
-        jnp.asarray(table3), jnp.asarray(ids.T), interpret=True
+        jnp.asarray(table3), jnp.asarray(ids.T), 128, 8, 512, True
     )
     ref = np.zeros((C, B, d), np.float32)
     for c in range(C):
@@ -75,3 +75,51 @@ def test_pallas_checkpoint_export_roundtrip(tmp_path):
     exported = export_params(eng)
     for t, arr in np_params["tables"].items():
         np.testing.assert_array_equal(exported["tables"][t], arr)
+
+
+def test_onehot_lookup_grad_matches_gather():
+    """custom VJP: d(table) must equal the XLA gather formulation's grad."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    C, V, d, B = 4, 128, 8, 32
+    table3 = jnp.asarray(rng.standard_normal((C, V, d)).astype(np.float32))
+    ids = rng.integers(0, V, (C, B)).astype(np.int32)
+    ids[rng.random((C, B)) < 0.2] = -1
+    ids_t = jnp.asarray(ids)
+    g = jnp.asarray(rng.standard_normal((C, B, d)).astype(np.float32))
+
+    def loss_pallas(t):
+        rows = onehot_lookup(t, ids_t, 128, 4, 128, True)
+        return (rows * g).sum()
+
+    def loss_gather(t):
+        mask = ids_t >= 0
+        safe = jnp.where(mask, ids_t, 0)
+        rows = jnp.take_along_axis(t, safe[:, :, None], axis=1)
+        rows = rows * mask[:, :, None]
+        return (rows * g).sum()
+
+    gp = jax.grad(loss_pallas)(table3)
+    gg = jax.grad(loss_gather)(table3)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), atol=1e-5)
+
+
+def test_trainer_through_pallas_path():
+    from recom_tpu import EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.train import Trainer
+
+    m = make_dlrm_model(4, 2, 2, 0, 0, 2, [4], [8, 1], name="ptr")
+    tr = Trainer(
+        m, EngineConfig(use_pallas=True, interpret=True, batch_buckets=(16,))
+    )
+    assert any(
+        g.pallas_vocab is not None for g in tr.engine.compiled.groups
+    ), "expected a pallas-eligible group"
+    b = make_random_batch(m, 16, seed=1)
+    labels = np.random.default_rng(0).integers(0, 2, 16)
+    losses = [tr.step(b, labels) for _ in range(4)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
