@@ -84,6 +84,13 @@ class EngineConfig:
     # static per-destination bucket capacity = ceil(N/m) * this factor for
     # the all-to-all path; overflowing ids drop (counted + surfaced)
     a2a_capacity_factor: float = 2.0
+    # tensor-parallel (embedding-dim) sharding: groups whose dim exceeds
+    # this are stored P(None, "model") and GSPMD partitions the gather —
+    # each shard holds every row's d/m slice, no id exchange at all.  The
+    # right layout for few-rows x wide-dim tables (row striping covers the
+    # many-rows case).  Groups over shard_rows_above take row sharding
+    # first.  None disables.
+    dim_shard_above: Optional[int] = None
 
     # --- observability ---
     dump_ir_dir: Optional[str] = None   # per-pass IR dumps (reference:

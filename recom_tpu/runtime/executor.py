@@ -85,6 +85,7 @@ class Engine:
         # --- mesh / sharding decisions (None mesh = single device) ------
         self.mesh = None
         self._sharded_gids = set()
+        self._dim_sharded_gids = set()
         if self.config.mesh_shape is not None:
             from recom_tpu.parallel.mesh import make_mesh
 
@@ -95,6 +96,15 @@ class Engine:
                 for g in self.compiled.groups:
                     if g.stacked_rows > self.config.shard_rows_above:
                         self._sharded_gids.add(g.gid)
+                    elif (
+                        self.config.dim_shard_above is not None
+                        and g.dim > self.config.dim_shard_above
+                        and g.dim % self.mesh.shape["model"] == 0
+                        and g.pallas_vocab is None
+                    ):
+                        # tensor-parallel: GSPMD partitions the gather over
+                        # the dim-sharded table (pure layout, no shard_map)
+                        self._dim_sharded_gids.add(g.gid)
 
         np_params = params if params is not None else init_model_params(model)
         self.device_params = self._build_device_params(np_params)
@@ -166,10 +176,22 @@ class Engine:
                 else:
                     arr = jnp.asarray(stacked, dtype=tdtype)
                 if self.mesh is not None:
-                    rep = NamedSharding(self.mesh, P())
-                    arr = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, rep), arr
-                    )
+                    if g.gid in self._dim_sharded_gids:
+                        dim_sh = NamedSharding(self.mesh, P(None, "model"))
+                        if int8:
+                            arr = QuantizedTable(
+                                jax.device_put(arr.q, dim_sh),
+                                jax.device_put(
+                                    arr.scale, NamedSharding(self.mesh, P())
+                                ),
+                            )
+                        else:
+                            arr = jax.device_put(arr, dim_sh)
+                    else:
+                        rep = NamedSharding(self.mesh, P())
+                        arr = jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x, rep), arr
+                        )
                 dp["stacked"][str(g.gid)] = arr
         rep = (
             NamedSharding(self.mesh, P()) if self.mesh is not None else None

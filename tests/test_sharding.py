@@ -227,3 +227,23 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@needs_8
+def test_dim_sharded_tensor_parallel_bitexact():
+    """TP layout: dim-sharded tables partition the gather via GSPMD with
+    no shard_map and stay bit-exact (per-dim-element math is unchanged)."""
+    m = make_dlrm_model(0, 2, 2, 2, 0, 2, [4], [8], name="dimshard",
+                        dim=8)
+    cfg = EngineConfig(
+        mesh_shape=(2, 4), dim_shard_above=4, use_pallas=False,
+        batch_buckets=(32,),
+    )
+    eng = Engine(m, cfg)
+    assert eng._dim_sharded_gids, "expected dim-sharded groups"
+    assert not eng._sharded_gids
+    b = make_random_batch(m, 32, seed=7)
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
