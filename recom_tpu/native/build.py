@@ -76,6 +76,23 @@ def _declare(lib: ctypes.CDLL):
         c.c_void_p, c.c_int64, c.c_int64, c.c_uint8, c.c_int64, c.c_int64,
         c.c_void_p,
     ]
+    lib.rt_hash_int_multi.restype = None
+    lib.rt_hash_int_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p
+    ]
+    lib.rt_hash_fixed_multi.restype = None
+    lib.rt_hash_fixed_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p
+    ]
+    lib.rt_split_count_multi.restype = c.c_int64
+    lib.rt_split_count_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64
+    ]
+    lib.rt_split_hash_multi.restype = c.c_int64
+    lib.rt_split_hash_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+        c.c_int64, c.c_int64, c.c_void_p,
+    ]
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

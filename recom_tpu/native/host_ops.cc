@@ -282,4 +282,70 @@ int64_t rt_split_hash_pad(const uint8_t* buf, int64_t width, int64_t n,
   return maxp;
 }
 
+// ---------------------------------------------------------------------
+// Multi-column entry points: one call per column GROUP instead of one per
+// column.  At serving batch sizes the per-column C++ work is ~10us, so the
+// Python/ctypes crossing dominates a per-column API; these take pointer
+// arrays and loop columns natively.
+
+// vals: n_cols pointers, each to [batch] int64.  out: [n_cols, batch] i32.
+void rt_hash_int_multi(const int64_t** vals, const int64_t* buckets,
+                       int64_t n_cols, int64_t batch, int32_t* out) {
+  uint8_t buf[24];
+  for (int64_t c = 0; c < n_cols; ++c) {
+    const int64_t* v = vals[c];
+    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
+    int32_t* o = out + c * batch;
+    for (int64_t i = 0; i < batch; ++i) {
+      size_t len = FormatInt(v[i], buf);
+      o[i] = static_cast<int32_t>(Hash64(buf, len) % nb);
+    }
+  }
+}
+
+// bufs: n_cols pointers to fixed-width (numpy 'S<w>') buffers; widths[c]
+// per column.  out: [n_cols, batch] int32.
+void rt_hash_fixed_multi(const uint8_t** bufs, const int64_t* widths,
+                         const int64_t* buckets, int64_t n_cols,
+                         int64_t batch, int32_t* out) {
+  for (int64_t c = 0; c < n_cols; ++c) {
+    const uint8_t* buf = bufs[c];
+    const int64_t w = widths[c];
+    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
+    int32_t* o = out + c * batch;
+    for (int64_t i = 0; i < batch; ++i) {
+      const uint8_t* p = buf + i * w;
+      o[i] = static_cast<int32_t>(Hash64(p, FixedLen(p, w)) % nb);
+    }
+  }
+}
+
+// Max piece count over several delimited fixed-width columns in one pass.
+int64_t rt_split_count_multi(const uint8_t** bufs, const int64_t* widths,
+                             const uint8_t* delims, int64_t n_cols,
+                             int64_t batch) {
+  int64_t maxp = 0;
+  for (int64_t c = 0; c < n_cols; ++c) {
+    int64_t m = rt_split_count_max(bufs[c], widths[c], batch, delims[c]);
+    if (m > maxp) maxp = m;
+  }
+  return maxp;
+}
+
+// Split+hash for several columns; out: [n_cols, batch, rowlen] int32,
+// -1 padded.  Returns max piece count seen (diagnostic).
+int64_t rt_split_hash_multi(const uint8_t** bufs, const int64_t* widths,
+                            const uint8_t* delims, const int64_t* buckets,
+                            int64_t n_cols, int64_t batch, int64_t rowlen,
+                            int32_t* out) {
+  int64_t maxp = 0;
+  for (int64_t c = 0; c < n_cols; ++c) {
+    int64_t m = rt_split_hash_pad(bufs[c], widths[c], batch, delims[c],
+                                  buckets[c], rowlen,
+                                  out + c * batch * rowlen);
+    if (m > maxp) maxp = m;
+  }
+  return maxp;
+}
+
 }  // extern "C"

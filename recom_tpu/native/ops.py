@@ -129,6 +129,95 @@ def split_hash_padded(
     return out, int(maxp)
 
 
+def _ptr_array(arrays: List[np.ndarray]) -> np.ndarray:
+    return np.asarray([a.ctypes.data for a in arrays], dtype=np.int64)
+
+
+def hash_int_multi(
+    arrays: List[np.ndarray], buckets: Sequence[int]
+) -> Optional[np.ndarray]:
+    """Hash several int64 columns in ONE native call.
+
+    arrays: per-column [batch] arrays (equal lengths).  Returns
+    [n_cols, batch] int32, or None when the native lib is unavailable
+    (callers fall back to the per-column path)."""
+    lib = get_lib()
+    if lib is None or not arrays:
+        return None
+    cols = [
+        np.ascontiguousarray(np.asarray(a, dtype=np.int64)) for a in arrays
+    ]
+    batch = cols[0].shape[0]
+    out = np.empty((len(cols), batch), dtype=np.int32)
+    # keep pointer/param arrays alive across the foreign call
+    ptrs, bkts = _ptr_array(cols), np.asarray(buckets, np.int64)
+    lib.rt_hash_int_multi(
+        ptrs.ctypes.data, bkts.ctypes.data, len(cols), batch, out.ctypes.data,
+    )
+    return out
+
+
+def hash_fixed_multi(
+    arrays: List[np.ndarray], buckets: Sequence[int]
+) -> Optional[np.ndarray]:
+    """Hash several fixed-width ('S<w>') string columns in one call.
+    Returns [n_cols, batch] int32 or None (native lib missing)."""
+    lib = get_lib()
+    if lib is None or not arrays:
+        return None
+    batch = arrays[0].shape[0]
+    out = np.empty((len(arrays), batch), dtype=np.int32)
+    ptrs = _ptr_array(arrays)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    bkts = np.asarray(buckets, np.int64)
+    lib.rt_hash_fixed_multi(
+        ptrs.ctypes.data, widths.ctypes.data, bkts.ctypes.data,
+        len(arrays), batch, out.ctypes.data,
+    )
+    return out
+
+
+def split_count_multi(
+    arrays: List[np.ndarray], delims: Sequence[bytes]
+) -> Optional[int]:
+    lib = get_lib()
+    if lib is None or not arrays:
+        return None
+    ptrs = _ptr_array(arrays)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    dl = np.asarray([d[0] for d in delims], np.uint8)
+    return int(
+        lib.rt_split_count_multi(
+            ptrs.ctypes.data, widths.ctypes.data, dl.ctypes.data,
+            len(arrays), arrays[0].shape[0],
+        )
+    )
+
+
+def split_hash_multi(
+    arrays: List[np.ndarray],
+    delims: Sequence[bytes],
+    buckets: Sequence[int],
+    rowlen: int,
+) -> Optional[np.ndarray]:
+    """Split+hash several delimited columns in one call.  Returns
+    [n_cols, batch, rowlen] int32 (-1 padded) or None."""
+    lib = get_lib()
+    if lib is None or not arrays:
+        return None
+    batch = arrays[0].shape[0]
+    out = np.empty((len(arrays), batch, rowlen), dtype=np.int32)
+    ptrs = _ptr_array(arrays)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    dl = np.asarray([d[0] for d in delims], np.uint8)
+    bkts = np.asarray(buckets, np.int64)
+    lib.rt_split_hash_multi(
+        ptrs.ctypes.data, widths.ctypes.data, dl.ctypes.data,
+        bkts.ctypes.data, len(arrays), batch, rowlen, out.ctypes.data,
+    )
+    return out
+
+
 def split_count_max(values: np.ndarray, delimiter: str) -> int:
     arr = _as_fixed_bytes(values)
     d = delimiter.encode()

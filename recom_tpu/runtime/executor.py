@@ -211,13 +211,15 @@ class Engine:
         return dp
 
     def shard_batch_arrays(self, arrays):
-        """Place prepared host arrays on the mesh (batch over "data")."""
+        """Place prepared host arrays on the mesh (batch over "data").
+        Prepared arrays are column-major: batch is axis 1 (host_prep
+        LAYOUT note), so the data axis shards dimension 1."""
         if self.mesh is None:
             return arrays
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         def put(x):
-            spec = P(*(["data"] + [None] * (x.ndim - 1)))
+            spec = P(*([None, "data"] + [None] * (x.ndim - 2)))
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return jax.tree_util.tree_map(put, arrays)
@@ -280,7 +282,21 @@ class Engine:
         group_out = []
         pooled_list = []
         overflow = jnp.int32(0)
-        for g, arrs in zip(compiled.groups, arrays["groups"]):
+        for g, packed in zip(compiled.groups, arrays["groups"]):
+            # host arrays arrive column-major (batch on axis 1, see
+            # host_prep LAYOUT note); transpose to batch-major here — XLA
+            # fuses the transpose into the first consumer
+            arrs = {}
+            if "raw_bz" in packed:
+                arrs["raw_bz"] = packed["raw_bz"].T
+            if "host_ids" in packed:
+                arrs["host_ids"] = jnp.transpose(
+                    packed["host_ids"], (1, 0, 2)
+                )
+            if "weights" in packed:
+                arrs["weights"] = jnp.transpose(
+                    packed["weights"], (1, 0, 2)
+                )
             # tables stay in their stored dtype through the gather: rows are
             # upcast/dequantized AFTER (gather traffic = stored bytes)
             table = params["stacked"][str(g.gid)]
@@ -328,7 +344,7 @@ class Engine:
             grouped = jnp.concatenate(group_out, axis=1)
             emb = jnp.take(grouped, jnp.asarray(compiled.emb_perm), axis=1)
         else:
-            bp = arrays["dense"].shape[0]
+            bp = arrays["dense"].shape[1]
             emb = jnp.zeros((bp, 0), jnp.float32)
         return emb, pooled_list, overflow
 
@@ -374,7 +390,7 @@ class Engine:
 
     def _forward(self, params, arrays):
         emb, pooled_list, overflow = self._embedding_forward(params, arrays)
-        out, concat = self._tower_forward(params, arrays["dense"], emb)
+        out, concat = self._tower_forward(params, arrays["dense"].T, emb)
         return {
             "output": out,
             "concat": concat,

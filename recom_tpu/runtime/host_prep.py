@@ -5,15 +5,22 @@ single-blob H2D staging (concat_inputs_ops.cc:42-77): strings are hashed and
 ragged features packed on host, then everything crosses to the device as a
 few large dense arrays:
 
-  * dense tower features          [Bp, n_dense]  f32
-  * per non-ragged group:  raw bucketize floats [Bp, n_bz] f32
-                           host-computed ids    [Bp, C_host, 1] int32
-  * per ragged group:      padded ids           [Bp, C, L] int32 (-1 = pad)
-                           weights (optional)   [Bp, C, L] f32
+  * dense tower features          [n_dense, Bp]  f32
+  * per non-ragged group:  raw bucketize floats [n_bz, Bp] f32
+                           host-computed ids    [C_host, Bp, 1] int32
+  * per ragged group:      padded ids           [C, Bp, L] int32 (-1 = pad)
+                           weights (optional)   [C, Bp, L] f32
 
 Semantics of the host transform chains are shared with the NumPy oracle
 (oracle/reference.py) — one implementation of truth; the C++ fast path in
 recom_tpu/native replaces only the hash inner loop.
+
+LAYOUT: packed arrays are COLUMN-major (batch on axis 1: dense [n, Bp],
+raw_bz [n_bz, Bp], host_ids [C, Bp, L]) because per-column host writes are
+then contiguous memcpys (measured 2.3x faster than batch-major stacking at
+880 columns) and the native *_multi calls emit [n_cols, batch, ...]
+directly.  The device transposes to batch-major on entry — a transpose
+fused into the first consumer costs nothing against HBM reads.
 """
 
 from __future__ import annotations
@@ -32,13 +39,12 @@ from recom_tpu.oracle.reference import (
 )
 
 
-def _map_columns(fn, items):
-    """Per-column host work runs SERIALLY by design: measured on model E
-    (100 hash + 20 split columns, batch 512), a thread pool is a net loss
-    (6.5ms vs 5.3ms p50) — each column is ~20-50us of mostly-GIL numpy
-    around a short native call, so pool dispatch overhead dominates.
-    Cross-REQUEST parallelism is the productive axis (ServingPipeline)."""
-    return [fn(x) for x in items]
+# Per-column host work runs SERIALLY by design: measured on model E (100
+# hash + 20 split columns, batch 512), a thread pool was a net loss (6.5ms
+# vs 5.3ms p50) — each column is ~20-50us of mostly-GIL numpy around a
+# short native call.  The productive levers are (a) ONE foreign call per
+# column class (native_ops.*_multi) and (b) cross-REQUEST parallelism
+# (ServingPipeline).
 
 
 def _pack_sparse(
@@ -72,13 +78,10 @@ def _is_string_array(data) -> bool:
     return bool(len(data)) and isinstance(data[0], (str, bytes, np.str_, np.bytes_))
 
 
-def fast_dense_ids(member, batch: Dict) -> Optional[np.ndarray]:
-    """Native-path final ids [B] for a non-ragged member, or None.
-
-    Covers the dominant host chains: STRING->HashBucket and
-    DENSE_INT->HashBucket (reference model E: 100 such columns)."""
-    from recom_tpu.native import ops as native_ops
-
+def fast_dense_plan(member, batch: Dict):
+    """("int"|"str", contiguous array, num_buckets) for the batched native
+    hash path, or None.  Covers the dominant host chains: STRING->HashBucket
+    and DENSE_INT->HashBucket (reference model E: 100 such columns)."""
     col = member.column
     if member.host_chain and len(member.host_chain) == 1 and isinstance(
         member.host_chain[0], spec_mod.HashBucket
@@ -86,10 +89,33 @@ def fast_dense_ids(member, batch: Dict) -> Optional[np.ndarray]:
         hb = member.host_chain[0]
         data = batch[col.source.field]
         if col.source.kind == spec_mod.FeatureKind.STRING and _is_string_array(data):
-            return native_ops.hash_strings(np.asarray(data), hb.num_buckets)
+            arr = np.asarray(data)
+            if arr.dtype.kind == "U":
+                try:
+                    arr = arr.astype("S")
+                except UnicodeEncodeError:
+                    return None
+            return ("str", np.ascontiguousarray(arr), hb.num_buckets)
         if col.source.kind == spec_mod.FeatureKind.DENSE_INT:
-            return native_ops.hash_ints(np.asarray(data), hb.num_buckets)
+            arr = np.ascontiguousarray(
+                np.asarray(batch[col.source.field], dtype=np.int64)
+            )
+            return ("int", arr, hb.num_buckets)
     return None
+
+
+def fast_dense_ids(member, batch: Dict) -> Optional[np.ndarray]:
+    """Single-column native ids [B] (fallback when the multi-column call is
+    unavailable), or None."""
+    from recom_tpu.native import ops as native_ops
+
+    plan = fast_dense_plan(member, batch)
+    if plan is None:
+        return None
+    kind, arr, nb = plan
+    if kind == "str":
+        return native_ops.hash_strings(arr, nb)
+    return native_ops.hash_ints(arr, nb)
 
 
 def fast_ragged_plan(member, batch: Dict):
@@ -170,13 +196,11 @@ def prepare_batch(
             raise ValueError("cannot infer batch size from batch dict")
     bp = pick_bucket(config.batch_buckets, batch_size, config.allow_truncate_overflow)
 
-    # dense tower features (single stacked copy, not per-column writes)
-    dense = np.zeros((bp, compiled.n_dense), dtype=np.float32)
-    if compiled.n_dense:
-        dense[:batch_size] = np.stack(
-            [np.asarray(batch[c.source.field], dtype=np.float32)
-             for c in model.dense_columns],
-            axis=1,
+    # dense tower features, column-major: each row is one contiguous copy
+    dense = np.zeros((compiled.n_dense, bp), dtype=np.float32)
+    for i, c in enumerate(model.dense_columns):
+        dense[i, :batch_size] = np.asarray(
+            batch[c.source.field], dtype=np.float32
         )
 
     memo: Dict = {} if config.dedup_subcolumns else None
@@ -187,87 +211,122 @@ def prepare_batch(
         host_members = g.members[g.n_bucketize :]
 
         if g.n_bucketize:
-            raw = np.zeros((bp, g.n_bucketize), dtype=np.float32)
-            raw[:batch_size] = np.stack(
-                [np.asarray(batch[m.column.source.field], dtype=np.float32)
-                 for m in g.members[: g.n_bucketize]],
-                axis=1,
-            )
+            raw = np.zeros((g.n_bucketize, bp), dtype=np.float32)
+            for i, m in enumerate(g.members[: g.n_bucketize]):
+                raw[i, :batch_size] = np.asarray(
+                    batch[m.column.source.field], dtype=np.float32
+                )
             arrs["raw_bz"] = raw
 
         if not g.ragged:
             rowlen = 1
             if host_members:
-                ids = np.full((bp, len(host_members), 1), -1, dtype=np.int32)
-                # fast native paths run threaded (ctypes releases the GIL);
-                # memoized oracle-chain members run serially (shared memo)
-                fasts = _map_columns(
-                    lambda m: fast_dense_ids(m, batch), host_members
-                )
-                for i, (m, fast) in enumerate(zip(host_members, fasts)):
-                    if fast is not None:
-                        ids[: len(fast), i, 0] = fast.astype(np.int32)
+                from recom_tpu.native import ops as native_ops
+
+                ids = np.full((len(host_members), bp, 1), -1, dtype=np.int32)
+                # partition into batched-native int/str hash columns vs the
+                # generic oracle-chain path; each native class is ONE
+                # foreign call for the whole class (per-column ctypes
+                # crossings dominate at ~10us of C++ work per column)
+                by_kind = {"int": ([], [], []), "str": ([], [], [])}
+                rest = []
+                for i, m in enumerate(host_members):
+                    plan = fast_dense_plan(m, batch)
+                    if plan is None:
+                        rest.append((i, m))
                         continue
+                    kind, arr, nb = plan
+                    idxs, cols, bkts = by_kind[kind]
+                    idxs.append(i)
+                    cols.append(arr)
+                    bkts.append(nb)
+                for kind, (idxs, cols, bkts) in by_kind.items():
+                    if not cols:
+                        continue
+                    multi = (
+                        native_ops.hash_int_multi(cols, bkts)
+                        if kind == "int"
+                        else native_ops.hash_fixed_multi(cols, bkts)
+                    )
+                    if multi is not None:
+                        n = multi.shape[1]
+                        ids[np.asarray(idxs, np.int64), :n, 0] = multi
+                    else:  # no native lib: per-column fallback
+                        for i, m in zip(idxs, [host_members[j] for j in idxs]):
+                            fast = fast_dense_ids(m, batch)
+                            ids[i, : len(fast), 0] = fast.astype(np.int32)
+                for i, m in rest:
                     sp = host_ids_for_member(m, batch, memo)
                     packed, _ = _pack_sparse(sp, 1, bp)
-                    ids[:, i, :] = packed
+                    ids[i] = packed
                 arrs["host_ids"] = ids
         else:
             from recom_tpu.native import ops as native_ops
 
-            # first pass: row-length discovery (native count for delimited
-            # columns — threaded, read-only; oracle chain + bincount
-            # members serially: they share the memo)
-            def plan_one(m):
+            # first pass: row-length discovery.  Delimited fast-path
+            # columns count in ONE native call; oracle-chain members use
+            # bincount (serially — they share the memo).
+            fast_idx: List[int] = []
+            fast_arrs: List[np.ndarray] = []
+            fast_delims: List[bytes] = []
+            fast_buckets: List[int] = []
+            slow: List[Tuple[int, SparseFeature]] = []
+            max_len = 1
+            for i, m in enumerate(host_members):
                 fp = fast_ragged_plan(m, batch)
                 if fp is not None:
-                    arr, delim, _nb = fp
-                    return ("fast", fp, native_ops.split_count_max(arr, delim))
-                return None
-
-            pre = _map_columns(plan_one, host_members)
-            plans = []
-            max_len = 1
-            for m, p in zip(host_members, pre):
-                if p is not None:
-                    plans.append((p[0], p[1]))
-                    max_len = max(max_len, p[2])
+                    arr, delim, nb = fp
+                    fast_idx.append(i)
+                    fast_arrs.append(np.ascontiguousarray(arr))
+                    fast_delims.append(delim.encode())
+                    fast_buckets.append(nb)
                 else:
                     sp = host_ids_for_member(m, batch, memo)
                     if sp.values is not None and len(sp.row_ids):
                         c = np.bincount(sp.row_ids, minlength=sp.batch).max()
                         max_len = max(max_len, int(c))
-                    plans.append(("slow", sp))
+                    slow.append((i, sp))
+            if fast_arrs:
+                cnt = native_ops.split_count_multi(fast_arrs, fast_delims)
+                if cnt is None:
+                    cnt = max(
+                        native_ops.split_count_max(a, d.decode())
+                        for a, d in zip(fast_arrs, fast_delims)
+                    )
+                max_len = max(max_len, int(cnt))
             rowlen = pick_bucket(
                 config.rowlen_buckets, max_len, config.allow_truncate_overflow
             )
-            ids = np.full((bp, len(host_members), rowlen), -1, dtype=np.int32)
+            ids = np.full((len(host_members), bp, rowlen), -1, dtype=np.int32)
             weights = (
-                np.zeros((bp, len(host_members), rowlen), dtype=np.float32)
+                np.zeros((len(host_members), bp, rowlen), dtype=np.float32)
                 if g.has_weights
                 else None
             )
-
-            def fill_one(item):
-                # each call writes a distinct ids[:, i, :] slice — safe
-                i, (tag, payload) = item
-                if tag == "fast":
-                    arr, delim, nb = payload
-                    packed, _ = native_ops.split_hash_padded(
-                        arr, delim, nb, rowlen
-                    )
-                    ids[: packed.shape[0], i, :] = packed
-                    return None
-                packed, w = _pack_sparse(payload, rowlen, bp)
-                ids[:, i, :] = packed
-                return w
-
-            ws = _map_columns(fill_one, enumerate(plans))
+            if fast_arrs:
+                multi = native_ops.split_hash_multi(
+                    fast_arrs, fast_delims, fast_buckets, rowlen
+                )
+                if multi is not None:
+                    n = multi.shape[1]
+                    ids[np.asarray(fast_idx, np.int64), :n, :] = multi
+                else:  # no native lib: per-column fallback
+                    for i, arr, d, nb in zip(
+                        fast_idx, fast_arrs, fast_delims, fast_buckets
+                    ):
+                        packed, _ = native_ops.split_hash_padded(
+                            arr, d.decode(), nb, rowlen
+                        )
+                        ids[i, : packed.shape[0], :] = packed
+            slow_w = {}
+            for i, sp in slow:
+                packed, w = _pack_sparse(sp, rowlen, bp)
+                ids[i] = packed
+                slow_w[i] = w
             if weights is not None:
-                for i, w in enumerate(ws):
-                    weights[:, i, :] = (
-                        w if w is not None else (ids[:, i, :] >= 0)
-                    )
+                for i in range(len(host_members)):
+                    w = slow_w.get(i)
+                    weights[i] = w if w is not None else (ids[i] >= 0)
             arrs["host_ids"] = ids
             if weights is not None:
                 arrs["weights"] = weights

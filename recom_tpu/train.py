@@ -30,7 +30,7 @@ def forward_logits(engine: Engine, params, arrays) -> jnp.ndarray:
     logits)."""
     emb, _, _ = engine._embedding_forward(params, arrays)
     out, _ = engine._tower_forward(
-        params, arrays["dense"], emb, logits_only=True
+        params, arrays["dense"].T, emb, logits_only=True
     )
     return out
 

@@ -95,3 +95,64 @@ def test_delimited_engine_path_bitexact():
     ref = OracleModel(m).forward(b)
     for c, r in ref["pooled"].items():
         np.testing.assert_array_equal(out["pooled"][c], r)
+
+
+def test_multi_column_calls_match_per_column():
+    """The batched *_multi entry points must agree with the per-column
+    native calls (same FarmHash, same bucketing, same padding)."""
+    import numpy as np
+
+    from recom_tpu.native import ops as native_ops
+
+    if not native_ops.get_lib():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    batch = 64
+
+    int_cols = [rng.integers(-(10**12), 10**12, batch) for _ in range(5)]
+    int_buckets = [100, 1000, 7, 10**6, 33]
+    multi = native_ops.hash_int_multi(int_cols, int_buckets)
+    for j, (col, nb) in enumerate(zip(int_cols, int_buckets)):
+        np.testing.assert_array_equal(
+            multi[j], native_ops.hash_ints(col, nb).astype(np.int32)
+        )
+
+    str_cols = [
+        np.asarray(
+            ["u%d" % v for v in rng.integers(0, 10**6, batch)]
+        ).astype("S")
+        for _ in range(4)
+    ]
+    str_buckets = [50, 500, 5000, 13]
+    multi = native_ops.hash_fixed_multi(str_cols, str_buckets)
+    for j, (col, nb) in enumerate(zip(str_cols, str_buckets)):
+        np.testing.assert_array_equal(
+            multi[j], native_ops.hash_strings(col, nb).astype(np.int32)
+        )
+
+    def joined(n_max):
+        return np.asarray(
+            [
+                ";".join(
+                    "i%d" % v
+                    for v in rng.integers(0, 1000, rng.integers(0, n_max + 1))
+                )
+                for _ in range(batch)
+            ]
+        ).astype("S")
+
+    sp_cols = [joined(6), joined(3), joined(1)]
+    delims = [b";", b";", b";"]
+    sp_buckets = [100, 20, 7]
+    cnt = native_ops.split_count_multi(sp_cols, delims)
+    per = max(
+        native_ops.split_count_max(a, ";") for a in sp_cols
+    )
+    assert cnt == per
+    rowlen = 8
+    multi = native_ops.split_hash_multi(sp_cols, delims, sp_buckets, rowlen)
+    for j, (col, nb) in enumerate(zip(sp_cols, sp_buckets)):
+        packed, _ = native_ops.split_hash_padded(col, ";", nb, rowlen)
+        np.testing.assert_array_equal(multi[j], packed)
