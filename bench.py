@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--serve", action="store_true",
                     help="also measure per-request-confirmed pipeline "
                          "serving (local-attach TPUs; RPC-bound over axon)")
+    ap.add_argument("--model", default="E", choices=["E", "F", "criteo"],
+                    help="headline stays model E; F/criteo for the other "
+                         "BASELINE configs")
     args = ap.parse_args()
 
     import jax
@@ -61,11 +64,19 @@ def main():
             20, 5, 5, 3, 2, 8, [16], [64, 32], name="smoke", large_rows=50_000
         )
         args.iters = min(args.iters, 20)
-    else:
+    elif args.model == "E":
         # model E analogue: 1000 embedding columns (reference dlrm.py:193)
         model = make_dlrm_model(
             880, 50, 50, 15, 5, 32, [32], [1024, 1024, 128, 1], name="E"
         )
+    elif args.model == "F":
+        from recom_tpu.models import make_model_f
+
+        model = make_model_f()
+    else:
+        from recom_tpu.models import make_criteo_dlrm
+
+        model = make_criteo_dlrm()
 
     batch = make_random_batch(model, args.batch, seed=7)
 
@@ -154,7 +165,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "examples_per_s_per_chip_batch512_modelE",
+                "metric": (
+                    f"examples_per_s_per_chip_batch{args.batch}_model"
+                    f"{model.name}"
+                ),
                 "value": round(ex_s, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(ex_s / baseline_ex_s, 2),

@@ -460,6 +460,43 @@ class Engine:
         return result
 
     # ------------------------------------------------------------------
+    def warmup(self, batches=None, batch_sizes=None) -> int:
+        """Precompile serving programs ahead of traffic (the reference's
+        warm-up run triggers its whole pass + nvcc pipeline on the first
+        session->Run, recom_examples.patch:185-192; ours compiles one XLA
+        program per shape signature).
+
+        * ``batches``: representative raw batches (e.g. replayed traffic) —
+          warms exactly the signatures they produce.
+        * ``batch_sizes``: warms those batch buckets with synthetic empty
+          arrays (ragged groups at their largest rowlen bucket).
+        * neither: warms every batch bucket in the config.
+
+        Returns the number of programs compiled."""
+        from recom_tpu.runtime.host_prep import make_empty_prepared
+
+        before = self.stats["compiles"]
+        prepared = []
+        if batches is not None:
+            for b in batches:
+                prepared.append(prepare_batch(self.compiled, b))
+        else:
+            from recom_tpu.compiler.buckets import pick_bucket
+
+            sizes = batch_sizes or self.config.batch_buckets
+            for bs in sizes:
+                bp = pick_bucket(
+                    self.config.batch_buckets, bs,
+                    self.config.allow_truncate_overflow,
+                )
+                prepared.append(make_empty_prepared(self.compiled, bp))
+        for p in prepared:
+            fn = self._get_jitted(p.signature)
+            out = fn(self.device_params, self.shard_batch_arrays(p.arrays))
+            jax.block_until_ready(out["output"])
+        return self.stats["compiles"] - before
+
+    # ------------------------------------------------------------------
     def benchmark(
         self, batch: Dict, iters: int = 100, warmup: int = 10
     ) -> Dict[str, float]:

@@ -176,6 +176,43 @@ class PreparedBatch:
         return (self.batch_padded, self.rowlens)
 
 
+def make_empty_prepared(
+    compiled: CompiledModel,
+    batch_padded: int,
+    rowlens: Optional[Tuple[int, ...]] = None,
+) -> PreparedBatch:
+    """A zero/pad-filled PreparedBatch with the given shape signature —
+    for Engine.warmup to trigger compilation without real data.  rowlens:
+    one per group (1 forced for non-ragged); default = largest rowlen
+    bucket for ragged groups."""
+    config = compiled.config
+    bp = batch_padded
+    if rowlens is None:
+        rowlens = tuple(
+            max(config.rowlen_buckets) if g.ragged else 1
+            for g in compiled.groups
+        )
+    dense = np.zeros((compiled.n_dense, bp), dtype=np.float32)
+    group_arrays: List[Dict[str, np.ndarray]] = []
+    for g, rl in zip(compiled.groups, rowlens):
+        rl = 1 if not g.ragged else rl
+        arrs: Dict[str, np.ndarray] = {}
+        if g.n_bucketize:
+            arrs["raw_bz"] = np.zeros((g.n_bucketize, bp), np.float32)
+        n_host = len(g.members) - g.n_bucketize
+        if n_host:
+            arrs["host_ids"] = np.full((n_host, bp, rl), -1, np.int32)
+            if g.has_weights:
+                arrs["weights"] = np.zeros((n_host, bp, rl), np.float32)
+        group_arrays.append(arrs)
+    rls = tuple(
+        1 if not g.ragged else rl for g, rl in zip(compiled.groups, rowlens)
+    )
+    return PreparedBatch(
+        bp, bp, rls, {"dense": dense, "groups": group_arrays}
+    )
+
+
 def prepare_batch(
     compiled: CompiledModel,
     batch: Dict,

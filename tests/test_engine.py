@@ -151,3 +151,18 @@ def test_pass_report_present():
         "prune_useless", "simplify_pre_lookup", "canonicalize_lookup",
         "dedup_subcolumns",
     ]
+
+
+def test_engine_warmup_precompiles_buckets():
+    from recom_tpu.models.synthetic import make_dlrm_model
+
+    m = make_dlrm_model(4, 1, 1, 1, 0, 2, [4], [8, 1], name="warm")
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(16, 32),
+                                 rowlen_buckets=(16,)))
+    n = eng.warmup()
+    assert n == 2
+    b = make_random_batch(m, 16, seed=0)
+    before = eng.stats["compiles"]
+    eng.predict(b)
+    # single rowlen bucket + batch 16 were both warmed: no new compile
+    assert eng.stats["compiles"] == before
