@@ -91,7 +91,7 @@ def main():
     # end-to-end: host preprocessing + H2D + device step (the honest
     # analogue of the reference's timed session->Run)
     def e2e():
-        p = prepare_batch(eng.compiled, batch)
+        p = eng.prepare(batch)
         f = eng._get_jitted(p.signature)
         return f(eng.device_params, p.arrays)
 

@@ -199,9 +199,12 @@ def split_hash_multi(
     delims: Sequence[bytes],
     buckets: Sequence[int],
     rowlen: int,
-) -> Optional[np.ndarray]:
+) -> Optional[Tuple[np.ndarray, int]]:
     """Split+hash several delimited columns in one call.  Returns
-    [n_cols, batch, rowlen] int32 (-1 padded) or None."""
+    ([n_cols, batch, rowlen] int32, max pieces seen) or None.  The max
+    piece count lets callers hash directly at a CACHED rowlen bucket and
+    detect after the fact whether it sufficed (steady-state serving skips
+    the separate counting scan entirely)."""
     lib = get_lib()
     if lib is None or not arrays:
         return None
@@ -211,11 +214,11 @@ def split_hash_multi(
     widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
     dl = np.asarray([d[0] for d in delims], np.uint8)
     bkts = np.asarray(buckets, np.int64)
-    lib.rt_split_hash_multi(
+    maxp = lib.rt_split_hash_multi(
         ptrs.ctypes.data, widths.ctypes.data, dl.ctypes.data,
         bkts.ctypes.data, len(arrays), batch, rowlen, out.ctypes.data,
     )
-    return out
+    return out, int(maxp)
 
 
 def split_count_max(values: np.ndarray, delimiter: str) -> int:

@@ -109,6 +109,7 @@ class Engine:
         np_params = params if params is not None else init_model_params(model)
         self.device_params = self._build_device_params(np_params)
         self._jit_cache: Dict[Tuple, object] = {}
+        self._rowlen_hints: Dict[int, int] = {}
         self.stats = {"compiles": 0, "calls": 0}
         from recom_tpu.utils.logging import Logger, StageTimer
 
@@ -407,6 +408,17 @@ class Engine:
             self.stats["compiles"] += 1
         return fn
 
+    def prepare(self, batch: Dict, batch_size: Optional[int] = None):
+        """prepare_batch with the engine's cached per-group rowlen hints
+        (steady-state serving skips the row-length counting scan)."""
+        prepared = prepare_batch(
+            self.compiled, batch, batch_size, rowlen_hints=self._rowlen_hints
+        )
+        for g, rl in zip(self.compiled.groups, prepared.rowlens):
+            if g.ragged:
+                self._rowlen_hints[g.gid] = rl
+        return prepared
+
     def predict(
         self,
         batch: Dict,
@@ -415,7 +427,7 @@ class Engine:
         return_concat: bool = False,
     ) -> Dict[str, np.ndarray]:
         t0 = time.perf_counter()
-        prepared = prepare_batch(self.compiled, batch, batch_size)
+        prepared = self.prepare(batch, batch_size)
         self.timers.add("host_prep", time.perf_counter() - t0)
         return self.predict_prepared(
             prepared, return_pooled=return_pooled, return_concat=return_concat

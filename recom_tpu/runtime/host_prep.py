@@ -217,7 +217,14 @@ def prepare_batch(
     compiled: CompiledModel,
     batch: Dict,
     batch_size: Optional[int] = None,
+    rowlen_hints: Optional[Dict[int, int]] = None,
 ) -> PreparedBatch:
+    """rowlen_hints: {group id: rowlen bucket} from previous requests
+    (Engine tracks them).  When a hint is right — the steady state, since
+    serving row-length distributions are stable — the delimited fast path
+    hashes directly at the hinted bucket and the separate counting scan is
+    skipped; a wrong hint is detected from the hash pass's returned max
+    piece count and falls back to count-then-hash."""
     model, config = compiled.model, compiled.config
 
     if batch_size is None:
@@ -323,31 +330,51 @@ def prepare_batch(
                         c = np.bincount(sp.row_ids, minlength=sp.batch).max()
                         max_len = max(max_len, int(c))
                     slow.append((i, sp))
-            if fast_arrs:
-                cnt = native_ops.split_count_multi(fast_arrs, fast_delims)
-                if cnt is None:
-                    cnt = max(
-                        native_ops.split_count_max(a, d.decode())
-                        for a, d in zip(fast_arrs, fast_delims)
-                    )
-                max_len = max(max_len, int(cnt))
-            rowlen = pick_bucket(
-                config.rowlen_buckets, max_len, config.allow_truncate_overflow
-            )
+            rowlen = None
+            multi = None
+            hint = rowlen_hints.get(g.gid) if rowlen_hints else None
+            if fast_arrs and hint is not None:
+                # optimistic pass at the cached bucket — right in steady
+                # state, so the counting scan disappears from the hot path
+                res = native_ops.split_hash_multi(
+                    fast_arrs, fast_delims, fast_buckets, hint
+                )
+                if res is not None:
+                    cand, maxp = res
+                    full_max = max(max_len, maxp)
+                    if (
+                        pick_bucket(
+                            config.rowlen_buckets, full_max,
+                            config.allow_truncate_overflow,
+                        )
+                        == hint
+                    ):
+                        rowlen, multi = hint, cand
+            if rowlen is None:
+                if fast_arrs:
+                    cnt = native_ops.split_count_multi(fast_arrs, fast_delims)
+                    if cnt is None:
+                        cnt = max(
+                            native_ops.split_count_max(a, d.decode())
+                            for a, d in zip(fast_arrs, fast_delims)
+                        )
+                    max_len = max(max_len, int(cnt))
+                rowlen = pick_bucket(
+                    config.rowlen_buckets, max_len,
+                    config.allow_truncate_overflow,
+                )
             ids = np.full((len(host_members), bp, rowlen), -1, dtype=np.int32)
             weights = (
                 np.zeros((len(host_members), bp, rowlen), dtype=np.float32)
                 if g.has_weights
                 else None
             )
-            if fast_arrs:
-                multi = native_ops.split_hash_multi(
+            if fast_arrs and multi is None:
+                res = native_ops.split_hash_multi(
                     fast_arrs, fast_delims, fast_buckets, rowlen
                 )
-                if multi is not None:
-                    n = multi.shape[1]
-                    ids[np.asarray(fast_idx, np.int64), :n, :] = multi
-                else:  # no native lib: per-column fallback
+                multi = res[0] if res is not None else None
+                if multi is None:  # no native lib: per-column fallback
                     for i, arr, d, nb in zip(
                         fast_idx, fast_arrs, fast_delims, fast_buckets
                     ):
@@ -355,6 +382,9 @@ def prepare_batch(
                             arr, d.decode(), nb, rowlen
                         )
                         ids[i, : packed.shape[0], :] = packed
+            if multi is not None:
+                n = multi.shape[1]
+                ids[np.asarray(fast_idx, np.int64), :n, :] = multi
             slow_w = {}
             for i, sp in slow:
                 packed, w = _pack_sparse(sp, rowlen, bp)

@@ -49,9 +49,7 @@ class ServingPipeline:
 
     # ------------------------------------------------------------------
     def _prep(self, batch: Dict, batch_size: Optional[int]):
-        from recom_tpu.runtime.host_prep import prepare_batch
-
-        return prepare_batch(self.engine.compiled, batch, batch_size)
+        return self.engine.prepare(batch, batch_size)
 
     def _run(self, prepared) -> np.ndarray:
         eng = self.engine

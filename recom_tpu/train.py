@@ -84,7 +84,7 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     def step(self, batch: Dict, labels: np.ndarray) -> float:
-        prepared = prepare_batch(self.engine.compiled, batch)
+        prepared = self.engine.prepare(batch)
         bp = prepared.batch_padded
         lab = np.zeros((bp,), np.float32)
         lab[: prepared.batch_size] = np.asarray(labels, np.float32)

@@ -152,7 +152,10 @@ def test_multi_column_calls_match_per_column():
     )
     assert cnt == per
     rowlen = 8
-    multi = native_ops.split_hash_multi(sp_cols, delims, sp_buckets, rowlen)
+    multi, maxp = native_ops.split_hash_multi(
+        sp_cols, delims, sp_buckets, rowlen
+    )
+    assert maxp == cnt
     for j, (col, nb) in enumerate(zip(sp_cols, sp_buckets)):
         packed, _ = native_ops.split_hash_padded(col, ";", nb, rowlen)
         np.testing.assert_array_equal(multi[j], packed)
