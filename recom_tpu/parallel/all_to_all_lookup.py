@@ -61,6 +61,7 @@ def all_to_all_group_pooled(
     weights: Optional[jnp.ndarray] = None,
     exact_math: bool = True,
     capacity_factor: float = 2.0,
+    dedup: bool = True,
     data_axis: str = "data",
     model_axis: str = "model",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -105,26 +106,54 @@ def all_to_all_group_pooled(
         # striped layout: logical row r -> shard r % m, local index r // m
         owner = (flat % m).astype(jnp.int32)
         local_row = (flat // m).astype(jnp.int32)
-        # invalid (pad) slots sort past every real bucket so they consume
-        # no capacity; their restore index falls on the zero-fill slot
-        okey = jnp.where(fvalid, owner, m).astype(jnp.int32)
+        # owner-major sort key: a bijection of the row id whose sorted
+        # order groups by owner AND places duplicate ids adjacently — one
+        # sort serves routing and dedup.  Invalid (pad) slots sort past
+        # every real bucket (sentinel) so they consume no capacity.
+        sentinel = jnp.int32(m * shard_rows)
+        okey = jnp.where(
+            fvalid, owner * shard_rows + local_row, sentinel
+        ).astype(jnp.int32)
 
-        # deterministic routing: stable sort by owner; rank within bucket
         order = jnp.argsort(okey, stable=True)
-        sowner = okey[order]
-        starts = jnp.searchsorted(
-            sowner, jnp.arange(m + 1, dtype=sowner.dtype)
+        sk = okey[order]
+        real = sk < sentinel
+        if dedup:
+            # the reference's Unique+Gather idiom (lookup_optimizer.cc:
+            # 89-99): each distinct id is exchanged and gathered ONCE;
+            # duplicates restore from the representative's returned row.
+            is_first = real & jnp.concatenate(
+                [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
+            )
+        else:
+            is_first = real
+        # representative (unique-run) index for every sorted position
+        seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1     # [n]
+        so = jnp.where(real, sk // shard_rows, m).astype(jnp.int32)
+        # uniques are owner-grouped (owner-major key), so rank within the
+        # owner bucket = global unique index - owner's first unique index
+        uidx = seg
+        counts = (
+            jnp.zeros((m + 1,), jnp.int32).at[so].add(is_first.astype(jnp.int32))
         )
-        rank_sorted = (
-            jnp.arange(n, dtype=jnp.int32) - starts[sowner].astype(jnp.int32)
+        ustarts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
         )
-        real = sowner < m
-        ok = real & (rank_sorted < cap)
-        overflow = jnp.sum(real & (rank_sorted >= cap)).astype(jnp.int32)
+        urank = uidx - ustarts[so]                           # [n]
+        ok_u = is_first & (urank < cap)
+        # overflow counts every AFFECTED entry (a dropped unique drops all
+        # its duplicates) — the honest "ids lost" number
+        rep_ok_by_seg = (
+            jnp.zeros((n,), jnp.bool_)
+            .at[jnp.where(is_first, uidx, n)]
+            .set(ok_u, mode="drop")
+        )
+        entry_ok = real & rep_ok_by_seg[seg]
+        overflow = jnp.sum(real & ~entry_ok).astype(jnp.int32)
         send_ids = (
             jnp.zeros((m, cap), jnp.int32)
-            .at[sowner, jnp.where(ok, rank_sorted, cap)]
-            .set(local_row[order], mode="drop")
+            .at[so, jnp.where(ok_u, urank, cap)]
+            .set(jnp.where(real, sk % shard_rows, 0), mode="drop")
         )
 
         # --- exchange ids; owners gather; rows return -------------------
@@ -137,11 +166,17 @@ def all_to_all_group_pooled(
             split_axis=0, concat_axis=0, tiled=True,
         )                                                  # [m, cap, d]
 
-        # --- inverse permutation: restore original entry order ----------
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-        ok_orig = jnp.zeros((n,), jnp.bool_).at[order].set(ok)
-        # dropped/invalid entries index the out-of-range fill slot -> 0 rows
-        lin = jnp.where(ok_orig, owner * cap + rank, m * cap)
+        # --- restore original entry order through representatives -------
+        # per-unique slot (owner*cap + rank), indexed by unique id
+        slot_by_seg = (
+            jnp.full((n,), m * cap, jnp.int32)
+            .at[jnp.where(is_first, uidx, n)]
+            .set(
+                jnp.where(ok_u, so * cap + urank, m * cap), mode="drop"
+            )
+        )
+        lin_sorted = jnp.where(entry_ok, slot_by_seg[seg], m * cap)
+        lin = jnp.zeros((n,), jnp.int32).at[order].set(lin_sorted)
         rows_full = jnp.take(
             rows_back.reshape(m * cap, d), lin, axis=0,
             mode="fill", fill_value=0.0,

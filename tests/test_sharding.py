@@ -98,6 +98,77 @@ def test_all_to_all_weighted_bitexact():
 
 
 @needs_8
+def test_all_to_all_dedup_fits_heavy_duplication_in_tiny_capacity():
+    """Unique-before-exchange (the reference's Unique+Gather idiom,
+    lookup_optimizer.cc:89-99): 2048 id slots drawing from only 8 distinct
+    ids must fit a sub-1.0 capacity factor without overflow — and stay
+    bit-exact.  With dedup disabled the same setup must overflow."""
+    from recom_tpu.parallel import all_to_all_group_pooled
+
+    mesh = make_mesh((1, 4))
+    rng = np.random.default_rng(9)
+    C, V, d, B, L = 4, 64, 8, 64, 8
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
+    # 8 distinct ids repeated across 2048 slots
+    pool = rng.choice(V, size=8, replace=False).astype(np.int32)
+    ids = pool[rng.integers(0, 8, size=(B, C, L))]
+    ids[rng.random((B, C, L)) < 0.2] = -1
+    offs = (np.arange(C) * V).astype(np.int32)
+    code = np.array([0, 1, 2, 0], np.int32)
+
+    out_d, ov_d = jax.jit(
+        lambda t, i: all_to_all_group_pooled(
+            mesh, t, i, offs, code, capacity_factor=0.1, dedup=True
+        )
+    )(jnp.asarray(tp), jnp.asarray(ids))
+    assert int(ov_d) == 0
+    ref = lookup_xla.group_pooled(jnp.asarray(table), jnp.asarray(ids), offs, code)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(ref))
+
+    _, ov_nd = jax.jit(
+        lambda t, i: all_to_all_group_pooled(
+            mesh, t, i, offs, code, capacity_factor=0.1, dedup=False
+        )
+    )(jnp.asarray(tp), jnp.asarray(ids))
+    assert int(ov_nd) > 0
+
+
+@needs_8
+def test_all_to_all_grad_accumulates_duplicates():
+    """Gradient through the dedup'd exchange: duplicates of one id must
+    accumulate into that table row, matching the dense lookup's grad."""
+    from recom_tpu.parallel import all_to_all_group_pooled
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(11)
+    C, V, d, B, L = 2, 32, 4, 16, 4
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
+    ids = rng.integers(0, 8, size=(B, C, L)).astype(np.int32)  # heavy dups
+    ids[rng.random((B, C, L)) < 0.3] = -1
+    offs = (np.arange(C) * V).astype(np.int32)
+    code = np.zeros((C,), np.int32)
+    g_out = rng.standard_normal((B, C, d)).astype(np.float32)
+
+    def loss_sharded(t):
+        out, _ = all_to_all_group_pooled(mesh, t, ids, offs, code)
+        return (out * g_out).sum()
+
+    def loss_dense(t):
+        return (
+            lookup_xla.group_pooled(t, jnp.asarray(ids), offs, code) * g_out
+        ).sum()
+
+    gs = jax.jit(jax.grad(loss_sharded))(jnp.asarray(tp))
+    gd = jax.jit(jax.grad(loss_dense))(jnp.asarray(table))
+    from recom_tpu.parallel.sharded_lookup import unstripe_rows
+
+    gs_logical = unstripe_rows(np.asarray(gs), 4)[: C * V]
+    np.testing.assert_allclose(gs_logical, np.asarray(gd), atol=1e-5)
+
+
+@needs_8
 def test_all_to_all_overflow_counted_and_rows_zeroed():
     """Skew every id onto shard 0 with a sub-1.0 capacity factor: the
     overflow must be counted, and dropped entries pool as zeros (graceful
@@ -109,9 +180,9 @@ def test_all_to_all_overflow_counted_and_rows_zeroed():
     C, V, d, B, L = 1, 64, 4, 64, 4
     table = rng.standard_normal((C * V, d)).astype(np.float32)
     tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
-    # ids confined to rows [0, 4): each destination bucket receives ~n/4
-    # ids, well past the sub-1.0-factor capacity
-    ids = rng.integers(0, 4, size=(B, C, L)).astype(np.int32)
+    # ids = multiples of 4 -> striped owner 0 for all; 16 DISTINCT ids so
+    # dedup cannot absorb them, well past the sub-1.0-factor capacity
+    ids = (rng.integers(0, 16, size=(B, C, L)) * 4).astype(np.int32)
     offs = np.zeros((C,), np.int32)
     code = np.zeros((C,), np.int32)
 
