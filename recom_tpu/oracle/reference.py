@@ -20,6 +20,7 @@ lax.scan accumulation — this is what makes bit-exact comparison meaningful.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -150,6 +151,14 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
     raise ValueError(f"cannot materialize source kind {kind}")
 
 
+@functools.lru_cache(maxsize=4096)
+def _vocab_table(vocab: tuple) -> dict:
+    """value -> index map, cached per vocab tuple (serving calls the same
+    transform every batch; rebuilding a large vocab dict per request is
+    pure overhead)."""
+    return {k: i for i, k in enumerate(vocab)}
+
+
 def apply_transform(t: Transform, sp: SparseFeature) -> SparseFeature:
     if isinstance(t, HashBucket):
         sp.values = hash_bucket_fast(sp.values, t.num_buckets)
@@ -167,7 +176,7 @@ def apply_transform(t: Transform, sp: SparseFeature) -> SparseFeature:
         sp.values = v
         return sp
     if isinstance(t, VocabLookup):
-        table = {k: i for i, k in enumerate(t.vocab)}
+        table = _vocab_table(t.vocab)
         n = len(t.vocab)
         out = np.empty(len(sp.values), dtype=np.int64)
         for i, v in enumerate(sp.values):
