@@ -45,6 +45,8 @@ class GroupMember:
     vocab_size: int
     combiner: Combiner
     device_bucketize: Optional[Bucketize]   # ids computed on device if set
+    device_lut: Optional[np.ndarray]        # post-bucketize id LUT (int32,
+                                            # -1 = dropped), or None
     host_chain: Tuple[Transform, ...]       # transforms evaluated on host
     # filled in by layout assignment:
     group_index: int = -1        # position (C axis) inside the group
@@ -68,6 +70,9 @@ class LookupGroup:
     n_bucketize: int = 0
     boundary_matrix: Optional[np.ndarray] = None  # [n_bucketize, Kmax] f32
     boundary_counts: Optional[np.ndarray] = None  # [n_bucketize] int32
+    # post-bucketize LUT stack [n_bucketize, Kmax+1] int32 (identity rows
+    # for suffix-free members); None when no member has a suffix
+    lut_matrix: Optional[np.ndarray] = None
 
     @property
     def num_columns(self) -> int:
@@ -96,22 +101,64 @@ class CompiledModel:
         return np.concatenate(parts, axis=0)
 
 
+def _pointwise_suffix_ok(transforms) -> bool:
+    """True if every transform acts pointwise on integer ids — such a
+    suffix after Bucketize compiles to a LUT over the finite output range."""
+    from recom_tpu.ir.spec import (
+        Cast,
+        FilterRange,
+        HashBucket,
+        IdentityTransform,
+        Mod,
+        SelectRange,
+    )
+
+    allowed = (FilterRange, SelectRange, Mod, Cast, IdentityTransform,
+               HashBucket)
+    return all(isinstance(t, allowed) for t in transforms)
+
+
+def _suffix_lut(bz: Bucketize, suffix) -> Optional[np.ndarray]:
+    """Compile a pointwise transform suffix into id -> id' (int32, -1 =
+    entry dropped).  Bucketize emits ids in [0, K], so the whole suffix —
+    filters, selects, mods, int re-hashing — evaluates over K+1 candidates
+    through the ORACLE transform code (single source of semantics).  The
+    reference reaches the same effect with its interval-set reconstruction
+    (pre_lookup_optimizer.cc:480-720); a LUT subsumes it for any pointwise
+    chain."""
+    if not suffix:
+        return None
+    from recom_tpu.oracle.reference import SparseFeature, apply_transform
+
+    k = len(bz.boundaries)
+    cand = np.arange(k + 1, dtype=np.int64)
+    sp = SparseFeature(cand.copy(), cand.copy(), None, k + 1)
+    for t in suffix:
+        sp = apply_transform(t, sp)
+    lut = np.full((k + 1,), -1, dtype=np.int32)
+    lut[np.asarray(sp.row_ids, dtype=np.int64)] = np.asarray(
+        sp.values, dtype=np.int64
+    ).astype(np.int32)
+    return lut
+
+
 def _split_host_device(col: FeatureColumn):
     """Decide which prefix of the transform chain runs on device.
 
-    Only one pattern runs its id computation on device today: a DENSE_FLOAT
-    source whose chain is exactly [Bucketize] (the dominant column type —
-    880/1000 in model E).  Everything else is evaluated on host; the device
-    sees final ids.  Filters/selects after a device bucketize would force
-    the column onto the host path (the compiler passes normally fold them
-    into the bucketize boundaries first, passes.py)."""
+    A DENSE_FLOAT source whose chain is [Bucketize, *pointwise-int suffix]
+    computes ids on device: the batched bucketize plus (when a suffix
+    exists) a compiled per-column LUT (see _suffix_lut).  Everything else
+    is evaluated on host; the device sees final ids.
+
+    Returns (bucketize | None, device_suffix, host_chain)."""
     if (
         col.source.kind == FeatureKind.DENSE_FLOAT
-        and len(col.transforms) == 1
+        and col.transforms
         and isinstance(col.transforms[0], Bucketize)
+        and _pointwise_suffix_ok(col.transforms[1:])
     ):
-        return col.transforms[0], ()
-    return None, col.transforms
+        return col.transforms[0], col.transforms[1:], ()
+    return None, (), col.transforms
 
 
 def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
@@ -144,7 +191,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
                 members=[], pallas_vocab=pallas_vocab,
             )
         g = group_map[key]
-        bz, host_chain = _split_host_device(col)
+        bz, device_suffix, host_chain = _split_host_device(col)
         m = GroupMember(
             column=col,
             table=col.lookup.table,
@@ -152,6 +199,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             vocab_size=tspec.vocab_size,
             combiner=col.lookup.combiner,
             device_bucketize=bz,
+            device_lut=_suffix_lut(bz, device_suffix) if bz else None,
             host_chain=host_chain,
         )
         g.members.append(m)
@@ -190,6 +238,16 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
                 cnts[i] = len(b)
             g.boundary_matrix = mat
             g.boundary_counts = cnts
+            if any(
+                m.device_lut is not None for m in g.members[: g.n_bucketize]
+            ):
+                luts = np.empty((g.n_bucketize, bmax + 1), dtype=np.int32)
+                for i, m in enumerate(g.members[: g.n_bucketize]):
+                    row = np.arange(bmax + 1, dtype=np.int32)  # identity
+                    if m.device_lut is not None:
+                        row[: len(m.device_lut)] = m.device_lut
+                    luts[i] = row
+                g.lut_matrix = luts
 
     # --- concat layout: model column order ------------------------------
     # grouped concat = [group0 [B, C0*d0] | group1 ... ]; emb_perm maps the

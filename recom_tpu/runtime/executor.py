@@ -308,6 +308,12 @@ class Engine:
                     jnp.asarray(g.boundary_matrix),
                     jnp.asarray(g.boundary_counts),
                 )
+                if g.lut_matrix is not None:
+                    # compiled pointwise suffix (filters/selects/mod/hash
+                    # after bucketize): per-column id LUT, -1 = dropped
+                    lut = jnp.asarray(g.lut_matrix)
+                    cols = jnp.arange(g.n_bucketize)[None, :]
+                    bz_ids = lut[cols, bz_ids]
                 parts.append(bz_ids[:, :, None])                # [Bp, nbz, 1]
             if "host_ids" in arrs:
                 parts.append(arrs["host_ids"])

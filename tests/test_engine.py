@@ -166,3 +166,59 @@ def test_engine_warmup_precompiles_buckets():
     eng.predict(b)
     # single rowlen bucket + batch 16 were both warmed: no new compile
     assert eng.stats["compiles"] == before
+
+
+def test_pointwise_suffix_after_bucketize_runs_on_device():
+    """[Bucketize, filter/select/mod/hash] chains compile to a device-side
+    LUT (no host path) and stay bit-exact vs the oracle."""
+    import numpy as np
+
+    from recom_tpu.ir.spec import (
+        Bucketize,
+        Combiner,
+        FeatureColumn,
+        FeatureKind,
+        FeatureSource,
+        FilterRange,
+        HashBucket,
+        LookupSpec,
+        Mod,
+        ModelSpec,
+        SelectRange,
+        TableSpec,
+        TowerSpec,
+    )
+    from recom_tpu.ir.intervals import IntervalSet
+    from recom_tpu.oracle import OracleModel
+
+    bz = Bucketize(list(range(0, 100, 10)))  # ids in [0, 10]
+    cols = [
+        FeatureColumn("plain", FeatureSource("x0", FeatureKind.DENSE_FLOAT),
+                      (bz,), LookupSpec("t", Combiner.MEAN)),
+        FeatureColumn("filt", FeatureSource("x1", FeatureKind.DENSE_FLOAT),
+                      (bz, FilterRange(IntervalSet.closed(2, 7))),
+                      LookupSpec("t", Combiner.MEAN)),
+        FeatureColumn("sel", FeatureSource("x2", FeatureKind.DENSE_FLOAT),
+                      (bz, SelectRange(IntervalSet.closed(0, 4), 9)),
+                      LookupSpec("t", Combiner.SUM)),
+        FeatureColumn("mod", FeatureSource("x3", FeatureKind.DENSE_FLOAT),
+                      (bz, Mod(7)), LookupSpec("t", Combiner.MEAN)),
+        FeatureColumn("hash", FeatureSource("x4", FeatureKind.DENSE_FLOAT),
+                      (bz, HashBucket(11)), LookupSpec("t", Combiner.SUM)),
+    ]
+    m = ModelSpec(
+        "lutdev", {"t": TableSpec("t", 16, 4)}, cols,
+        TowerSpec(arch="mlp", bottom_mlp=(), top_mlp=(),
+                  final_activation=None),
+    )
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32,)))
+    for g in eng.compiled.groups:
+        assert g.n_bucketize == len(g.members), "expected all-device group"
+        assert g.lut_matrix is not None
+
+    rng = np.random.default_rng(0)
+    batch = {f"x{i}": rng.uniform(-20, 120, 32) for i in range(5)}
+    out = eng.predict(batch, return_pooled=True)
+    ref = OracleModel(m).forward(batch)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
