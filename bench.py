@@ -115,7 +115,8 @@ def main():
         ).astype(np.float32)
         want.append(arr)
     want_dev = jax.device_put(want)
-    dev_out = fn(eng.device_params, darrays)   # cached program, no recompile
+    gate_fn = eng._get_jitted(prep.signature, ("pooled",))
+    dev_out = gate_fn(eng.device_params, darrays)
 
     def check(pooled, want):
         return jnp.asarray(

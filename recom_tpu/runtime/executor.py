@@ -9,6 +9,7 @@ reference's nvcc/MD5 kernel cache and its symbolic-shape machinery.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, List, Optional, Tuple
@@ -395,22 +396,29 @@ class Engine:
         )
         return out, concat
 
-    def _forward(self, params, arrays):
+    def _forward(self, params, arrays, mode=("concat", "pooled")):
+        """mode: subset of {"concat", "pooled"} to return beyond "output".
+        The serving hot path uses mode=() — XLA then never materializes
+        the model-order concat or the per-group pooled tensors as program
+        OUTPUTS (at 1000 columns x batch 512 that is ~16MB of pure HBM
+        write traffic per step)."""
         emb, pooled_list, overflow = self._embedding_forward(params, arrays)
         out, concat = self._tower_forward(params, arrays["dense"].T, emb)
-        return {
-            "output": out,
-            "concat": concat,
-            "pooled_groups": pooled_list,
-            "a2a_overflow": overflow,
-        }
+        result = {"output": out, "a2a_overflow": overflow}
+        if "concat" in mode:
+            result["concat"] = concat
+        if "pooled" in mode:
+            result["pooled_groups"] = pooled_list
+        return result
 
     # ------------------------------------------------------------------
-    def _get_jitted(self, signature):
-        fn = self._jit_cache.get(signature)
+    def _get_jitted(self, signature, mode=()):
+        mode = tuple(sorted(mode))
+        key = (signature, mode)
+        fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._forward)
-            self._jit_cache[signature] = fn
+            fn = jax.jit(functools.partial(self._forward, mode=mode))
+            self._jit_cache[key] = fn
             self.stats["compiles"] += 1
         return fn
 
@@ -445,7 +453,12 @@ class Engine:
         return_pooled: bool = False,
         return_concat: bool = False,
     ) -> Dict[str, np.ndarray]:
-        fn = self._get_jitted(prepared.signature)
+        mode = ()
+        if return_concat:
+            mode += ("concat",)
+        if return_pooled:
+            mode += ("pooled",)
+        fn = self._get_jitted(prepared.signature, mode)
         arrays = self.shard_batch_arrays(prepared.arrays)
         t0 = time.perf_counter()
         dev_out = fn(self.device_params, arrays)

@@ -54,9 +54,11 @@ def run_benchmark(
         for w in range(serve_workers)
     ]
 
+    mode = ("concat",) if embedding_only else ()
+
     def serve_once(batch):
-        prepared = prepare_batch(eng.compiled, batch)
-        fn = eng._get_jitted(prepared.signature)
+        prepared = eng.prepare(batch)
+        fn = eng._get_jitted(prepared.signature, mode)
         arrays = eng.shard_batch_arrays(prepared.arrays)
         out = fn(eng.device_params, arrays)
         target = out["concat"] if embedding_only else out["output"]
