@@ -62,6 +62,12 @@ def export_params(engine) -> Dict:
             {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
             for l in layers
         ]
+    if getattr(engine, "_fold_emb_perm", False):
+        # device stores the first top matmul with emb-perm-folded rows;
+        # export back in model order (W_m = W_g[perm_full])
+        perm_full = engine._fold_perm_full()
+        w_g = out["tower"]["top"][0]["w"]
+        out["tower"]["top"][0]["w"] = w_g[perm_full]
     return out
 
 

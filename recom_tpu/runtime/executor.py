@@ -82,6 +82,16 @@ class Engine:
             jax.config.update("jax_enable_x64", True)
         self.model, self.pass_report = run_passes(model, self.config)
         self.compiled: CompiledModel = lower_model(self.model, self.config)
+        # fold the model-order embedding permutation into the first top-MLP
+        # matmul's rows (build time) so the hot path feeds the grouped
+        # concat directly — saves a [B, total_emb] permute-gather per step.
+        # Identity tower (no top layers) and dlrm_dot (order-sensitive dot
+        # interaction) keep the explicit permutation.
+        self._fold_emb_perm = (
+            self.model.tower.arch == "mlp"
+            and bool(self.model.tower.top_mlp)
+            and self.compiled.total_emb_dim > 0
+        )
 
         # --- mesh / sharding decisions (None mesh = single device) ------
         self.mesh = None
@@ -210,7 +220,34 @@ class Engine:
                 }
                 for l in layers
             ]
+        if self._fold_emb_perm:
+            w_m = np.asarray(np_params["tower"]["top"][0]["w"])
+            perm_full = self._fold_perm_full()
+            w_g = np.empty_like(w_m)
+            w_g[perm_full] = w_m      # W_g[front + emb_perm[i]] = W_m[front+i]
+            arr = jnp.asarray(w_g)
+            if rep is not None:
+                arr = jax.device_put(arr, rep)
+            dp["tower"]["top"][0]["w"] = arr
         return dp
+
+    def _fold_perm_full(self) -> np.ndarray:
+        """Row permutation of the first top-MLP matmul under emb-perm
+        folding: identity on the dense/bottom front, emb_perm on the
+        embedding block."""
+        tower = self.model.tower
+        n_dense = self.compiled.n_dense
+        front_w = (
+            tower.bottom_mlp[-1]
+            if (tower.bottom_mlp and n_dense)
+            else n_dense
+        )
+        return np.concatenate(
+            [
+                np.arange(front_w, dtype=np.int64),
+                front_w + np.asarray(self.compiled.emb_perm, dtype=np.int64),
+            ]
+        )
 
     def shard_batch_arrays(self, arrays):
         """Place prepared host arrays on the mesh (batch over "data").
@@ -350,13 +387,28 @@ class Engine:
             group_out.append(pooled.reshape(pooled.shape[0], -1))
         if group_out:
             grouped = jnp.concatenate(group_out, axis=1)
-            emb = jnp.take(grouped, jnp.asarray(compiled.emb_perm), axis=1)
         else:
             bp = arrays["dense"].shape[1]
-            emb = jnp.zeros((bp, 0), jnp.float32)
-        return emb, pooled_list, overflow
+            grouped = jnp.zeros((bp, 0), jnp.float32)
+        # NOTE: returns the GROUPED-order concat; use _model_order() where
+        # model column order matters.  The hot path avoids the permutation
+        # entirely: the first tower matmul's rows are permuted at build
+        # time instead (_fold_emb_perm), saving a [B, total_emb]
+        # permute-gather (~2 x total_emb x 4 bytes HBM per example).
+        return grouped, pooled_list, overflow
+
+    def _model_order(self, grouped: jnp.ndarray) -> jnp.ndarray:
+        if grouped.shape[1] == 0:
+            return grouped
+        return jnp.take(
+            grouped, jnp.asarray(self.compiled.emb_perm), axis=1
+        )
 
     def _tower_forward(self, params, dense, emb, logits_only: bool = False):
+        """emb: GROUPED order when _fold_emb_perm (mlp, first top matmul
+        rows pre-permuted at build time), else model order.  Returns
+        (out, front) — ``front`` is the dense-side prefix of the
+        embedding-only concat artifact (composed by _forward on demand)."""
         tower = self.model.tower
         if tower.arch == "mlp":
             front = dense
@@ -365,8 +417,7 @@ class Engine:
                     params["tower"]["bottom"], dense, tower.activation,
                     tower.activation,
                 )
-            concat = jnp.concatenate([front, emb], axis=1)
-            tower_in = concat
+            tower_in = jnp.concatenate([front, emb], axis=1)
         elif tower.arch == "dlrm_dot":
             bottom = mlp_apply(
                 params["tower"]["bottom"], dense, tower.activation,
@@ -386,7 +437,7 @@ class Engine:
             n_vec = n_emb + 1
             iu = np.triu_indices(n_vec, k=1)
             inter = gram[:, iu[0], iu[1]]
-            concat = jnp.concatenate([dense, emb], axis=1)
+            front = dense
             tower_in = jnp.concatenate([bottom, inter], axis=1)
         else:
             raise ValueError(self.model.tower.arch)
@@ -394,19 +445,29 @@ class Engine:
             params["tower"]["top"], tower_in, tower.activation,
             None if logits_only else tower.final_activation,
         )
-        return out, concat
+        return out, front
 
-    def _forward(self, params, arrays, mode=("concat", "pooled")):
+    def _forward(self, params, arrays, mode=("concat", "pooled"),
+                 logits_only: bool = False):
         """mode: subset of {"concat", "pooled"} to return beyond "output".
         The serving hot path uses mode=() — XLA then never materializes
         the model-order concat or the per-group pooled tensors as program
         OUTPUTS (at 1000 columns x batch 512 that is ~16MB of pure HBM
         write traffic per step)."""
-        emb, pooled_list, overflow = self._embedding_forward(params, arrays)
-        out, concat = self._tower_forward(params, arrays["dense"].T, emb)
+        grouped, pooled_list, overflow = self._embedding_forward(
+            params, arrays
+        )
+        emb_tower = (
+            grouped if self._fold_emb_perm else self._model_order(grouped)
+        )
+        out, front = self._tower_forward(
+            params, arrays["dense"].T, emb_tower, logits_only=logits_only
+        )
         result = {"output": out, "a2a_overflow": overflow}
         if "concat" in mode:
-            result["concat"] = concat
+            result["concat"] = jnp.concatenate(
+                [front, self._model_order(grouped)], axis=1
+            )
         if "pooled" in mode:
             result["pooled_groups"] = pooled_list
         return result

@@ -28,11 +28,9 @@ from recom_tpu.runtime.host_prep import prepare_batch
 def forward_logits(engine: Engine, params, arrays) -> jnp.ndarray:
     """Engine forward but with the final activation stripped (losses want
     logits)."""
-    emb, _, _ = engine._embedding_forward(params, arrays)
-    out, _ = engine._tower_forward(
-        params, arrays["dense"].T, emb, logits_only=True
-    )
-    return out
+    return engine._forward(params, arrays, mode=(), logits_only=True)[
+        "output"
+    ]
 
 
 class Trainer:
