@@ -88,6 +88,18 @@ def main():
 
     dev_s = time_fn(lambda: fn(eng.device_params, darrays), args.iters)
 
+    # effective embedding-lookup bandwidth (BASELINE metric): bytes the
+    # grouped gathers stream per step / device-step time.  Upper-bounded
+    # by including the tower in the denominator — the true lookup GB/s is
+    # higher; reported as a conservative floor.
+    itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[
+        eng.config.table_dtype
+    ]
+    gathered = 0
+    for g, rl in zip(eng.compiled.groups, prep.rowlens):
+        gathered += prep.batch_padded * g.num_columns * rl * g.dim * itemsize
+    lookup_gbps = gathered / dev_s / 1e9
+
     # end-to-end: host preprocessing + H2D + device step (the honest
     # analogue of the reference's timed session->Run)
     def e2e():
@@ -179,6 +191,7 @@ def main():
                     "serve_latency_ms": (
                         round(serve_s * 1e3, 3) if serve_s else None
                     ),
+                    "lookup_gbps_floor": round(lookup_gbps, 2),
                     "oracle_cpu_latency_ms": round(oracle_s * 1e3, 1),
                     "batch": args.batch,
                     "model": model.name,

@@ -33,19 +33,28 @@ class ServingPipeline:
         prep_workers: int = 4,
         max_inflight: int = 4,
         fetch_outputs: bool = True,
+        retries: int = 1,
     ):
         """``fetch_outputs=False`` leaves results as device arrays (resolved
         with block_until_ready) — for benchmarking on remote-tunneled
         devices where per-request D2H RPC would swamp the measurement, and
-        for servers whose next stage consumes device-resident outputs."""
+        for servers whose next stage consumes device-resident outputs.
+
+        ``retries``: transient-failure tolerance (the closest analogue in
+        the reference is compile-time graceful degradation, SURVEY.md §5 —
+        a serving runtime also needs request-level retry for transient
+        device/RPC errors).  Each failed request is retried up to this
+        many times before its Future carries the exception; retry counts
+        land in stats["retries"]."""
         self.engine = engine
         self.fetch_outputs = fetch_outputs
+        self.retries = max(0, int(retries))
         self._pool = ThreadPoolExecutor(
             max_workers=prep_workers, thread_name_prefix="recom-prep"
         )
         self._inflight = threading.Semaphore(max_inflight)
         self._dispatch_lock = threading.Lock()
-        self.stats = {"submitted": 0, "completed": 0}
+        self.stats = {"submitted": 0, "completed": 0, "retries": 0}
 
     # ------------------------------------------------------------------
     def _prep(self, batch: Dict, batch_size: Optional[int]):
@@ -76,10 +85,19 @@ class ServingPipeline:
 
         def work():
             try:
-                prepared = self._prep(batch, batch_size)
-                out = self._run(prepared)
-                self.stats["completed"] += 1
-                result.set_result(out)
+                last_exc = None
+                for attempt in range(self.retries + 1):
+                    try:
+                        prepared = self._prep(batch, batch_size)
+                        out = self._run(prepared)
+                        self.stats["completed"] += 1
+                        result.set_result(out)
+                        return
+                    except Exception as e:  # transient device/RPC errors
+                        last_exc = e
+                        if attempt < self.retries:
+                            self.stats["retries"] += 1
+                result.set_exception(last_exc)
             except BaseException as e:
                 result.set_exception(e)
             finally:

@@ -57,3 +57,37 @@ def test_throughput_under_sla_reports_ladder():
     )
     assert rep2["best_under_sla"] is None
     assert len(rep2["ladder"]) == 1
+
+
+def test_pipeline_retries_transient_failures():
+    m = _small_model()
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32,)))
+    b = make_random_batch(m, 32, seed=1)
+    want = eng.predict(b)["output"]
+
+    calls = {"n": 0}
+    orig = ServingPipeline._run
+
+    def flaky(self, prepared):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return orig(self, prepared)
+
+    ServingPipeline._run = flaky
+    try:
+        with ServingPipeline(eng, retries=1) as pipe:
+            out = pipe.submit(b).result()
+            assert pipe.stats["retries"] == 1
+        np.testing.assert_array_equal(out, want)
+        # retries=0: the exception surfaces
+        calls["n"] = 0
+        with ServingPipeline(eng, retries=0) as pipe:
+            fut = pipe.submit(b)
+            try:
+                fut.result()
+                assert False, "expected failure"
+            except RuntimeError:
+                pass
+    finally:
+        ServingPipeline._run = orig
