@@ -65,3 +65,59 @@ def make_criteo_dlrm(
         init_seed=seed,
     )
     return ModelSpec("criteo_dlrm", tables, columns, tower)
+
+
+def read_criteo_tsv(path, batch_size: int, max_batches=None, log_dense=True):
+    """Stream batches from a Criteo-format TSV file.
+
+    Format (Kaggle / Terabyte display-ads logs): per line, tab-separated
+    ``label, I1..I13 (ints, may be empty), C1..C26 (hex strings, may be
+    empty)``.  Yields (batch_dict, labels) pairs matching
+    :func:`make_criteo_dlrm`'s feature names:
+
+      * ``int{i}``:  float32; empty -> 0; log(1+x) transform when
+        ``log_dense`` (standard DLRM preprocessing; negatives clamp to 0)
+      * ``cat{i}``:  int64 id from the hex token (empty -> 0); the model's
+        HashBucket transform maps it into the per-feature vocab
+
+    Pure-Python line parsing at file-read granularity — input IO is not a
+    steady-state serving cost (batches are prepared once then replayed by
+    the benchmark harness, like the reference's ConstructGraphInputs,
+    recom_examples.patch:3363-3450).
+    """
+    import numpy as np
+
+    def flush(rows):
+        n = len(rows)
+        labels = np.asarray([r[0] for r in rows], np.float32)
+        batch = {}
+        for i in range(13):
+            col = np.asarray([r[1][i] for r in rows], np.float32)
+            if log_dense:
+                col = np.log1p(np.maximum(col, 0.0))
+            batch[f"int{i}"] = col
+        for i in range(26):
+            batch[f"cat{i}"] = np.asarray(
+                [r[2][i] for r in rows], np.int64
+            )
+        return batch, labels
+
+    rows = []
+    n_batches = 0
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 40:
+                parts = parts + [""] * (40 - len(parts))
+            label = int(parts[0] or 0)
+            dense = [float(p) if p else 0.0 for p in parts[1:14]]
+            cats = [int(p, 16) if p else 0 for p in parts[14:40]]
+            rows.append((label, dense, cats))
+            if len(rows) == batch_size:
+                yield flush(rows)
+                rows = []
+                n_batches += 1
+                if max_batches is not None and n_batches >= max_batches:
+                    return
+    if rows:
+        yield flush(rows)

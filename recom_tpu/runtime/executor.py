@@ -552,6 +552,36 @@ class Engine:
         return result
 
     # ------------------------------------------------------------------
+    def stats_report(self) -> Dict:
+        """Serving observability snapshot: compile/call counters, a2a
+        overflow, per-stage latency percentiles, per-group layout facts.
+        (The reference exposes only --timeline trace dumps,
+        recom_examples.patch:241-258; this is the always-on equivalent.)"""
+        return {
+            "counters": dict(self.stats),
+            "stage_latency": self.timers.summary(),
+            "programs_compiled": len(self._jit_cache),
+            "groups": [
+                {
+                    "gid": g.gid,
+                    "dim": g.dim,
+                    "columns": g.num_columns,
+                    "ragged": g.ragged,
+                    "rows": g.stacked_rows,
+                    "backend": (
+                        "pallas_onehot"
+                        if g.pallas_vocab is not None
+                        and g.gid not in self._sharded_gids
+                        else "sharded_" + self.config.shard_comm
+                        if g.gid in self._sharded_gids
+                        else "xla_gather"
+                    ),
+                }
+                for g in self.compiled.groups
+            ],
+        }
+
+    # ------------------------------------------------------------------
     def warmup(self, batches=None, batch_sizes=None) -> int:
         """Precompile serving programs ahead of traffic (the reference's
         warm-up run triggers its whole pass + nvcc pipeline on the first

@@ -222,3 +222,39 @@ def test_pointwise_suffix_after_bucketize_runs_on_device():
     ref = OracleModel(m).forward(batch)
     for c, r in ref["pooled"].items():
         np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+
+def test_criteo_tsv_reader_end_to_end(tmp_path):
+    import numpy as np
+
+    from recom_tpu.models.criteo import make_criteo_dlrm, read_criteo_tsv
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(70):
+        label = str(rng.integers(0, 2))
+        dense = [
+            str(rng.integers(0, 100)) if rng.random() > 0.2 else ""
+            for _ in range(13)
+        ]
+        cats = [
+            format(int(rng.integers(0, 2**32)), "x")
+            if rng.random() > 0.2 else ""
+            for _ in range(26)
+        ]
+        lines.append("\t".join([label] + dense + cats))
+    p = tmp_path / "criteo.tsv"
+    p.write_text("\n".join(lines) + "\n")
+
+    m = make_criteo_dlrm(embedding_dim=8, bottom_mlp=(16, 8),
+                         top_mlp=(32, 1), vocabs=(100,) * 26)
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32, 64)))
+    ref_o = OracleModel(m)
+    total = 0
+    for batch, labels in read_criteo_tsv(str(p), 32):
+        out = eng.predict(batch, return_pooled=True)
+        ref = ref_o.forward(batch)
+        for c, r in ref["pooled"].items():
+            np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+        total += len(labels)
+    assert total == 70
