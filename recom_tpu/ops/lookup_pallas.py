@@ -66,6 +66,169 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bz_kernel(raw_ref, lo_ref, hi_ref, cnt_ref, tbl_ref, out_ref, *, vt: int):
+    """Fused bucketize + one-hot matmul: the TPU-native EmitInputInline
+    (reference fuses Bucketize into the megakernel as a shared-memory
+    binary search, cuda_emitter.cc:1858-1886).  Bucket membership IS an
+    interval test — onehot[c, b, v] = lo[c, v] <= x[c, b] < hi[c, v] —
+    so raw floats one-hot directly against per-vocab boundary pairs and
+    the separate [B, C] id tensor never exists.  NaN maps to the last
+    bucket (count), matching std::upper_bound semantics."""
+    vi = pl.program_id(2)
+
+    @pl.when(vi == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = raw_ref[:]                                        # [CT, B_t]
+    lo = lo_ref[:]                                        # [CT, VT]
+    hi = hi_ref[:]                                        # [CT, VT]
+    # minor-dim insertions stay on 32-bit values (Mosaic rejects non-no-op
+    # dim insertion on 1-bit bools); comparisons run on broadcasted f32
+    xb = x[:, :, None]                                    # [CT, B_t, 1]
+    in_iv = (
+        (lo[:, None, :] <= xb) & (xb < hi[:, None, :])
+    ).astype(jnp.float32)                                 # [CT, B_t, VT]
+    # NaN and +inf -> bucket == count (the last real bucket), matching
+    # upper_bound/searchsorted: both fail every half-open interval above
+    voff = jnp.int32(vi) * jnp.int32(vt)
+    vids = voff + jax.lax.broadcasted_iota(jnp.int32, (1, 1, vt), 2)
+    # f32 literals: under jax_enable_x64 bare floats promote to f64,
+    # which Mosaic cannot lay out
+    specialf = jnp.where(
+        x < jnp.float32(jnp.inf), jnp.float32(0), jnp.float32(1)
+    )[:, :, None]
+    cnt = cnt_ref[:]                                      # [CT, 1] int32
+    is_cnt = (vids == cnt[:, :, None]).astype(jnp.float32)
+    onehot = jnp.maximum(in_iv, specialf * is_cnt)
+    tbl = tbl_ref[:]
+    if tbl.dtype != jnp.float32:
+        tbl = tbl.astype(jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        onehot,
+        tbl,                                              # [CT, VT, d]
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "ct", "vt", "interpret"))
+def _onehot_bucketize_impl(
+    table3: jnp.ndarray,   # [C_pad, V_pad, d] per-column tables (zero padded)
+    raw_t: jnp.ndarray,    # [C_pad, B] f32 raw feature values
+    lo: jnp.ndarray,       # [C_pad, V_pad] f32 lower bucket bounds
+    hi: jnp.ndarray,       # [C_pad, V_pad] f32 upper bucket bounds
+    counts: jnp.ndarray,   # [C_pad, 1] int32 true boundary counts
+    bt: int = 128,
+    ct: int = 8,
+    vt: int = 512,
+    interpret: bool = False,
+):
+    c_pad, v_pad, d = table3.shape
+    b = raw_t.shape[1]
+    bt = min(bt, b)
+    ct = min(ct, c_pad)
+    vt = min(vt, v_pad)
+    assert b % bt == 0 and c_pad % ct == 0 and v_pad % vt == 0
+    grid = (c_pad // ct, b // bt, v_pad // vt)
+
+    return pl.pallas_call(
+        functools.partial(_bz_kernel, vt=vt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ct, bt), lambda ci, bi, vi: (ci, bi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, vt), lambda ci, bi, vi: (ci, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, vt), lambda ci, bi, vi: (ci, vi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda ci, bi, vi: (ci, jnp.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ct, vt, d), lambda ci, bi, vi: (ci, vi, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ct, bt, d), lambda ci, bi, vi: (ci, bi, jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c_pad, b, d), jnp.float32),
+        interpret=interpret,
+    )(raw_t, lo, hi, counts, table3)
+
+
+def onehot_bucketize_lookup(
+    table3: jnp.ndarray,
+    raw_t: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    counts: jnp.ndarray,   # [C_pad, 1] int32
+    bt: int = 128,
+    ct: int = 8,
+    vt: int = 512,
+    interpret: bool = False,
+):
+    """Gathered rows [C_pad, B, d] for bucketized float columns without
+    ever materializing ids.  Padded vocab slots carry lo=hi=+inf (empty
+    intervals), padded columns contribute zero rows.  Differentiable
+    w.r.t. table3 (ids recomputed cheaply in the backward pass; raw
+    features get zero cotangent — bucketize is piecewise constant)."""
+    _, v_pad, d = table3.shape
+    tdtype = table3.dtype
+
+    @jax.custom_vjp
+    def _f(t, r):
+        return _onehot_bucketize_impl(t, r, lo, hi, counts, bt, ct, vt,
+                                      interpret)
+
+    def _fwd(t, r):
+        return _f(t, r), r
+
+    def _bwd(r, g):
+        # bucket id = #(boundaries <= x); the FINITE lo entries are exactly
+        # the boundaries (slot 0 is the -inf edge, pads are +inf).
+        fin = jnp.isfinite(lo)
+        le = (lo[:, None, :] <= r[:, :, None]) & fin[:, None, :]
+        ids = le.sum(axis=2, dtype=jnp.int32)
+        special = ~(r < jnp.inf)                           # NaN or +inf
+        ids = jnp.where(special, counts, ids)
+
+        def col_grad(ids_c, g_c):
+            z = jnp.zeros((v_pad, d), jnp.float32)
+            return z.at[ids_c].add(g_c, mode="drop")
+
+        dt = jax.vmap(col_grad)(ids, g.astype(jnp.float32))
+        return dt.astype(tdtype), jnp.zeros_like(r)
+
+    _f.defvjp(_fwd, _bwd)
+    return _f(table3, raw_t)
+
+
+def bucket_bounds(
+    boundary_matrix: np.ndarray,   # [C, Kmax] f32, +inf padded
+    boundary_counts: np.ndarray,   # [C] int32
+    v_pad: int,
+    c_pad: int,
+):
+    """(lo, hi, counts) arrays for onehot_bucketize_lookup.  Bucket v of
+    column c spans [bounds[v-1], bounds[v]) with -inf/+inf sentinels;
+    vocab slots beyond count+1 and padded columns get empty intervals."""
+    c, kmax = boundary_matrix.shape
+    lo = np.full((c_pad, v_pad), np.inf, dtype=np.float32)
+    hi = np.full((c_pad, v_pad), np.inf, dtype=np.float32)
+    counts = np.zeros((c_pad, 1), dtype=np.int32)
+    for i in range(c):
+        k = int(boundary_counts[i])
+        b = boundary_matrix[i, :k].astype(np.float64)
+        edges = np.concatenate([[-np.inf], b, [np.inf]])
+        lo[i, : k + 1] = edges[:-1].astype(np.float32)
+        hi[i, : k + 1] = edges[1:].astype(np.float32)
+        counts[i, 0] = k
+    return lo, hi, counts
+
+
 @functools.partial(
     jax.jit, static_argnames=("bt", "ct", "vt", "interpret")
 )

@@ -121,6 +121,7 @@ class Engine:
         self.device_params = self._build_device_params(np_params)
         self._jit_cache: Dict[Tuple, object] = {}
         self._rowlen_hints: Dict[int, int] = {}
+        self._bz_bounds_cache: Dict[int, Tuple] = {}
         self.stats = {"compiles": 0, "calls": 0}
         from recom_tpu.utils.logging import Logger, StageTimer
 
@@ -339,6 +340,38 @@ class Engine:
             # tables stay in their stored dtype through the gather: rows are
             # upcast/dequantized AFTER (gather traffic = stored bytes)
             table = params["stacked"][str(g.gid)]
+            interp = (
+                self.config.interpret or jax.default_backend() != "tpu"
+            )
+            # fully-fused path: pure-bucketize Pallas groups one-hot RAW
+            # floats against boundary interval pairs inside the megakernel
+            # (the reference's EmitInputInline Bucketize fusion,
+            # cuda_emitter.cc:1858-1886) — no id tensor exists at all
+            if (
+                g.pallas_vocab is not None
+                and g.gid not in self._sharded_gids
+                and g.n_bucketize == g.num_columns
+                and g.lut_matrix is None
+            ):
+                from recom_tpu.ops.lookup_pallas import (
+                    onehot_bucketize_lookup,
+                )
+
+                lo, hi, cnts, c_pad = self._bz_bounds(g, table.shape[0])
+                raw = packed["raw_bz"]                    # [nbz, Bp]
+                if c_pad > g.n_bucketize:
+                    raw = jnp.pad(
+                        raw, ((0, c_pad - g.n_bucketize), (0, 0))
+                    )
+                rows = onehot_bucketize_lookup(
+                    table, raw, jnp.asarray(lo), jnp.asarray(hi),
+                    jnp.asarray(cnts), interpret=interp,
+                )                                         # [C_pad, Bp, d]
+                # one id per entry: combiner divisors are exactly 1
+                pooled = jnp.transpose(rows[: g.num_columns], (1, 0, 2))
+                pooled_list.append(pooled)
+                group_out.append(pooled.reshape(pooled.shape[0], -1))
+                continue
             parts = []
             if g.n_bucketize:
                 bz_ids = lookup_xla.device_bucketize(
@@ -359,10 +392,6 @@ class Engine:
             if g.pallas_vocab is not None and g.gid not in self._sharded_gids:
                 from recom_tpu.ops.lookup_pallas import group_pooled_onehot
 
-                interp = (
-                    self.config.interpret
-                    or jax.default_backend() != "tpu"
-                )
                 pooled = group_pooled_onehot(
                     table,
                     ids,
@@ -396,6 +425,20 @@ class Engine:
         # time instead (_fold_emb_perm), saving a [B, total_emb]
         # permute-gather (~2 x total_emb x 4 bytes HBM per example).
         return grouped, pooled_list, overflow
+
+    def _bz_bounds(self, g, c_pad: int):
+        """(lo, hi, counts, c_pad) interval arrays for the fused bucketize
+        one-hot kernel, cached per group (static compile-time constants)."""
+        hit = self._bz_bounds_cache.get(g.gid)
+        if hit is None:
+            from recom_tpu.ops.lookup_pallas import bucket_bounds
+
+            lo, hi, cnts = bucket_bounds(
+                g.boundary_matrix, g.boundary_counts, g.pallas_vocab, c_pad
+            )
+            hit = (lo, hi, cnts, c_pad)
+            self._bz_bounds_cache[g.gid] = hit
+        return hit
 
     def _model_order(self, grouped: jnp.ndarray) -> jnp.ndarray:
         if grouped.shape[1] == 0:

@@ -123,3 +123,90 @@ def test_trainer_through_pallas_path():
     losses = [tr.step(b, labels) for _ in range(4)]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_fused_bucketize_onehot_matches_oracle_including_specials():
+    """Fused bucketize+one-hot kernel: raw floats (incl. NaN, +/-inf,
+    exact boundary values) one-hot directly against interval pairs;
+    bit-exact vs the oracle id path."""
+    import numpy as np
+
+    from recom_tpu.ops.lookup_pallas import (
+        bucket_bounds,
+        onehot_bucketize_lookup,
+    )
+    from recom_tpu.ops import lookup_xla
+
+    rng = np.random.default_rng(0)
+    C, B = 5, 64
+    kmax = 9
+    bmat = np.full((C, kmax), np.inf, np.float32)
+    cnts = np.zeros((C,), np.int32)
+    for i in range(C):
+        k = int(rng.integers(1, kmax + 1))
+        bmat[i, :k] = np.sort(rng.uniform(-10, 10, k)).astype(np.float32)
+        cnts[i] = k
+    v_pad, c_pad = 128, 8
+    d = 8
+    table3 = rng.standard_normal((c_pad, v_pad, d)).astype(np.float32)
+
+    raw = rng.uniform(-15, 15, (C, B)).astype(np.float32)
+    # specials + exact boundary hits
+    raw[0, 0] = np.nan
+    raw[1, 1] = np.inf
+    raw[2, 2] = -np.inf
+    raw[3, 3] = bmat[3, 0]
+    raw_pad = np.zeros((c_pad, B), np.float32)
+    raw_pad[:C] = raw
+
+    lo, hi, counts = bucket_bounds(bmat, cnts, v_pad, c_pad)
+    rows = onehot_bucketize_lookup(
+        jnp.asarray(table3), jnp.asarray(raw_pad), jnp.asarray(lo),
+        jnp.asarray(hi), jnp.asarray(counts), interpret=True,
+    )
+
+    # reference: XLA bucketize ids then direct indexing
+    ids = np.asarray(
+        lookup_xla.device_bucketize(
+            jnp.asarray(raw.T), jnp.asarray(bmat), jnp.asarray(cnts)
+        )
+    )                                                   # [B, C]
+    ref = np.zeros((c_pad, B, d), np.float32)
+    for c in range(C):
+        for b in range(B):
+            ref[c, b] = table3[c, ids[b, c]]
+    np.testing.assert_array_equal(np.asarray(rows), ref)
+
+
+def test_fused_bucketize_engine_and_grad():
+    import numpy as np
+
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_microbenchmark_model
+    from recom_tpu.oracle import OracleModel
+    from recom_tpu.train import Trainer
+
+    m = make_microbenchmark_model(6)
+    eng = Engine(m, EngineConfig(use_pallas=True, interpret=True,
+                                 batch_buckets=(64,)))
+    # pure-bucketize group must take the fused path (no ids anywhere)
+    g = eng.compiled.groups[0]
+    assert g.n_bucketize == g.num_columns and g.pallas_vocab is not None
+    b = make_random_batch(m, 64, seed=4)
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+    # trainable through the fused kernel's custom VJP
+    from recom_tpu.models.synthetic import make_dlrm_model
+
+    m2 = make_dlrm_model(4, 0, 0, 0, 0, 2, [4], [8, 1], name="bztr")
+    tr = Trainer(m2, EngineConfig(use_pallas=True, interpret=True,
+                                  batch_buckets=(16,)))
+    b2 = make_random_batch(m2, 16, seed=5)
+    labels = np.random.default_rng(0).integers(0, 2, 16)
+    losses = [tr.step(b2, labels) for _ in range(4)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
