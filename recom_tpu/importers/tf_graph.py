@@ -313,14 +313,17 @@ def import_tf_graphdef(
                 )
             )
             continue
+        range_tf = _extract_range_transforms(gi, sub)
         if "Bucketize" in ops:
             bz = ops["Bucketize"]
-            transforms = (Bucketize(attr_float_list(bz.attr("boundaries"))),)
+            transforms = (
+                Bucketize(attr_float_list(bz.attr("boundaries"))),
+            ) + range_tf
             kind = FeatureKind.DENSE_FLOAT
         elif "StringToHashBucketFast" in ops:
             hb = ops["StringToHashBucketFast"]
             nb = attr_int(hb.attr("num_buckets"))
-            transforms = (HashBucket(nb),)
+            transforms = (HashBucket(nb),) + range_tf
             if ragged:
                 kind = FeatureKind.STRING_LIST
             elif "AsString" in ops or _ph_dtype(placeholders) in (
@@ -415,6 +418,85 @@ def _ph_dtype(placeholders: List[Node]) -> Optional[int]:
         if t is not None:
             return t
     return None
+
+
+_CMP_OPS = {
+    "Greater": ">", "GreaterEqual": ">=", "Less": "<", "LessEqual": "<=",
+    "Equal": "==", "NotEqual": "!=",
+}
+_CMP_MIRROR = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "==": "==",
+               "!=": "!="}
+
+
+def _const_scalar(gi: GraphIndex, name: str):
+    n = gi.node(name)
+    if n is None or n.op != "Const":
+        return None
+    t = attr_tensor(n.attr("value"))
+    if t is None or t.size != 1:
+        return None
+    return t.reshape(()).item()
+
+
+def _pred_to_intervals(gi: GraphIndex, name: str):
+    """Compile a boolean predicate subtree into an IntervalSet over the id
+    chain — the reference's MatchExpr (pre_lookup_optimizer.cc:66-123):
+    comparison leaves against scalar Consts, combined with
+    LogicalAnd/Or/Not.  Returns None for unsupported shapes."""
+    from recom_tpu.ir.intervals import compare_to_interval
+
+    n = gi.node(name)
+    if n is None:
+        return None
+    if n.op == "LogicalAnd":
+        a = _pred_to_intervals(gi, n.inputs[0])
+        b = _pred_to_intervals(gi, n.inputs[1])
+        return a.intersect(b) if a is not None and b is not None else None
+    if n.op == "LogicalOr":
+        a = _pred_to_intervals(gi, n.inputs[0])
+        b = _pred_to_intervals(gi, n.inputs[1])
+        return a.union(b) if a is not None and b is not None else None
+    if n.op == "LogicalNot":
+        a = _pred_to_intervals(gi, n.inputs[0])
+        return a.complement() if a is not None else None
+    if n.op in _CMP_OPS:
+        sym = _CMP_OPS[n.op]
+        rhs = _const_scalar(gi, n.inputs[1])
+        if rhs is None:
+            lhs = _const_scalar(gi, n.inputs[0])
+            if lhs is None:
+                return None
+            sym, rhs = _CMP_MIRROR[sym], lhs
+        return compare_to_interval(sym, int(rhs))
+    return None
+
+
+def _extract_range_transforms(gi: GraphIndex, sub) -> tuple:
+    """FilterRange/SelectRange transforms from the column subgraph's
+    Where+Gather (value filtering) and Select (substitution) idioms —
+    the patterns the reference's PreLookupOptimizer matches and rewrites
+    into its Gather*/SelectValue custom ops
+    (pre_lookup_optimizer.cc:25-123)."""
+    from recom_tpu.ir.intervals import IntervalSet
+    from recom_tpu.ir.spec import FilterRange, SelectRange
+
+    order = {id(x): i for i, x in enumerate(gi.nodes)}
+    found = []
+    has_gather_of = {
+        _base(x.inputs[1]) for x in sub
+        if x.op in ("GatherV2", "Gather") and len(x.inputs) > 1
+    }
+    for x in sorted(sub, key=lambda s: order.get(id(s), 0)):
+        if x.op == "Where" and x.name in has_gather_of:
+            iv = _pred_to_intervals(gi, x.inputs[0])
+            if iv is not None and not iv.is_all():
+                found.append(FilterRange(iv))
+        elif x.op in ("Select", "SelectV2"):
+            iv = _pred_to_intervals(gi, x.inputs[0])
+            sub_val = _const_scalar(gi, x.inputs[2])
+            if iv is not None and sub_val is not None and not iv.is_all():
+                found.append(SelectRange(iv, int(sub_val)))
+    return tuple(found)
 
 
 def _const_string(gi: GraphIndex, name: str) -> Optional[str]:

@@ -194,3 +194,99 @@ def test_no_concat_raises():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "ConcatV2" in str(e)
+
+
+def av_tensor_int64_scalar(v: int) -> bytes:
+    t = pw.field_varint(1, DT_INT64)
+    t += pw.field_bytes(2, b"")              # scalar shape
+    t += pw.field_varint(10, v & ((1 << 64) - 1))  # int64_val
+    return pw.field_bytes(8, t)
+
+
+def test_import_prelookup_filter_and_select_patterns():
+    """The reference PreLookupOptimizer's Where+Gather filter and Select
+    substitution idioms (pre_lookup_optimizer.cc:25-123) must import as
+    FilterRange/SelectRange interval transforms."""
+    from recom_tpu.ir.intervals import IntervalSet
+    from recom_tpu.ir.spec import FilterRange, SelectRange
+
+    rng = np.random.default_rng(0)
+    g = b""
+    concat_inputs = []
+
+    # column A: hash -> filter(ids > 10 AND ids <= 90) via Where+GatherV2
+    tbl = rng.standard_normal((100, 4)).astype(np.float32)
+    g += node("colA", "Placeholder", dtype=av_type(DT_STRING))
+    g += node("colA/Hash", "StringToHashBucketFast", ["colA"],
+              num_buckets=av_int(100))
+    g += node("colA/c10", "Const", value=av_tensor_int64_scalar(10))
+    g += node("colA/c90", "Const", value=av_tensor_int64_scalar(90))
+    g += node("colA/gt", "Greater", ["colA/Hash", "colA/c10"])
+    g += node("colA/le", "LessEqual", ["colA/Hash", "colA/c90"])
+    g += node("colA/and", "LogicalAnd", ["colA/gt", "colA/le"])
+    g += node("colA/Where", "Where", ["colA/and"])
+    g += node("colA/GatherV2", "GatherV2",
+              ["colA/Hash", "colA/Where", "colA/axis"])
+    g += node("emb_colA", "Const", value=av_tensor_float(tbl))
+    g += node("colA/SparseSegmentMean", "SparseSegmentMean",
+              ["emb_colA", "colA/GatherV2", "colA/segs"])
+    concat_inputs.append("colA/SparseSegmentMean")
+
+    # column B: hash -> Select(ids < 50, ids, 0)
+    tbl2 = rng.standard_normal((64, 4)).astype(np.float32)
+    g += node("colB", "Placeholder", dtype=av_type(DT_STRING))
+    g += node("colB/Hash", "StringToHashBucketFast", ["colB"],
+              num_buckets=av_int(64))
+    g += node("colB/c50", "Const", value=av_tensor_int64_scalar(50))
+    g += node("colB/lt", "Less", ["colB/Hash", "colB/c50"])
+    g += node("colB/zero", "Const", value=av_tensor_int64_scalar(0))
+    g += node("colB/Select", "Select",
+              ["colB/lt", "colB/Hash", "colB/zero"])
+    g += node("emb_colB", "Const", value=av_tensor_float(tbl2))
+    g += node("colB/SparseSegmentMean", "SparseSegmentMean",
+              ["emb_colB", "colB/Select", "colB/segs"])
+    concat_inputs.append("colB/SparseSegmentMean")
+
+    # need >5 concat inputs? find_output_concat heuristic — pad with more
+    for i in range(4):
+        g += node(f"dense{i}", "Placeholder", dtype=av_type(DT_FLOAT))
+        concat_inputs.append(f"dense{i}")
+
+    g += node("concat/axis", "Const")
+    g += node("input_layer/concat", "ConcatV2",
+              concat_inputs + ["concat/axis"], N=av_int(len(concat_inputs)))
+
+    model, weights = import_tf_graphdef(g, name="flt")
+    by_name = {c.name: c for c in model.columns}
+
+    a = by_name["colA"]
+    assert isinstance(a.transforms[0], HashBucket)
+    filt = [t for t in a.transforms if isinstance(t, FilterRange)]
+    assert len(filt) == 1
+    assert filt[0].keep == IntervalSet.closed(11, 90)
+
+    b = by_name["colB"]
+    sel = [t for t in b.transforms if isinstance(t, SelectRange)]
+    assert len(sel) == 1
+    assert sel[0].keep == IntervalSet.lt(50)
+    assert sel[0].substitute == 0
+
+    # semantics survive end to end: engine vs oracle on the imported model
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.oracle import OracleModel
+    from recom_tpu.utils.params import init_model_params
+
+    params = init_model_params(model)
+    for t, w in weights.items():
+        params["tables"][t] = w
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(32,)),
+                 params=params)
+    batch = {
+        "colA": np.asarray([f"u{i}" for i in range(20)]),
+        "colB": np.asarray([f"v{i}" for i in range(20)]),
+        **{f"dense{i}": rng.standard_normal(20) for i in range(4)},
+    }
+    out = eng.predict(batch, return_pooled=True)
+    ref = OracleModel(model, params=params).forward(batch)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
