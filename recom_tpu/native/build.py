@@ -41,7 +41,7 @@ def build_lib(verbose: bool = False) -> str:
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
         _SRC, "-o", tmp,
     ]
     if verbose:

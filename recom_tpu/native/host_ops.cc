@@ -14,7 +14,10 @@
 // code).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -183,6 +186,40 @@ inline size_t FormatInt(int64_t value, uint8_t* buf) {
   return len;
 }
 
+inline int64_t MaxNativeThreads() {
+  // RECOM_TPU_NATIVE_THREADS: cap for intra-call column threading
+  // (0/1 = serial).  Read once.
+  static int64_t cap = [] {
+    const char* e = std::getenv("RECOM_TPU_NATIVE_THREADS");
+    long v = e ? std::strtol(e, nullptr, 10) : 4;
+    if (v < 1) v = 1;
+    if (v > 16) v = 16;
+    return static_cast<int64_t>(v);
+  }();
+  return cap;
+}
+
+template <typename Fn>
+void ParallelColumns(int64_t n_cols, int64_t min_per_thread, Fn fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t want = n_cols / min_per_thread;
+  int64_t n_threads = want < 1 ? 1 : want;
+  if (n_threads > MaxNativeThreads()) n_threads = MaxNativeThreads();
+  if (hw && n_threads > static_cast<int64_t>(hw)) n_threads = hw;
+  if (n_threads <= 1) {
+    for (int64_t c = 0; c < n_cols; ++c) fn(c);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int64_t t = 0; t < n_threads; ++t) {
+    threads.emplace_back([=]() {
+      for (int64_t c = t; c < n_cols; c += n_threads) fn(c);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 inline size_t FixedLen(const uint8_t* p, int64_t width) {
   // numpy 'S<width>' entries are NUL-padded on the right
   int64_t n = width;
@@ -286,13 +323,15 @@ int64_t rt_split_hash_pad(const uint8_t* buf, int64_t width, int64_t n,
 // Multi-column entry points: one call per column GROUP instead of one per
 // column.  At serving batch sizes the per-column C++ work is ~10us, so the
 // Python/ctypes crossing dominates a per-column API; these take pointer
-// arrays and loop columns natively.
+// arrays and loop columns natively.  Column loops parallelize across a
+// few std::threads once the group is big enough to amortize spawn cost
+// (ctypes released the GIL for the call, so these threads own the cores).
 
 // vals: n_cols pointers, each to [batch] int64.  out: [n_cols, batch] i32.
 void rt_hash_int_multi(const int64_t** vals, const int64_t* buckets,
                        int64_t n_cols, int64_t batch, int32_t* out) {
-  uint8_t buf[24];
-  for (int64_t c = 0; c < n_cols; ++c) {
+  ParallelColumns(n_cols, 8, [=](int64_t c) {
+    uint8_t buf[24];
     const int64_t* v = vals[c];
     const uint64_t nb = static_cast<uint64_t>(buckets[c]);
     int32_t* o = out + c * batch;
@@ -300,7 +339,7 @@ void rt_hash_int_multi(const int64_t** vals, const int64_t* buckets,
       size_t len = FormatInt(v[i], buf);
       o[i] = static_cast<int32_t>(Hash64(buf, len) % nb);
     }
-  }
+  });
 }
 
 // bufs: n_cols pointers to fixed-width (numpy 'S<w>') buffers; widths[c]
@@ -308,7 +347,7 @@ void rt_hash_int_multi(const int64_t** vals, const int64_t* buckets,
 void rt_hash_fixed_multi(const uint8_t** bufs, const int64_t* widths,
                          const int64_t* buckets, int64_t n_cols,
                          int64_t batch, int32_t* out) {
-  for (int64_t c = 0; c < n_cols; ++c) {
+  ParallelColumns(n_cols, 8, [=](int64_t c) {
     const uint8_t* buf = bufs[c];
     const int64_t w = widths[c];
     const uint64_t nb = static_cast<uint64_t>(buckets[c]);
@@ -317,18 +356,20 @@ void rt_hash_fixed_multi(const uint8_t** bufs, const int64_t* widths,
       const uint8_t* p = buf + i * w;
       o[i] = static_cast<int32_t>(Hash64(p, FixedLen(p, w)) % nb);
     }
-  }
+  });
 }
 
 // Max piece count over several delimited fixed-width columns in one pass.
 int64_t rt_split_count_multi(const uint8_t** bufs, const int64_t* widths,
                              const uint8_t* delims, int64_t n_cols,
                              int64_t batch) {
+  std::vector<int64_t> maxs(n_cols, 0);
+  ParallelColumns(n_cols, 4, [&, bufs, widths, delims](int64_t c) {
+    maxs[c] = rt_split_count_max(bufs[c], widths[c], batch, delims[c]);
+  });
   int64_t maxp = 0;
-  for (int64_t c = 0; c < n_cols; ++c) {
-    int64_t m = rt_split_count_max(bufs[c], widths[c], batch, delims[c]);
+  for (int64_t m : maxs)
     if (m > maxp) maxp = m;
-  }
   return maxp;
 }
 
@@ -338,13 +379,16 @@ int64_t rt_split_hash_multi(const uint8_t** bufs, const int64_t* widths,
                             const uint8_t* delims, const int64_t* buckets,
                             int64_t n_cols, int64_t batch, int64_t rowlen,
                             int32_t* out) {
+  // split+hash is ~5x the work of a plain hash column: thread earlier
+  std::vector<int64_t> maxs(n_cols, 0);
+  ParallelColumns(n_cols, 4, [&, bufs, widths, delims, buckets](int64_t c) {
+    maxs[c] = rt_split_hash_pad(bufs[c], widths[c], batch, delims[c],
+                                buckets[c], rowlen,
+                                out + c * batch * rowlen);
+  });
   int64_t maxp = 0;
-  for (int64_t c = 0; c < n_cols; ++c) {
-    int64_t m = rt_split_hash_pad(bufs[c], widths[c], batch, delims[c],
-                                  buckets[c], rowlen,
-                                  out + c * batch * rowlen);
+  for (int64_t m : maxs)
     if (m > maxp) maxp = m;
-  }
   return maxp;
 }
 
