@@ -240,12 +240,21 @@ def prepare_batch(
             raise ValueError("cannot infer batch size from batch dict")
     bp = pick_bucket(config.batch_buckets, batch_size, config.allow_truncate_overflow)
 
+    def stack_cols(fields: List[str], n_rows: int) -> np.ndarray:
+        """[len(fields), bp] f32 staging block via numpy row fills.
+        (Measured: a native pointer-array memcpy sweep LOSES here — at 880
+        columns, extracting .ctypes.data per array costs ~1.1ms while the
+        row fills themselves are ~0.45ms.  Per-column attribute access is
+        the floor of the many-small-arrays API, not the copying.)"""
+        out = np.zeros((n_rows, bp), dtype=np.float32)
+        for i, f in enumerate(fields):
+            out[i, :batch_size] = np.asarray(batch[f], dtype=np.float32)
+        return out
+
     # dense tower features, column-major: each row is one contiguous copy
-    dense = np.zeros((compiled.n_dense, bp), dtype=np.float32)
-    for i, c in enumerate(model.dense_columns):
-        dense[i, :batch_size] = np.asarray(
-            batch[c.source.field], dtype=np.float32
-        )
+    dense = stack_cols(
+        [c.source.field for c in model.dense_columns], compiled.n_dense
+    )
 
     memo: Dict = {} if config.dedup_subcolumns else None
     group_arrays: List[Dict[str, np.ndarray]] = []
@@ -255,12 +264,10 @@ def prepare_batch(
         host_members = g.members[g.n_bucketize :]
 
         if g.n_bucketize:
-            raw = np.zeros((g.n_bucketize, bp), dtype=np.float32)
-            for i, m in enumerate(g.members[: g.n_bucketize]):
-                raw[i, :batch_size] = np.asarray(
-                    batch[m.column.source.field], dtype=np.float32
-                )
-            arrs["raw_bz"] = raw
+            arrs["raw_bz"] = stack_cols(
+                [m.column.source.field for m in g.members[: g.n_bucketize]],
+                g.n_bucketize,
+            )
 
         if not g.ragged:
             rowlen = 1
