@@ -25,6 +25,63 @@ from recom_tpu.runtime.executor import Engine, mlp_apply
 from recom_tpu.runtime.host_prep import prepare_batch
 
 
+def rowwise_adagrad(
+    learning_rate: float = 0.01, eps: float = 1e-10
+) -> optax.GradientTransformation:
+    """Row-wise AdaGrad for embedding tables (the production DLRM table
+    optimizer): ONE accumulator per table row — mean of the row's squared
+    gradients — instead of one per element, cutting optimizer state for a
+    [R, d] table from R*d to R floats.  Rows untouched by a batch have
+    zero gradient and therefore unchanged accumulators and values, so the
+    update is sparse in effect even though JAX cotangents are dense."""
+
+    def init(params):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape[:1], jnp.float32)
+            if p.ndim == 2
+            else jnp.zeros_like(p),
+            params,
+        )
+
+    def update(grads, state, params=None):
+        del params
+
+        def new_acc(g, acc):
+            return acc + (jnp.mean(g * g, axis=1) if g.ndim == 2 else g * g)
+
+        def upd(g, acc2):
+            s = jax.lax.rsqrt(acc2 + eps)
+            return -learning_rate * g * (s[:, None] if g.ndim == 2 else s)
+
+        new_state = jax.tree_util.tree_map(new_acc, grads, state)
+        updates = jax.tree_util.tree_map(upd, grads, new_state)
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
+def dlrm_optimizer(
+    table_lr: float = 0.01, tower_lr: float = 1e-3
+) -> optax.GradientTransformation:
+    """The standard DLRM split: row-wise AdaGrad on embedding tables,
+    Adam on the dense tower."""
+
+    def label(params):
+        return {
+            "stacked": jax.tree_util.tree_map(
+                lambda _: "tables", params["stacked"]
+            ),
+            "tower": jax.tree_util.tree_map(
+                lambda _: "tower", params["tower"]
+            ),
+        }
+
+    return optax.multi_transform(
+        {"tables": rowwise_adagrad(table_lr), "tower": optax.adam(tower_lr)},
+        label,
+    )
+
+
 def forward_logits(engine: Engine, params, arrays) -> jnp.ndarray:
     """Engine forward but with the final activation stripped (losses want
     logits)."""

@@ -90,3 +90,34 @@ def test_training_updates_reach_serving():
     tr.step(batch, labels)
     after = tr.engine.predict(batch)["output"]
     assert not np.array_equal(before, after)
+
+
+def test_rowwise_adagrad_state_is_per_row_and_learns():
+    import jax
+    import numpy as np
+
+    from recom_tpu import EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.train import Trainer, dlrm_optimizer
+
+    m = make_dlrm_model(4, 2, 2, 1, 0, 2, [4], [8, 1], name="rwag")
+    tr = Trainer(
+        m, EngineConfig(use_pallas=False, batch_buckets=(32,)),
+        optimizer=dlrm_optimizer(table_lr=0.05, tower_lr=1e-3),
+    )
+    # optimizer state for each stacked [R, d] table must be [R] (row-wise)
+    inner = tr.opt_state.inner_states["tables"].inner_state
+    accs = [
+        a for a in jax.tree_util.tree_leaves(inner)
+        if a.ndim == 1
+    ]
+    assert accs, "expected 1-D row accumulators in optimizer state"
+    rows = {t.shape[0] for t in tr.engine.device_params["stacked"].values()}
+    assert {a.shape[0] for a in accs} & rows
+
+    b = make_random_batch(m, 32, seed=7)
+    labels = np.random.default_rng(0).integers(0, 2, 32)
+    losses = [tr.step(b, labels) for _ in range(6)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
