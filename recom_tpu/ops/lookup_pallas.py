@@ -66,6 +66,18 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_tile(total: int, pref: int, quantum: int) -> int:
+    """Largest multiple of ``quantum`` that divides ``total`` and is <=
+    ``pref`` (v_pad is always a multiple of the 128-lane quantum, but not
+    necessarily of the preferred 512 tile — e.g. vocab 2209 -> 2304)."""
+    assert total % quantum == 0
+    k = total // quantum
+    for m in range(min(pref // quantum, k), 0, -1):
+        if k % m == 0:
+            return quantum * m
+    return quantum
+
+
 def _bz_kernel(raw_ref, lo_ref, hi_ref, cnt_ref, tbl_ref, out_ref, *, vt: int):
     """Fused bucketize + one-hot matmul: the TPU-native EmitInputInline
     (reference fuses Bucketize into the megakernel as a shared-memory
@@ -129,7 +141,7 @@ def _onehot_bucketize_impl(
     b = raw_t.shape[1]
     bt = min(bt, b)
     ct = min(ct, c_pad)
-    vt = min(vt, v_pad)
+    vt = _pick_tile(v_pad, vt, 128)
     assert b % bt == 0 and c_pad % ct == 0 and v_pad % vt == 0
     grid = (c_pad // ct, b // bt, v_pad // vt)
 
@@ -245,7 +257,7 @@ def _onehot_lookup_impl(
     b = ids_t.shape[1]
     bt = min(bt, b)
     ct = min(ct, c_pad)
-    vt = min(vt, v_pad)
+    vt = _pick_tile(v_pad, vt, 128)
     assert b % bt == 0 and c_pad % ct == 0 and v_pad % vt == 0
     grid = (c_pad // ct, b // bt, v_pad // vt)
 
