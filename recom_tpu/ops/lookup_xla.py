@@ -181,36 +181,19 @@ def group_pooled(
     if l == 1:
         emb = gather_rows_f32(table, safe_ids[:, :, 0])       # [B, C, d]
         acc = emb * w[:, :, 0][:, :, None]
+        if not (need_mean or need_sqrtn):
+            return acc
         wsum = w[:, :, 0]
         w2sum = w[:, :, 0] * w[:, :, 0] if need_sqrtn else wsum
-    else:
-        # Ragged path: ONE flat gather (a scan of small per-l gathers is
-        # latency-bound and far slower on TPU), masked products
-        # materialized, then an add-only sequential scan over L.  The
-        # add-only scan keeps the oracle's left-to-right float32 order; the
-        # optimization barrier stops XLA from contracting the multiply into
-        # the scan's add as an FMA (single rounding != the oracle's
-        # separately-rounded multiply-then-add).
-        ids_l = jnp.moveaxis(safe_ids, 2, 0)                  # [L, B, C]
-        w_l = jnp.moveaxis(w, 2, 0)                           # [L, B, C]
-        d = table_dim(table)
-        rows = gather_rows_f32(table, ids_l.reshape(l, b * c))
-        prods = rows.reshape(l, b, c, d) * w_l[..., None]
-        w2 = w_l * w_l if need_sqrtn else w_l
-        prods, w2 = jax.lax.optimization_barrier((prods, w2))
-
-        def add_step(carry, xs):
-            acc, wsum, w2sum = carry
-            p, wl, w2l = xs
-            return (acc + p, wsum + wl, w2sum + w2l), None
-
-        # init derived from inputs (x*0) so the carry inherits shard_map's
-        # varying-axis type when this runs inside a sharded lookup
-        init = (prods[0] * 0.0, w_l[0] * 0.0, w2[0] * 0.0)
-        (acc, wsum, w2sum), _ = jax.lax.scan(
-            add_step, init, (prods, w_l, w2)
+        return apply_combiner_divisors(
+            acc, wsum, w2sum, combiner_code, exact_math
         )
-
-    if not (need_mean or need_sqrtn):
-        return acc
-    return apply_combiner_divisors(acc, wsum, w2sum, combiner_code, exact_math)
+    # Ragged path: ONE flat gather (a scan of small per-l gathers is
+    # latency-bound and far slower on TPU), then the shared in-order
+    # pooling core — pool_rows_inorder owns the bit-exactness contract
+    # (FMA barrier + left-to-right float32 scan) for every lookup path.
+    ids_l = jnp.moveaxis(safe_ids, 2, 0)                      # [L, B, C]
+    d = table_dim(table)
+    rows = gather_rows_f32(table, ids_l.reshape(l, b * c))
+    rows4 = jnp.moveaxis(rows.reshape(l, b, c, d), 0, 2)      # [B, C, L, d]
+    return pool_rows_inorder(rows4, w, combiner_code, exact_math)

@@ -32,10 +32,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def init(
     coordinator: str, num_processes: int, process_id: int
 ) -> None:
-    """jax.distributed bootstrap (idempotent per process)."""
-    jax.distributed.initialize(
-        coordinator, num_processes=num_processes, process_id=process_id
+    """jax.distributed bootstrap (idempotent per process: a second call —
+    another Engine, a retried startup, or user code that already
+    initialized — is a no-op instead of the RuntimeError
+    jax.distributed.initialize raises)."""
+    state = getattr(
+        getattr(jax._src, "distributed", None), "global_state", None
     )
+    if state is not None and state.client is not None:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator, num_processes=num_processes, process_id=process_id
+        )
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_mesh(

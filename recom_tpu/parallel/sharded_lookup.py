@@ -127,7 +127,9 @@ def sharded_group_pooled(
         )                                                # [b_local, C, d]
         total = jax.lax.psum(partial, model_axis)
 
-        # divisors from the (model-replicated) ids — no comm needed
+        # divisors from the (model-replicated) ids — no comm needed; the
+        # exactness-critical divisor math lives in ONE place
+        # (lookup_xla.apply_combiner_divisors, shared with every path)
         wfull = (
             valid.astype(jnp.float32)
             if w_local is None
@@ -135,15 +137,9 @@ def sharded_group_pooled(
         )
         wsum = wfull.sum(axis=2)
         w2sum = (wfull * wfull).sum(axis=2)
-        code = jnp.asarray(combiner_code)[None, :]
-        div = lookup_xla.exact_div if exact_math else (lambda a, b: a / b)
-        sqrt = lookup_xla.exact_sqrt if exact_math else jnp.sqrt
-        denom = jnp.where(
-            code == 1, wsum, jnp.where(code == 2, sqrt(w2sum), 1.0)
+        return lookup_xla.apply_combiner_divisors(
+            total, wsum, w2sum, combiner_code, exact_math
         )
-        nz = denom > 0
-        safe = jnp.where(nz, denom, 1.0)
-        return jnp.where(nz[:, :, None], div(total, safe[:, :, None]), 0.0)
 
     if weights is not None:
         fn = jax.shard_map(

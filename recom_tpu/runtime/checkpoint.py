@@ -85,7 +85,18 @@ def save_checkpoint(path: str, engine) -> None:
             os.path.join(os.path.abspath(path), "params"), params, force=True
         )
         ckpt.wait_until_finished()
-    except Exception:
+    except Exception as e:
+        # a partially-written params/ dir would shadow the npz fallback at
+        # load time (load_checkpoint prefers the orbax branch) — remove it
+        # and say what happened instead of failing silently
+        import shutil
+
+        shutil.rmtree(os.path.join(path, "params"), ignore_errors=True)
+        print(
+            f"[recom_tpu.checkpoint] orbax save failed ({e!r}); "
+            "falling back to params.npz",
+            flush=True,
+        )
         flat = {}
         for t, arr in params["tables"].items():
             flat[f"tables/{t}"] = arr
@@ -125,15 +136,23 @@ def load_checkpoint(path: str) -> Tuple[ModelSpec, Dict]:
 
 
 def _normalize(params):
-    def conv(x):
+    """orbax may return the tower LAYER LISTS as digit-keyed dicts; convert
+    those back to lists — but only under "tower" (table names could be
+    all-numeric strings and must stay dict keys)."""
+
+    def conv(x, listify: bool):
         if isinstance(x, dict):
             keys = list(x.keys())
-            if keys and all(str(k).isdigit() for k in keys):
-                return [conv(x[k]) for k in sorted(keys, key=int)]
-            return {k: conv(v) for k, v in x.items()}
+            if listify and keys and all(str(k).isdigit() for k in keys):
+                return [conv(x[k], listify) for k in sorted(keys, key=int)]
+            return {k: conv(v, listify) for k, v in x.items()}
         return np.asarray(x)
 
-    return conv(dict(params))
+    params = dict(params)
+    return {
+        "tables": conv(params.get("tables", {}), listify=False),
+        "tower": conv(params.get("tower", {}), listify=True),
+    }
 
 
 def enable_persistent_compilation_cache(cache_dir: str) -> None:

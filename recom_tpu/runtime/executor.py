@@ -119,7 +119,10 @@ class Engine:
 
         np_params = params if params is not None else init_model_params(model)
         self.device_params = self._build_device_params(np_params)
+        import threading
+
         self._jit_cache: Dict[Tuple, object] = {}
+        self._jit_lock = threading.Lock()
         self._rowlen_hints: Dict[int, int] = {}
         self._bz_bounds_cache: Dict[int, Tuple] = {}
         self.stats = {"compiles": 0, "calls": 0}
@@ -521,9 +524,15 @@ class Engine:
         key = (signature, mode)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(self._forward, mode=mode))
-            self._jit_cache[key] = fn
-            self.stats["compiles"] += 1
+            # lock the check-and-insert: concurrent serving threads racing
+            # on a new signature would otherwise each build a distinct
+            # jitted fn and pay a full XLA compile apiece
+            with self._jit_lock:
+                fn = self._jit_cache.get(key)
+                if fn is None:
+                    fn = jax.jit(functools.partial(self._forward, mode=mode))
+                    self._jit_cache[key] = fn
+                    self.stats["compiles"] += 1
         return fn
 
     def prepare(self, batch: Dict, batch_size: Optional[int] = None):
@@ -668,14 +677,16 @@ class Engine:
         """Steady-state latency over pre-prepared inputs (device time only;
         mirrors the reference protocol: warm-up then N timed iterations,
         AE/build_and_run.py:57-71)."""
-        prepared = prepare_batch(self.compiled, batch)
+        prepared = self.prepare(batch)
         fn = self._get_jitted(prepared.signature)
+        arrays = self.shard_batch_arrays(prepared.arrays)
+        out = fn(self.device_params, arrays)   # compile + placement
         for _ in range(warmup):
-            out = fn(self.device_params, prepared.arrays)
+            out = fn(self.device_params, arrays)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(self.device_params, prepared.arrays)
+            out = fn(self.device_params, arrays)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         return {

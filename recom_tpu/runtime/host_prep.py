@@ -48,27 +48,39 @@ from recom_tpu.oracle.reference import (
 
 
 def _pack_sparse(
-    sp: SparseFeature, rowlen: int, batch_padded: int
+    sp: SparseFeature, rowlen: int, batch_padded: int,
+    truncate: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """(values, row_ids[, weights]) -> ids [Bp, L] int32 (-1 pad) and
-    weights [Bp, L] f32 (0 pad) or None.  Preserves in-row entry order."""
+    weights [Bp, L] f32 (0 pad) or None.  Preserves in-row entry order.
+
+    ``truncate=True`` (allow_truncate_overflow) drops entries past
+    ``rowlen`` from the END of each row and ignores rows past
+    ``batch_padded`` — matching the native split path's behavior; False
+    raises on row overflow (the safe default)."""
     ids = np.full((batch_padded, rowlen), -1, dtype=np.int32)
     values = np.asarray(sp.values, dtype=np.int64)
     row_ids = sp.row_ids
+    pos = None
     if values.size:
         counts = np.bincount(row_ids, minlength=sp.batch)
-        if counts.max() > rowlen:
+        if counts.max() > rowlen and not truncate:
             raise ValueError(
                 f"row length {int(counts.max())} exceeds bucket {rowlen}"
             )
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pos = np.arange(row_ids.shape[0]) - starts[row_ids]
+        keep = pos < rowlen
+        if truncate:
+            keep &= row_ids < batch_padded
+        row_ids, pos, values = row_ids[keep], pos[keep], values[keep]
         ids[row_ids, pos] = values.astype(np.int32)
     weights = None
     if sp.weights is not None:
         weights = np.zeros((batch_padded, rowlen), dtype=np.float32)
         if values.size:
-            weights[row_ids, pos] = sp.weights
+            w = np.asarray(sp.weights)[keep]
+            weights[row_ids, pos] = w
     return ids, weights
 
 
@@ -239,6 +251,11 @@ def prepare_batch(
         if batch_size is None:
             raise ValueError("cannot infer batch size from batch dict")
     bp = pick_bucket(config.batch_buckets, batch_size, config.allow_truncate_overflow)
+    if batch_size > bp:
+        # allow_truncate_overflow past the largest batch bucket: serve the
+        # first bp examples (documented truncation, never silent: pick_
+        # bucket raised unless the config opted in)
+        batch_size = bp
 
     def stack_cols(fields: List[str], n_rows: int) -> np.ndarray:
         """[len(fields), bp] f32 staging block via numpy row fills.
@@ -248,7 +265,9 @@ def prepare_batch(
         the floor of the many-small-arrays API, not the copying.)"""
         out = np.zeros((n_rows, bp), dtype=np.float32)
         for i, f in enumerate(fields):
-            out[i, :batch_size] = np.asarray(batch[f], dtype=np.float32)
+            out[i, :batch_size] = np.asarray(
+                batch[f], dtype=np.float32
+            )[:batch_size]
         return out
 
     # dense tower features, column-major: each row is one contiguous copy
@@ -300,15 +319,18 @@ def prepare_batch(
                         else native_ops.hash_fixed_multi(cols, bkts)
                     )
                     if multi is not None:
-                        n = multi.shape[1]
-                        ids[np.asarray(idxs, np.int64), :n, 0] = multi
+                        n = min(multi.shape[1], bp)
+                        ids[np.asarray(idxs, np.int64), :n, 0] = multi[:, :n]
                     else:  # no native lib: per-column fallback
                         for i, m in zip(idxs, [host_members[j] for j in idxs]):
                             fast = fast_dense_ids(m, batch)
-                            ids[i, : len(fast), 0] = fast.astype(np.int32)
+                            n1 = min(len(fast), bp)
+                            ids[i, :n1, 0] = fast[:n1].astype(np.int32)
                 for i, m in rest:
                     sp = host_ids_for_member(m, batch, memo)
-                    packed, _ = _pack_sparse(sp, 1, bp)
+                    packed, _ = _pack_sparse(
+                        sp, 1, bp, config.allow_truncate_overflow
+                    )
                     ids[i] = packed
                 arrs["host_ids"] = ids
         else:
@@ -388,13 +410,16 @@ def prepare_batch(
                         packed, _ = native_ops.split_hash_padded(
                             arr, d.decode(), nb, rowlen
                         )
-                        ids[i, : packed.shape[0], :] = packed
+                        n1 = min(packed.shape[0], bp)
+                        ids[i, :n1, :] = packed[:n1]
             if multi is not None:
-                n = multi.shape[1]
-                ids[np.asarray(fast_idx, np.int64), :n, :] = multi
+                n = min(multi.shape[1], bp)
+                ids[np.asarray(fast_idx, np.int64), :n, :] = multi[:, :n]
             slow_w = {}
             for i, sp in slow:
-                packed, w = _pack_sparse(sp, rowlen, bp)
+                packed, w = _pack_sparse(
+                    sp, rowlen, bp, config.allow_truncate_overflow
+                )
                 ids[i] = packed
                 slow_w[i] = w
             if weights is not None:

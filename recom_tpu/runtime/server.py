@@ -54,7 +54,12 @@ class ServingPipeline:
         )
         self._inflight = threading.Semaphore(max_inflight)
         self._dispatch_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.stats = {"submitted": 0, "completed": 0, "retries": 0}
+
+    def _bump(self, key: str):
+        with self._stats_lock:
+            self.stats[key] += 1
 
     # ------------------------------------------------------------------
     def _prep(self, batch: Dict, batch_size: Optional[int]):
@@ -80,7 +85,7 @@ class ServingPipeline:
     ) -> "Future[np.ndarray]":
         """Non-blocking: returns a Future of the output array."""
         self._inflight.acquire()
-        self.stats["submitted"] += 1
+        self._bump("submitted")
         result: "Future[np.ndarray]" = Future()
 
         def work():
@@ -90,13 +95,13 @@ class ServingPipeline:
                     try:
                         prepared = self._prep(batch, batch_size)
                         out = self._run(prepared)
-                        self.stats["completed"] += 1
+                        self._bump("completed")
                         result.set_result(out)
                         return
                     except Exception as e:  # transient device/RPC errors
                         last_exc = e
                         if attempt < self.retries:
-                            self.stats["retries"] += 1
+                            self._bump("retries")
                 result.set_exception(last_exc)
             except BaseException as e:
                 result.set_exception(e)

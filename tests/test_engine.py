@@ -258,3 +258,68 @@ def test_criteo_tsv_reader_end_to_end(tmp_path):
             np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
         total += len(labels)
     assert total == 70
+
+
+def test_truncate_overflow_rows_and_batch():
+    """allow_truncate_overflow=True must TRUNCATE (documented behavior)
+    on both overflow axes instead of crashing: ragged rows longer than the
+    last rowlen bucket keep their first L entries; batches beyond the last
+    batch bucket serve the first Bp examples."""
+    tables = {"t": TableSpec("t", 50, 4)}
+    cols = [
+        FeatureColumn("c", FeatureSource("x", FeatureKind.INT_LIST),
+                      (NumToId(50),), LookupSpec("t", Combiner.SUM))
+    ]
+    m = ModelSpec("trunc", tables, cols,
+                  TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    cfg = EngineConfig(use_pallas=False, batch_buckets=(4,),
+                       rowlen_buckets=(4,), allow_truncate_overflow=True)
+    eng = Engine(m, cfg)
+
+    # row overflow: 6 entries -> first 4 kept (oracle on the truncated rows)
+    b = {"x": [[1, 2, 3, 4, 5, 6], [7]]}
+    out = eng.predict(b, return_pooled=True)
+    ref = OracleModel(m).forward({"x": [[1, 2, 3, 4], [7]]})
+    np.testing.assert_array_equal(out["pooled"]["c"], ref["pooled"]["c"])
+
+    # batch overflow: 6 rows -> first 4 served
+    b2 = {"x": [[i] for i in range(6)]}
+    out2 = eng.predict(b2, return_pooled=True)
+    assert out2["output"].shape[0] == 4
+    ref2 = OracleModel(m).forward({"x": [[i] for i in range(4)]})
+    np.testing.assert_array_equal(out2["pooled"]["c"], ref2["pooled"]["c"])
+
+
+def test_benchmark_warmup_zero_and_numeric_table_names():
+    m = make_microbenchmark_model(3)
+    eng = Engine(m, CFG)
+    b = make_random_batch(m, 16, seed=1)
+    stats = eng.benchmark(b, iters=2, warmup=0)   # must not NameError
+    assert stats["latency_ms"] > 0
+
+    # checkpoint round-trip with ALL-NUMERIC table names (orbax digit-key
+    # normalization must not turn the tables dict into a list)
+    tables = {"0": TableSpec("0", 10, 4), "7": TableSpec("7", 12, 4)}
+    cols = [
+        FeatureColumn("a", FeatureSource("x", FeatureKind.INT_LIST),
+                      (NumToId(10),), LookupSpec("0", Combiner.SUM)),
+        FeatureColumn("b", FeatureSource("y", FeatureKind.INT_LIST),
+                      (NumToId(12),), LookupSpec("7", Combiner.MEAN)),
+    ]
+    mn = ModelSpec("numtab", tables, cols,
+                   TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    from recom_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    eng_n = Engine(mn, CFG)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        save_checkpoint(td, eng_n)
+        m2, params2 = load_checkpoint(td)
+        assert isinstance(params2["tables"], dict)
+        assert set(params2["tables"]) == {"0", "7"}
+        eng2 = Engine(m2, CFG, params=params2)
+        bb = {"x": [[1], [2]], "y": [[3], [4]]}
+        np.testing.assert_array_equal(
+            eng_n.predict(bb)["output"], eng2.predict(bb)["output"]
+        )

@@ -41,7 +41,9 @@ def random_model(rng: np.random.Generator, n_cols: int):
             ["bucketize", "bucketize_suffix", "int_hash", "str_hash",
              "int_list", "weighted"]
         )
-        vocab = int(rng.integers(8, 200))
+        # span several vocab-pad regimes (the 128-pad / tile-divisibility
+        # bugs only appear past 512: e.g. 2209 -> pad 2304, not % 512)
+        vocab = int(rng.choice([rng.integers(8, 200), rng.integers(500, 3000)]))
         tname = f"t{i}"
         tables[tname] = TableSpec(tname, vocab, dim, init_seed=i)
         comb = Combiner(list(Combiner)[int(rng.integers(0, 3))])
