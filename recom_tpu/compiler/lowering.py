@@ -66,6 +66,10 @@ class LookupGroup:
     row_offsets: Optional[np.ndarray] = None     # [C] int32
     combiner_code: Optional[np.ndarray] = None   # [C] int32
     has_weights: bool = False
+    # per-column bool: column uses an explicit weight field (its combiner
+    # follows TF's weighted-path rounding; unweighted columns follow the
+    # SparseSegment* reciprocal-multiply rounding)
+    weighted_cols: Optional[np.ndarray] = None
     # device-bucketize members occupy group indices [0, n_bucketize)
     n_bucketize: int = 0
     boundary_matrix: Optional[np.ndarray] = None  # [n_bucketize, Kmax] f32
@@ -215,15 +219,18 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         row = 0
         codes = []
         offsets = []
+        wcols = []
         for idx, m in enumerate(g.members):
             m.group_index = idx
             offsets.append(row)
             m.row_offset = row
             row += m.vocab_size
             codes.append(_COMBINER_CODE[m.combiner])
+            wcols.append(m.column.lookup.weight_field is not None)
         g.stacked_rows = row
         g.row_offsets = np.asarray(offsets, dtype=np.int32)
         g.combiner_code = np.asarray(codes, dtype=np.int32)
+        g.weighted_cols = np.asarray(wcols, dtype=bool)
         g.n_bucketize = sum(1 for m in g.members if m.device_bucketize is not None)
         if g.n_bucketize:
             bmax = max(

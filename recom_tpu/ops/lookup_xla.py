@@ -94,11 +94,18 @@ def apply_combiner_divisors(
     w2sum: jnp.ndarray,          # [B, C] sum of squared weights
     combiner_code: np.ndarray,   # [C] STATIC
     exact_math: bool = True,
+    weighted: bool = False,
 ) -> jnp.ndarray:
-    """Divide pooled sums by the combiner denominator (mean: wsum, sqrtn:
-    sqrt(w2sum)); empty rows (denominator 0) become zeros — the observable
-    behavior of the reference's SparseFillEmptyRows + Select patch-up idiom
-    (lookup_optimizer.cc:108-134)."""
+    """Apply the combiner denominator (mean: wsum, sqrtn: sqrt(w2sum));
+    empty rows (denominator 0) become zeros — the observable behavior of
+    the reference's SparseFillEmptyRows + Select patch-up idiom
+    (lookup_optimizer.cc:108-134).
+
+    ``weighted`` selects the TF ROUNDING convention (validated against
+    installed TF 2.21): the unweighted SparseSegmentMean/SqrtN kernels
+    compute ``sum * (1 / denom)`` (reciprocal rounded to f32, then a
+    correctly-rounded multiply), while the weighted embedding_lookup_sparse
+    path divides.  The two differ by 1 ulp on ~10% of values."""
     combiner_code = np.asarray(combiner_code)
     need_mean = bool((combiner_code == 1).any())
     need_sqrtn = bool((combiner_code == 2).any())
@@ -114,9 +121,27 @@ def apply_combiner_divisors(
         denom = jnp.where(code == 1, wsum, 1.0)
     nonzero = denom > 0
     safe_denom = jnp.where(nonzero, denom, 1.0)
-    return jnp.where(
-        nonzero[:, :, None], div(acc, safe_denom[:, :, None]), 0.0
+    # ``weighted`` may be a scalar or a per-COLUMN bool vector (a stacked
+    # group can mix weighted and unweighted columns; each follows its own
+    # TF kernel's rounding)
+    wmask = (
+        np.full(combiner_code.shape, bool(weighted))
+        if isinstance(weighted, (bool, np.bool_))
+        else np.asarray(weighted, bool)
     )
+    if wmask.all():
+        out = div(acc, safe_denom[:, :, None])
+    elif not wmask.any():
+        recip = div(jnp.ones_like(safe_denom), safe_denom)
+        out = acc * recip[:, :, None]
+    else:
+        recip = div(jnp.ones_like(safe_denom), safe_denom)
+        out = jnp.where(
+            jnp.asarray(wmask)[None, :, None],
+            div(acc, safe_denom[:, :, None]),
+            acc * recip[:, :, None],
+        )
+    return jnp.where(nonzero[:, :, None], out, 0.0)
 
 
 def pool_rows_inorder(
@@ -125,6 +150,7 @@ def pool_rows_inorder(
     w: jnp.ndarray,              # [B, C, L] f32 weights, 0 at pads
     combiner_code: np.ndarray,   # [C] STATIC
     exact_math: bool = True,
+    weighted: bool = False,
 ) -> jnp.ndarray:
     """Pool already-gathered rows left-to-right in float32 — the shared
     in-order accumulation core of every lookup path (single-device gather,
@@ -151,7 +177,9 @@ def pool_rows_inorder(
 
         init = (prods[0] * 0.0, w_l[0] * 0.0, w2[0] * 0.0)
         (acc, wsum, w2sum), _ = jax.lax.scan(add_step, init, (prods, w_l, w2))
-    return apply_combiner_divisors(acc, wsum, w2sum, combiner_code, exact_math)
+    return apply_combiner_divisors(
+        acc, wsum, w2sum, combiner_code, exact_math, weighted
+    )
 
 
 def group_pooled(
@@ -161,6 +189,7 @@ def group_pooled(
     combiner_code: np.ndarray,   # [C] int32: 0 sum / 1 mean / 2 sqrtn, STATIC
     weights: Optional[jnp.ndarray] = None,  # [B, C, L] f32 (0 at pads)
     exact_math: bool = True,
+    weighted_cols=None,          # scalar or [C] bool: per-column rounding
 ) -> jnp.ndarray:
     """Masked, in-order segment pooling of a whole column group.
 
@@ -172,6 +201,9 @@ def group_pooled(
     combiner_code = np.asarray(combiner_code)
     b, c, l = ids.shape
     mask = ids >= 0
+    weighted = (
+        (weights is not None) if weighted_cols is None else weighted_cols
+    )
     w = mask.astype(jnp.float32) if weights is None else weights * mask
     safe_ids = jnp.where(mask, ids, 0) + jnp.asarray(row_offsets)[None, :, None]
 
@@ -186,7 +218,7 @@ def group_pooled(
         wsum = w[:, :, 0]
         w2sum = w[:, :, 0] * w[:, :, 0] if need_sqrtn else wsum
         return apply_combiner_divisors(
-            acc, wsum, w2sum, combiner_code, exact_math
+            acc, wsum, w2sum, combiner_code, exact_math, weighted
         )
     # Ragged path: ONE flat gather (a scan of small per-l gathers is
     # latency-bound and far slower on TPU), then the shared in-order
@@ -196,4 +228,4 @@ def group_pooled(
     d = table_dim(table)
     rows = gather_rows_f32(table, ids_l.reshape(l, b * c))
     rows4 = jnp.moveaxis(rows.reshape(l, b, c, d), 0, 2)      # [B, C, L, d]
-    return pool_rows_inorder(rows4, w, combiner_code, exact_math)
+    return pool_rows_inorder(rows4, w, combiner_code, exact_math, weighted)

@@ -186,26 +186,31 @@ _KMUL = 0xC6A4A7935BD1E995  # MurmurHash64A multiplier (TF fingerprint.h)
 def fingerprint_cat64(fp1: int, fp2: int) -> int:
     """TF FingerprintCat64: order-dependent combination of two 64-bit
     fingerprints (tensorflow/core/platform/fingerprint.h), used by hashed
-    feature crosses."""
+    feature crosses.  Validated against installed TF 2.21:
+    crossed_column(("u1","x"), 1000 buckets) -> 79, ("u2","y") -> 195."""
     result = (fp1 ^ _KMUL) & _M64
     result ^= _shift_mix((fp2 * _KMUL) & _M64) * _KMUL & _M64
     result &= _M64
     result = (result * _KMUL) & _M64
     result = (_shift_mix(result) * _KMUL) & _M64
-    return result
+    return _shift_mix(result)
 
 
 def cross_hash(values, num_buckets: int, hash_key: int = 0xDECAFCAFFE) -> int:
-    """Hashed cross of one tuple: per-member Fingerprint64 (ints via
-    decimal string), combined left-to-right from ``hash_key``, modulo
-    ``num_buckets`` (tf.feature_column.crossed_column semantics)."""
+    """Hashed cross of one tuple: string members Fingerprint64-hashed,
+    INTEGER members fed RAW (TF sparse_cross_op.cc: int64 column features
+    are the values themselves — validated vs TF 2.21: identity(7) x "z"
+    at 1000 buckets -> 494), combined left-to-right from ``hash_key``
+    (tf.feature_column.crossed_column semantics)."""
     cur = hash_key
     for v in values:
         if isinstance(v, (int, np.integer)):
-            v = str(int(v))
-        elif isinstance(v, (bytes, np.bytes_)):
-            v = bytes(v)
-        cur = fingerprint_cat64(cur, farmhash64(v))
+            fp = int(v) & _M64
+        else:
+            if isinstance(v, (bytes, np.bytes_)):
+                v = bytes(v)
+            fp = farmhash64(v)
+        cur = fingerprint_cat64(cur, fp)
     return cur % num_buckets
 
 

@@ -108,7 +108,14 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         arr = np.asarray(data)
         b = arr.shape[0]
         values = arr.astype(np.float64 if kind == FeatureKind.DENSE_FLOAT else np.int64)
-        return SparseFeature(values, np.arange(b, dtype=np.int64), None, b)
+        row_ids = np.arange(b, dtype=np.int64)
+        if kind == FeatureKind.DENSE_INT:
+            # TF feature_column ignore_value semantics: -1 in a dense int
+            # categorical input means MISSING (the row becomes empty ->
+            # pooled zeros), validated vs TF 2.21 input_layer
+            keep = values != -1
+            values, row_ids = values[keep], row_ids[keep]
+        return SparseFeature(values, row_ids, None, b)
     if kind == FeatureKind.STRING:
         b = len(data)
         vals = list(data)
@@ -265,10 +272,24 @@ def pool_lookup(
         w2sum[rows] = w2sum[rows] + w[sel] * w[sel]
     out[nonempty] = acc[nonempty]
 
+    # TF rounding convention (validated vs installed TF 2.21): the
+    # UNWEIGHTED SparseSegmentMean/SqrtN kernels compute sum * (1/denom)
+    # — reciprocal rounded to f32, then a correctly-rounded multiply —
+    # while the weighted embedding_lookup_sparse path divides.
     if combiner == Combiner.MEAN:
-        out[nonempty] = out[nonempty] / wsum[nonempty, None]
+        if weights is None:
+            out[nonempty] = out[nonempty] * (
+                np.float32(1.0) / wsum[nonempty, None]
+            )
+        else:
+            out[nonempty] = out[nonempty] / wsum[nonempty, None]
     elif combiner == Combiner.SQRTN:
-        out[nonempty] = out[nonempty] / np.sqrt(w2sum[nonempty, None])
+        if weights is None:
+            out[nonempty] = out[nonempty] * (
+                np.float32(1.0) / np.sqrt(w2sum[nonempty, None])
+            )
+        else:
+            out[nonempty] = out[nonempty] / np.sqrt(w2sum[nonempty, None])
     return out
 
 

@@ -62,6 +62,7 @@ def all_to_all_group_pooled(
     exact_math: bool = True,
     capacity_factor: float = 2.0,
     dedup: bool = True,
+    weighted_cols=None,
     data_axis: str = "data",
     model_axis: str = "model",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -191,7 +192,12 @@ def all_to_all_group_pooled(
             )
             w_my = w_slice * valid
         pooled_my = lookup_xla.pool_rows_inorder(
-            rows4, w_my, combiner_code, exact_math
+            rows4, w_my, combiner_code, exact_math,
+            weighted=(
+                (w_local is not None)
+                if weighted_cols is None
+                else weighted_cols
+            ),
         )                                                  # [b_my, C, d]
         # output batch sharded over (data, model): model shard k holds rows
         # [k*b_my, (k+1)*b_my) of its data shard's local batch — exactly the

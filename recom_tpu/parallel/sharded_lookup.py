@@ -84,6 +84,7 @@ def sharded_group_pooled(
     combiner_code: np.ndarray,   # [C] static
     weights: Optional[jnp.ndarray] = None,
     exact_math: bool = True,
+    weighted_cols=None,
     data_axis: str = "data",
     model_axis: str = "model",
 ) -> jnp.ndarray:
@@ -138,7 +139,12 @@ def sharded_group_pooled(
         wsum = wfull.sum(axis=2)
         w2sum = (wfull * wfull).sum(axis=2)
         return lookup_xla.apply_combiner_divisors(
-            total, wsum, w2sum, combiner_code, exact_math
+            total, wsum, w2sum, combiner_code, exact_math,
+            weighted=(
+                (w_local is not None)
+                if weighted_cols is None
+                else weighted_cols
+            ),
         )
 
     if weights is not None:

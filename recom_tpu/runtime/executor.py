@@ -299,6 +299,7 @@ class Engine:
                 arrs.get("weights"),
                 exact_math=self.config.exact_combiner_math,
                 capacity_factor=self.config.a2a_capacity_factor,
+                weighted_cols=g.weighted_cols,
             )
         if use_a2a:
             self.log.warning(
@@ -315,6 +316,7 @@ class Engine:
             g.combiner_code,
             arrs.get("weights"),
             exact_math=self.config.exact_combiner_math,
+            weighted_cols=g.weighted_cols,
         )
         return pooled, _jnp.int32(0)
 
@@ -414,6 +416,7 @@ class Engine:
                     g.combiner_code,
                     arrs.get("weights"),
                     exact_math=self.config.exact_combiner_math,
+                    weighted_cols=g.weighted_cols,
                 )                                                # [Bp, C, d]
             pooled_list.append(pooled)
             group_out.append(pooled.reshape(pooled.shape[0], -1))

@@ -127,7 +127,8 @@ def fast_dense_ids(member, batch: Dict) -> Optional[np.ndarray]:
     kind, arr, nb = plan
     if kind == "str":
         return native_ops.hash_strings(arr, nb)
-    return native_ops.hash_ints(arr, nb)
+    out = native_ops.hash_ints(arr, nb)
+    return np.where(arr == -1, -1, out)  # TF ignore_value semantics
 
 
 def fast_ragged_plan(member, batch: Dict):
@@ -318,6 +319,11 @@ def prepare_batch(
                         if kind == "int"
                         else native_ops.hash_fixed_multi(cols, bkts)
                     )
+                    if kind == "int" and multi is not None:
+                        # TF ignore_value: -1 int input = missing entry
+                        multi = np.where(
+                            np.asarray(cols) == -1, np.int32(-1), multi
+                        )
                     if multi is not None:
                         n = min(multi.shape[1], bp)
                         ids[np.asarray(idxs, np.int64), :n, 0] = multi[:, :n]

@@ -49,8 +49,24 @@ def test_cross_hash_left_to_right():
         fingerprint_cat64(7, farmhash64("a")), farmhash64("b")
     ) % nb
     assert h == manual
-    # int members hash via decimal string (hash_bucket convention)
-    assert cross_hash((5, "z"), nb) == cross_hash(("5", "z"), nb)
+    # int members feed their RAW value into the combine (TF SparseCross
+    # int64 semantics) — NOT the decimal-string fingerprint
+    assert cross_hash((5, "z"), nb) != cross_hash(("5", "z"), nb)
+    assert cross_hash((5, "z"), nb) == (
+        fingerprint_cat64(
+            fingerprint_cat64(0xDECAFCAFFE, 5), farmhash64("z")
+        ) % nb
+    )
+
+
+def test_cross_hash_matches_tf_ground_truth():
+    """Golden values from installed TF 2.21 feature_column.crossed_column
+    (hash_bucket_size=1000, default hash key): bit-exactness of the cross
+    path is validated against REAL TF, not just self-consistency."""
+    assert cross_hash(("u1", "x"), 1000) == 79
+    assert cross_hash(("u2", "y"), 1000) == 195
+    # identity(int) key crossed with a string key
+    assert cross_hash((7, "z"), 1000) == 494
 
 
 def test_dense_cross_oracle_and_engine():
