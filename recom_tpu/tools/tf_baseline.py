@@ -1,0 +1,168 @@
+"""Real TF-CPU baseline for a ModelSpec — the system the reference
+compares against (README.md:29-31 reports 6.61x over TF-CPU).
+
+Builds the same model as a TensorFlow graph out of the standard ops the
+reference's feature columns lower to (Bucketize, StringToHashBucketFast,
+StringSplit, safe_embedding_lookup_sparse, ConcatV2, dense matmuls) and
+wraps it in tf.function — i.e., the unoptimized thousands-of-small-ops
+execution RECom was built to fix, as a genuine measurable baseline rather
+than a NumPy stand-in.
+
+Covered column shapes (everything in models E/F/micro/criteo):
+  DENSE_FLOAT + [Bucketize]           -> Bucketize + embedding lookup
+  DENSE_INT   + [HashBucket]          -> as_string + to_hash_bucket_fast
+  STRING      + [HashBucket]          -> to_hash_bucket_fast
+  STRING_LIST (delimited) + [HashBucket] -> StringSplit + hash + sparse pool
+  dense passthrough columns           -> tower input
+Unsupported transforms raise (the bench falls back to the oracle baseline).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+from recom_tpu.ir.spec import (
+    Bucketize,
+    Combiner,
+    FeatureKind,
+    HashBucket,
+    ModelSpec,
+)
+
+_COMB = {Combiner.SUM: "sum", Combiner.MEAN: "mean", Combiner.SQRTN: "sqrtn"}
+
+
+def build_tf_baseline(model: ModelSpec, np_params: Dict):
+    """Returns (fn, make_feed): ``fn`` is a tf.function mapping a feed dict
+    of tf tensors to the model output; ``make_feed`` converts a raw numpy
+    batch into that feed."""
+    import tensorflow as tf
+
+    tables = {
+        name: tf.constant(np.asarray(arr, np.float32))
+        for name, arr in np_params["tables"].items()
+    }
+    tower_params = {
+        key: [
+            (tf.constant(l["w"]), tf.constant(l["b"])) for l in layers
+        ]
+        for key, layers in np_params["tower"].items()
+    }
+
+    dense_fields = [c.source.field for c in model.dense_columns]
+    emb_cols = list(model.embedding_columns)
+
+    def column_embedding(col, feed):
+        kind = col.source.kind
+        t = tables[col.lookup.table]
+        comb = _COMB[col.lookup.combiner]
+        if kind == FeatureKind.DENSE_FLOAT:
+            (bz,) = col.transforms
+            assert isinstance(bz, Bucketize), "tf baseline: Bucketize only"
+            ids = tf.raw_ops.Bucketize(
+                input=feed[col.source.field],
+                boundaries=[float(b) for b in bz.boundaries],
+            )
+            ids = tf.cast(ids, tf.int64)
+            return tf.nn.embedding_lookup(t, ids)
+        if kind in (FeatureKind.DENSE_INT, FeatureKind.STRING):
+            (hb,) = col.transforms
+            assert isinstance(hb, HashBucket)
+            x = feed[col.source.field]
+            if kind == FeatureKind.DENSE_INT:
+                x = tf.strings.as_string(x)
+            ids = tf.strings.to_hash_bucket_fast(x, hb.num_buckets)
+            return tf.nn.embedding_lookup(t, ids)
+        if kind == FeatureKind.STRING_LIST:
+            (hb,) = col.transforms
+            assert isinstance(hb, HashBucket)
+            sp = tf.strings.split(
+                feed[col.source.field], sep=col.source.delimiter
+            ).to_sparse()
+            ids = tf.sparse.SparseTensor(
+                sp.indices,
+                tf.strings.to_hash_bucket_fast(sp.values, hb.num_buckets),
+                sp.dense_shape,
+            )
+            return tf.nn.safe_embedding_lookup_sparse(
+                t, ids, combiner=comb, default_id=None
+            )
+        raise NotImplementedError(f"tf baseline: column kind {kind}")
+
+    def mlp(layers, x, act, final_act):
+        for i, (w, b) in enumerate(layers):
+            x = tf.matmul(x, w) + b
+            last = i == len(layers) - 1
+            if not last and act == "relu":
+                x = tf.nn.relu(x)
+            elif last and final_act == "sigmoid":
+                x = tf.sigmoid(x)
+            elif last and final_act == "relu":
+                x = tf.nn.relu(x)
+        return x
+
+    tower = model.tower
+
+    def forward(feed):
+        embs = [column_embedding(c, feed) for c in emb_cols]
+        dense = (
+            tf.stack([feed[f] for f in dense_fields], axis=1)
+            if dense_fields
+            else tf.zeros([tf.shape(embs[0])[0], 0])
+        )
+        if tower.arch == "mlp":
+            front = dense
+            if tower.bottom_mlp and dense_fields:
+                front = mlp(tower_params["bottom"], dense,
+                            tower.activation, tower.activation)
+            x = tf.concat([front] + embs, axis=1)
+            return mlp(tower_params["top"], x, tower.activation,
+                       tower.final_activation)
+        if tower.arch == "dlrm_dot":
+            bottom = mlp(tower_params["bottom"], dense,
+                         tower.activation, tower.activation)
+            vecs = tf.stack([bottom] + embs, axis=1)
+            gram = tf.matmul(vecs, vecs, transpose_b=True)
+            n = len(embs) + 1
+            iu = np.triu_indices(n, k=1)
+            flat = tf.reshape(gram, [-1, n * n])
+            inter = tf.gather(flat, iu[0] * n + iu[1], axis=1)
+            x = tf.concat([bottom, inter], axis=1)
+            return mlp(tower_params["top"], x, tower.activation,
+                       tower.final_activation)
+        raise NotImplementedError(tower.arch)
+
+    fn = tf.function(forward)
+
+    def make_feed(batch: Dict):
+        import tensorflow as tf
+
+        feed = {}
+        for col in model.columns:
+            f = col.source.field
+            if f in feed or f not in batch:
+                continue
+            kind = col.source.kind
+            if kind == FeatureKind.DENSE_FLOAT:
+                feed[f] = tf.constant(
+                    np.asarray(batch[f], np.float32)
+                )
+            elif kind == FeatureKind.DENSE_INT:
+                feed[f] = tf.constant(np.asarray(batch[f], np.int64))
+            elif kind in (FeatureKind.STRING, FeatureKind.STRING_LIST):
+                arr = np.asarray(batch[f])
+                if arr.dtype.kind == "S":
+                    arr = arr.astype("U")
+                feed[f] = tf.constant(arr)
+            else:
+                raise NotImplementedError(f"tf baseline feed: {kind}")
+        return feed
+
+    return fn, make_feed
