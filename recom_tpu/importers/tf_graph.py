@@ -162,8 +162,13 @@ def attr_tensor(raw: Optional[bytes]) -> Optional[np.ndarray]:
             elif wtype == 2 and dtype == DT_FLOAT:  # packed fixed32
                 for i in range(0, len(v), 4):
                     vals.append(struct.unpack("<f", v[i : i + 4])[0])
+            elif wtype == 2 and dtype == DT_DOUBLE:  # packed fixed64
+                for i in range(0, len(v), 8):
+                    vals.append(struct.unpack("<d", v[i : i + 8])[0])
             elif wtype == 5:
                 vals.append(struct.unpack("<f", v)[0])
+            elif wtype == 1:                         # fixed64 double
+                vals.append(struct.unpack("<d", v)[0])
             elif wtype == 0:
                 vals.append(pw.to_signed64(v))
         arr = np.asarray(vals, dtype=np_dtype)
@@ -242,7 +247,11 @@ def import_tf_graphdef(
     weights: Dict[str, np.ndarray] = {}
     warnings: List[str] = []
 
-    for inp in concat.inputs[:-1]:  # last input is the concat axis
+    # ConcatV2 carries the axis LAST; V1 Concat carries it FIRST
+    value_inputs = (
+        concat.inputs[1:] if concat.op == "Concat" else concat.inputs[:-1]
+    )
+    for inp in value_inputs:
         n = gi.node(inp)
         if n is None:
             continue
@@ -302,7 +311,16 @@ def import_tf_graphdef(
         if cross is not None:
             nb = attr_int(cross.attr("num_buckets")) or vocab
             hk = attr_int(cross.attr("hash_key"))
-            fields = tuple(ph.name for ph in placeholders) or (n.name,)
+            # FingerprintCat64 is order-dependent: key order must follow
+            # the SparseCross op's INPUT order, not DFS discovery order
+            ordered = []
+            for ci in cross.inputs:
+                ph = _placeholder_of(gi, ci)
+                if ph is not None and ph.name not in ordered:
+                    ordered.append(ph.name)
+            fields = tuple(ordered) or tuple(
+                ph.name for ph in placeholders
+            ) or (n.name,)
             cname = "_x_".join(fields)
             columns.append(
                 FeatureColumn(
@@ -340,9 +358,15 @@ def import_tf_graphdef(
             kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
 
         field = placeholders[0].name if placeholders else n.name
+        cname = field
+        taken = {c.name for c in columns}
+        k2 = 2
+        while cname in taken:   # two columns fed by one raw feature
+            cname = f"{field}__{k2}"
+            k2 += 1
         columns.append(
             FeatureColumn(
-                field,
+                cname,
                 FeatureSource(field, kind, delimiter=delimiter),
                 transforms,
                 LookupSpec(tname, combiner),
@@ -467,7 +491,34 @@ def _pred_to_intervals(gi: GraphIndex, name: str):
             if lhs is None:
                 return None
             sym, rhs = _CMP_MIRROR[sym], lhs
-        return compare_to_interval(sym, int(rhs))
+        return _cmp_interval_numeric(sym, rhs)
+    return None
+
+
+def _cmp_interval_numeric(sym: str, rhs):
+    """compare_to_interval over integer ids with a possibly-FRACTIONAL
+    comparison constant: x < 2.5 over ints means x <= 2, x > -0.5 means
+    x >= 0, x == 2.5 is empty.  int() truncation toward zero would get all
+    of these wrong for non-integral rhs."""
+    import math
+
+    from recom_tpu.ir.intervals import IntervalSet, compare_to_interval
+
+    r = float(rhs)
+    if float(int(r)) == r:
+        return compare_to_interval(sym, int(r))
+    if sym == "<":
+        return IntervalSet.le(math.floor(r))
+    if sym == "<=":
+        return IntervalSet.le(math.floor(r))
+    if sym == ">":
+        return IntervalSet.ge(math.ceil(r))
+    if sym == ">=":
+        return IntervalSet.ge(math.ceil(r))
+    if sym == "==":
+        return IntervalSet.empty()
+    if sym == "!=":
+        return IntervalSet.all()
     return None
 
 
@@ -497,6 +548,26 @@ def _extract_range_transforms(gi: GraphIndex, sub) -> tuple:
             if iv is not None and sub_val is not None and not iv.is_all():
                 found.append(SelectRange(iv, int(sub_val)))
     return tuple(found)
+
+
+def _placeholder_of(gi: GraphIndex, name: str):
+    """First Placeholder reachable backward from ``name`` (depth-first in
+    input order), or None."""
+    n = gi.node(name)
+    seen = set()
+    stack = [n] if n is not None else []
+    while stack:
+        x = stack.pop(0)
+        if x.name in seen:
+            continue
+        seen.add(x.name)
+        if x.op == "Placeholder":
+            return x
+        for i in x.inputs:
+            nn = gi.node(i)
+            if nn is not None:
+                stack.append(nn)
+    return None
 
 
 def _const_string(gi: GraphIndex, name: str) -> Optional[str]:

@@ -9,7 +9,8 @@ boundaries, custom_ops/gather_value_gen_indice/gather_value_gen_indice_ops.cc:
 bucket, bucketize, vocab lookup) produces integer ids.
 
 All intervals are closed ``[lo, hi]``.  The empty set is ``IntervalSet([])``;
-the universe is ``IntervalSet.all()`` = ``[INT_MIN, INT_MAX]``.
+the universe is ``IntervalSet.all()`` = the full int64 range (so complement-
+based sets like ``x != 5`` classify 63-bit hash/snowflake ids correctly).
 """
 
 from __future__ import annotations
@@ -18,8 +19,8 @@ from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
 
-INT_MIN = -(1 << 62)
-INT_MAX = (1 << 62) - 1
+INT_MIN = -(1 << 63)
+INT_MAX = (1 << 63) - 1
 
 
 class IntervalSet:
@@ -61,6 +62,8 @@ class IntervalSet:
 
     @classmethod
     def gt(cls, v: int) -> "IntervalSet":
+        if v >= INT_MAX:
+            return cls.empty()
         return cls([(v + 1, INT_MAX)])
 
     @classmethod
@@ -69,6 +72,8 @@ class IntervalSet:
 
     @classmethod
     def lt(cls, v: int) -> "IntervalSet":
+        if v <= INT_MIN:
+            return cls.empty()
         return cls([(INT_MIN, v - 1)])
 
     @classmethod

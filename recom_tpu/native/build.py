@@ -30,10 +30,27 @@ def _cache_dir() -> str:
     )
 
 
+def _host_fingerprint() -> bytes:
+    """-march=native binaries are CPU-specific: key the cache on the host's
+    ISA so a shared/NFS cache dir never serves SIGILL-inducing builds."""
+    import platform
+
+    parts = [platform.machine().encode()]
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags") or line.startswith(b"Features"):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return b"|".join(parts)
+
+
 def build_lib(verbose: bool = False) -> str:
     with open(_SRC, "rb") as f:
         src = f.read()
-    key = hashlib.md5(src).hexdigest()[:16]
+    key = hashlib.md5(src + _host_fingerprint()).hexdigest()[:16]
     out_dir = _cache_dir()
     os.makedirs(out_dir, exist_ok=True)
     so_path = os.path.join(out_dir, f"libhostops_{key}.so")

@@ -147,13 +147,24 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         weights = None
         if weight_field is not None:
             wrows = batch[weight_field]
+            # validate PER-ROW lengths, not just the flattened total —
+            # [[a,b],[]] vs weights [[0.5],[0.7]] both flatten to length 2
+            # but would silently misassign 0.7 across rows
+            if len(wrows) != b:
+                raise ValueError(
+                    f"weight field {weight_field!r}: {len(wrows)} rows vs "
+                    f"{b} value rows in {col.source.field!r}"
+                )
+            vrow_counts = np.bincount(row_ids, minlength=b)
+            for i, row in enumerate(wrows):
+                if len(row) != vrow_counts[i]:
+                    raise ValueError(
+                        f"weight field {weight_field!r} row {i} has "
+                        f"{len(row)} weights for {int(vrow_counts[i])} "
+                        f"values in {col.source.field!r}"
+                    )
             w = [float(x) for row in wrows for x in row]
             weights = np.asarray(w, dtype=np.float32)
-            if weights.shape[0] != len(row_ids):
-                raise ValueError(
-                    f"weight field {weight_field!r} misaligned with "
-                    f"{col.source.field!r}"
-                )
         return SparseFeature(values, row_ids, weights, b)
     raise ValueError(f"cannot materialize source kind {kind}")
 
