@@ -222,13 +222,33 @@ def find_output_concat(gi: GraphIndex, min_inputs: int = 5) -> Node:
     """The input_layer ConcatV2 — the convergence point every FC feeds
     (reference IsConcatOutOp, graph_info.cc:36-39; the TfCpuGpuPass uses the
     same >5-input heuristic, tf_cpu_gpu_pass.cc:47-97)."""
-    best = None
-    for n in gi.nodes:
-        if n.op in ("ConcatV2", "Concat") and len(n.inputs) - 1 >= min_inputs:
-            if best is None or len(n.inputs) > len(best.inputs):
-                best = n
+    def widest(min_in: int, sink_only: bool):
+        cand = None
+        for n in gi.nodes:
+            if n.op not in ("ConcatV2", "Concat"):
+                continue
+            if len(n.inputs) - 1 < min_in:
+                continue
+            if sink_only and gi.consumers.get(n.name):
+                continue        # consumed downstream: an internal concat
+            if cand is None or len(n.inputs) > len(cand.inputs):
+                cand = n
+        return cand
+
+    # prefer an OUTPUT (sink) concat — safe_embedding_lookup_sparse's own
+    # implementation contains small internal ConcatV2s that must lose to
+    # the model's final concat
+    best = (
+        widest(min_inputs, sink_only=True)
+        or widest(min_inputs, sink_only=False)
+        # small graphs: the reference's >5 heuristic targets 1000-column
+        # input_layers (tf_cpu_gpu_pass.cc:47-97); a 2-column model is
+        # still importable
+        or widest(2, sink_only=True)
+        or widest(2, sink_only=False)
+    )
     if best is None:
-        raise ValueError("no input_layer ConcatV2 found (need >5 inputs)")
+        raise ValueError("no output ConcatV2 found (need >=2 inputs)")
     return best
 
 

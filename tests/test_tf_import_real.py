@@ -124,3 +124,107 @@ def test_import_real_frozen_feature_column_graph():
             out["pooled"][col.name], tf_slices[col.source.field],
             err_msg=col.name,
         )
+
+
+def test_import_real_sparse_split_and_cross_graph():
+    """The reference's dlrm.py builds sparse-string and crossed columns by
+    hand (string_split -> hash -> safe_embedding_lookup_sparse; SparseCross
+    hashed) rather than via input_layer.  Build those idioms in a real TF1
+    graph, freeze, import, and match TF's output bit-exactly."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        rng = np.random.default_rng(1)
+        # delimited sparse string column, mean combiner
+        sp_in = tf1.placeholder(tf.string, [None], name="tags")
+        sp = tf1.string_split(sp_in, sep=";")
+        ids = tf.sparse.SparseTensor(
+            sp.indices,
+            tf.strings.to_hash_bucket_fast(sp.values, 128),
+            sp.dense_shape,
+        )
+        table1 = tf1.get_variable(
+            "emb_tags", shape=[128, 4],
+            initializer=tf1.random_normal_initializer(seed=1),
+        )
+        pooled1 = tf.nn.safe_embedding_lookup_sparse(
+            table1, ids, combiner="mean", default_id=None, name="tags_pool"
+        )
+
+        # hashed cross of two dense string features
+        a_in = tf1.placeholder(tf.string, [None], name="ca")
+        b_in = tf1.placeholder(tf.string, [None], name="cb")
+        a2 = tf.reshape(a_in, [-1, 1])
+        b2 = tf.reshape(b_in, [-1, 1])
+        spa = tf.sparse.from_dense(a2)
+        spb = tf.sparse.from_dense(b2)
+        crossed = tf.raw_ops.SparseCross(
+            indices=[spa.indices, spb.indices],
+            values=[spa.values, spb.values],
+            shapes=[spa.dense_shape, spb.dense_shape],
+            dense_inputs=[],
+            hashed_output=True, num_buckets=256, hash_key=0xDECAFCAFFE,
+            out_type=tf.int64, internal_type=tf.string,
+        )
+        cross_sp = tf.sparse.SparseTensor(
+            crossed.output_indices, crossed.output_values,
+            crossed.output_shape,
+        )
+        table2 = tf1.get_variable(
+            "emb_cross", shape=[256, 4],
+            initializer=tf1.random_normal_initializer(seed=2),
+        )
+        pooled2 = tf.nn.safe_embedding_lookup_sparse(
+            table2, cross_sp, combiner="mean", default_id=None,
+            name="cross_pool",
+        )
+        out = tf.concat([pooled1, pooled2], axis=1, name="out")
+
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feed = {
+                sp_in: np.asarray(
+                    [";".join("t%d" % v
+                              for v in rng.integers(0, 10**5,
+                                                    rng.integers(0, 5)))
+                     for _ in range(12)]
+                ),
+                a_in: np.asarray(["a%d" % v for v in rng.integers(0, 99, 12)]),
+                b_in: np.asarray(["b%d" % v for v in rng.integers(0, 99, 12)]),
+            }
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    model, weights = import_tf_graphdef(frozen.SerializeToString(),
+                                        name="sparse_cross")
+    kinds = {c.name: c for c in model.columns}
+    assert any(
+        c.source.kind.name == "STRING_LIST" for c in model.columns
+    ), kinds
+    assert any(
+        c.source.kind.name == "CROSS" for c in model.columns
+    ), kinds
+
+    params = init_model_params(model)
+    for t, w in weights.items():
+        params["tables"][t] = w
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+                 params=params)
+    batch = {
+        "tags": feed[sp_in],
+        "ca": feed[a_in],
+        "cb": feed[b_in],
+    }
+    out2 = eng.predict(batch, return_pooled=True)
+    sparse_col = next(c for c in model.columns
+                      if c.source.kind.name == "STRING_LIST")
+    cross_col = next(c for c in model.columns
+                     if c.source.kind.name == "CROSS")
+    np.testing.assert_array_equal(
+        out2["pooled"][sparse_col.name], want[:, :4], err_msg="sparse"
+    )
+    np.testing.assert_array_equal(
+        out2["pooled"][cross_col.name], want[:, 4:], err_msg="cross"
+    )
