@@ -113,7 +113,9 @@ def random_batch(rng: np.random.Generator, model: ModelSpec, batch: int):
         if col.source.kind == FeatureKind.DENSE_FLOAT:
             out[f] = rng.uniform(-80, 80, batch)
         elif col.source.kind == FeatureKind.DENSE_INT:
-            out[f] = rng.integers(-(10**9), 10**9, batch)
+            vals = rng.integers(-(10**9), 10**9, batch)
+            vals[rng.random(batch) < 0.1] = -1   # TF ignore_value missing
+            out[f] = vals
         elif col.source.kind == FeatureKind.STRING:
             out[f] = np.asarray(
                 ["s%d" % v for v in rng.integers(0, 10**6, batch)]

@@ -227,3 +227,34 @@ def test_engine_pooled_matches_tf_end_to_end():
                  params=params)
     got = eng.predict({"x": rows}, return_pooled=True)["pooled"]["c"]
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_random_model_output_matches_tf_baseline(seed):
+    """Random TF-expressible models: the Engine's final output must match
+    the REAL TF graph (tools/tf_baseline) on the same weights to fp
+    tolerance (tower matmul orderings differ; lookups themselves are
+    bit-exact per the other tests)."""
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.tools.tf_baseline import build_tf_baseline
+    from recom_tpu.utils.params import init_model_params
+
+    rng = np.random.default_rng(200 + seed)
+    m = make_dlrm_model(
+        int(rng.integers(2, 8)), int(rng.integers(1, 4)),
+        int(rng.integers(1, 4)), int(rng.integers(1, 3)), 0,
+        int(rng.integers(1, 5)), [8], [16, 8, 1],
+        name=f"tfz{seed}", large_rows=4096,
+    )
+    params = init_model_params(m)
+    batch = make_random_batch(m, 32, seed=seed)
+
+    fn, make_feed = build_tf_baseline(m, params)
+    want = fn(make_feed(batch)).numpy()
+
+    eng = Engine(m, EngineConfig(use_pallas=bool(seed % 2), interpret=True,
+                                 batch_buckets=(32,)), params=params)
+    got = eng.predict(batch)["output"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
