@@ -67,7 +67,7 @@ def main():
     elif args.model == "E":
         # model E analogue: 1000 embedding columns (reference dlrm.py:193)
         model = make_dlrm_model(
-            880, 50, 50, 15, 5, 32, [32], [1024, 1024, 128, 1], name="E"
+            880, 50, 50, 15, 5, 32, [32], [1024, 1024, 128], name="E"
         )
     elif args.model == "F":
         from recom_tpu.models import make_model_f
@@ -119,7 +119,7 @@ def main():
     # tax and measures nothing.
     import jax.numpy as jnp
 
-    oracle = OracleModel(model, params=None)
+    oracle = OracleModel(model, params=np_params)
     ref_pooled = oracle.pooled_outputs(batch)
     b = prep.batch_size
     # assemble per-group expected arrays [b, C, d] in group order

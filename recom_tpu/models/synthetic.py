@@ -245,8 +245,18 @@ def make_random_batch(
         if col.lookup is not None and col.lookup.weight_field:
             wf = col.lookup.weight_field
             if wf not in out:
+                def _n_items(row):
+                    # delimiter-joined wire rows carry k items, not
+                    # len(joined_bytes) characters
+                    if isinstance(row, (bytes, np.bytes_)):
+                        row = row.decode()
+                    if isinstance(row, str):
+                        d = col.source.delimiter
+                        return row.count(d) + 1 if row else 0
+                    return len(row)
+
                 out[wf] = [
-                    list(rng.random(len(row)).astype(np.float32))
+                    list(rng.random(_n_items(row)).astype(np.float32))
                     for row in out[field]
                 ]
     return out

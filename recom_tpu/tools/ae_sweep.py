@@ -28,7 +28,12 @@ def sweep_model(name: str, batches, iters: int, oracle_batches=()):
 
     kind, _, scale = name.partition("@")
     scale = float(scale) if scale else 1.0
-    model = (make_model_e if kind == "E" else make_model_f)(scale=scale)
+    if kind == "E":
+        model = make_model_e(scale=scale)
+    elif kind == "F":
+        model = make_model_f(scale=scale)
+    else:
+        raise SystemExit(f"unknown model {name!r} (expected E[@s] or F[@s])")
     eng = Engine(model, EngineConfig())
     rows = []
     for bs in batches:

@@ -68,7 +68,8 @@ def run_benchmark(
     # warm-up triggers compilation (the reference's warm-up run triggers
     # the whole RECom pass + nvcc, recom_examples.patch:185-192)
     t0 = time.perf_counter()
-    serve_once(batches[0])
+    for b in batches:            # warm EVERY worker's signature
+        serve_once(b)
     compile_s = time.perf_counter() - t0
     for _ in range(warmup):
         serve_once(batches[0])

@@ -118,14 +118,19 @@ def main():
             for i in range(args.spawn)
         ]
         ok = True
-        for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=600)
-            text = out.decode()
-            if p.returncode != 0:
-                ok = False
-                print(f"--- worker {i} FAILED ---\n{text[-2000:]}")
-            elif "MULTIHOST OK" in text:
-                print(text.strip().splitlines()[-1])
+        try:
+            for i, p in enumerate(procs):
+                out, _ = p.communicate(timeout=600)
+                text = out.decode()
+                if p.returncode != 0:
+                    ok = False
+                    print(f"--- worker {i} FAILED ---\n{text[-2000:]}")
+                elif "MULTIHOST OK" in text:
+                    print(text.strip().splitlines()[-1])
+        finally:
+            for p in procs:      # a hung worker must not orphan the rest
+                if p.poll() is None:
+                    p.kill()
         sys.exit(0 if ok else 1)
 
     assert args.process_id is not None, "--process-id required (or --spawn)"

@@ -73,11 +73,14 @@ def sweep(
                 lambda t, i: lookup_xla.group_pooled(t, i, offs, code)
             )
         elif comm == "all_to_all":
-            fn = jax.jit(
+            fn_full = jax.jit(
                 lambda t, i, _mesh=mesh: all_to_all_group_pooled(
                     _mesh, t, i, offs, code
-                )[0]
+                )
             )
+
+            def fn(t, i):
+                return fn_full(t, i)[0]
         else:
             fn = jax.jit(
                 lambda t, i, _mesh=mesh: sharded_group_pooled(
@@ -99,6 +102,12 @@ def sweep(
 
         out = fn(td, idd)
         jax.block_until_ready(out)
+        if m > 1 and comm == "all_to_all":
+            # efficiency numbers are meaningless if ids were dropped
+            ovf = int(fn_full(td, idd)[1])
+            assert ovf == 0, (
+                f"a2a overflow {ovf} at m={m}; raise capacity_factor"
+            )
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(td, idd)

@@ -77,7 +77,12 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
             assert isinstance(hb, HashBucket)
             x = feed[col.source.field]
             if kind == FeatureKind.DENSE_INT:
-                x = tf.strings.as_string(x)
+                missing = tf.equal(x, -1)       # TF ignore_value semantics
+                ids = tf.strings.to_hash_bucket_fast(
+                    tf.strings.as_string(x), hb.num_buckets
+                )
+                emb = tf.nn.embedding_lookup(t, ids)
+                return tf.where(missing[:, None], tf.zeros_like(emb), emb)
             ids = tf.strings.to_hash_bucket_fast(x, hb.num_buckets)
             return tf.nn.embedding_lookup(t, ids)
         if kind == FeatureKind.STRING_LIST:

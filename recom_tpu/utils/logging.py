@@ -41,11 +41,20 @@ class StageTimer:
     dumps (recom_examples.patch:241-258), kept always-on here because the
     overhead is two clock reads per stage."""
 
+    MAX_SAMPLES = 8192           # per-stage ring: bounded memory for
+                                 # long-running servers (always-on timers)
+
     def __init__(self):
+        from collections import deque
+
+        self._deque = deque
         self.samples = {}
 
     def add(self, stage: str, seconds: float):
-        self.samples.setdefault(stage, []).append(seconds)
+        dq = self.samples.get(stage)
+        if dq is None:
+            dq = self.samples[stage] = self._deque(maxlen=self.MAX_SAMPLES)
+        dq.append(seconds)
 
     def summary(self):
         import numpy as np
