@@ -24,17 +24,25 @@ import time
 import numpy as np
 
 
-def time_fn(fn, iters, warmup=5):
+def time_fn(fn, iters, warmup=5, windows=5):
+    """Median over several measurement windows (each: ``iters/windows``
+    async dispatches, one drain).  The remote-tunneled device here shows
+    transient 10-50x stalls; a single window can land entirely inside one
+    and report pure tunnel weather instead of the program."""
     import jax
 
     for _ in range(warmup):
         out = fn()
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    per = max(1, iters // windows)
+    samples = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            out = fn()
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter() - t0) / per)
+    return float(np.median(samples))
 
 
 def main():
