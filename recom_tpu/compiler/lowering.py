@@ -165,6 +165,31 @@ def _split_host_device(col: FeatureColumn):
     return None, (), col.transforms
 
 
+def _host_class(m: GroupMember) -> int:
+    """Host-prep class of a member: 0 = int-hash fast path, 1 = fixed-string
+    hash, 2 = delimited split+hash, 3 = generic oracle chain.  Must agree
+    with runtime/wire.py's plan partitioning (asserted at plan build)."""
+    from recom_tpu.ir.spec import HashBucket
+
+    col = m.column
+    one_hash = len(m.host_chain) == 1 and isinstance(
+        m.host_chain[0], HashBucket
+    )
+    if not one_hash:
+        return 3
+    if col.source.kind == FeatureKind.DENSE_INT:
+        return 0
+    if col.source.kind == FeatureKind.STRING:
+        return 1
+    if (
+        col.source.kind == FeatureKind.STRING_LIST
+        and col.source.delimiter is not None
+        and col.lookup.weight_field is None
+    ):
+        return 2
+    return 3
+
+
 def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
     # --- group columns by (dim, ragged) --------------------------------
     group_map: Dict[Tuple[int, bool], LookupGroup] = {}
@@ -213,9 +238,15 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
 
     groups = list(group_map.values())
 
-    # --- order members: device-bucketize first; assign offsets ---------
+    # --- order members: device-bucketize first, then host members grouped
+    # by prep class (int-hash, str-hash, delimited split-hash, generic) so
+    # each class occupies a CONTIGUOUS index range — the wire packer then
+    # issues one strided native call per class with a single base pointer
+    # instead of per-column destination views (runtime/wire.py).
     for g in groups:
-        g.members.sort(key=lambda m: (m.device_bucketize is None))
+        g.members.sort(
+            key=lambda m: (m.device_bucketize is None, _host_class(m))
+        )
         row = 0
         codes = []
         offsets = []

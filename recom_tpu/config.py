@@ -51,6 +51,20 @@ class EngineConfig:
     rowlen_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128)
     allow_truncate_overflow: bool = False
 
+    # --- host/device staging ---
+    # pack every prepared array into ONE uint8 blob per step (the
+    # reference's ConcatInputs single-H2D staging, concat_inputs_ops.cc:
+    # 42-77).  Ids travel at the narrowest dtype their compile-time range
+    # admits (int8/int16); the device program unpacks with fused static
+    # bitcasts.  Effective on the single-device path; mesh execution keeps
+    # structured arrays (batch-axis sharding needs per-array layouts).
+    wire_pack: bool = True
+    # compute Bucketize ids on the host (native float64 upper_bound + fused
+    # post-bucketize LUT) instead of shipping raw floats to the device:
+    # 4x less wire traffic for bucketize columns at ~the same host cost.
+    # Off restores the device bucketize / fused Pallas one-hot path.
+    host_bucketize: bool = True
+
     # --- kernel selection ---
     # tables with vocab <= this use the MXU one-hot matmul megakernel path;
     # larger tables use the row-gather path (XLA gather / Pallas DMA gather).

@@ -19,9 +19,12 @@ import threading
 from typing import Optional
 
 _SRC = os.path.join(os.path.dirname(__file__), "host_ops.cc")
+_PY_SRC = os.path.join(os.path.dirname(__file__), "py_helpers.cc")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _failed = False
+_pylib: Optional[ctypes.PyDLL] = None
+_pyfailed = False
 
 
 def _cache_dir() -> str:
@@ -47,25 +50,42 @@ def _host_fingerprint() -> bytes:
     return b"|".join(parts)
 
 
-def build_lib(verbose: bool = False) -> str:
-    with open(_SRC, "rb") as f:
+def _build_one(
+    src_path: str, stem: str, extra_flags=(), verbose: bool = False
+) -> str:
+    with open(src_path, "rb") as f:
         src = f.read()
     key = hashlib.md5(src + _host_fingerprint()).hexdigest()[:16]
     out_dir = _cache_dir()
     os.makedirs(out_dir, exist_ok=True)
-    so_path = os.path.join(out_dir, f"libhostops_{key}.so")
+    so_path = os.path.join(out_dir, f"{stem}_{key}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", tmp,
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", *extra_flags, src_path, "-o", tmp,
     ]
     if verbose:
         print("[recom_tpu.native]", " ".join(cmd), file=sys.stderr)
     subprocess.run(cmd, check=True, capture_output=not verbose)
     os.replace(tmp, so_path)  # atomic: safe under concurrent builds
     return so_path
+
+
+def build_lib(verbose: bool = False) -> str:
+    return _build_one(_SRC, "libhostops", verbose=verbose)
+
+
+def build_pylib(verbose: bool = False) -> str:
+    """CPython-API helpers (py_helpers.cc); needs Python headers.  Symbols
+    like PyObject_GetBuffer resolve from the running interpreter at load."""
+    import sysconfig
+
+    inc = sysconfig.get_paths()["include"]
+    return _build_one(
+        _PY_SRC, "libpyhelpers", extra_flags=(f"-I{inc}",), verbose=verbose
+    )
 
 
 def _declare(lib: ctypes.CDLL):
@@ -110,6 +130,60 @@ def _declare(lib: ctypes.CDLL):
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
         c.c_int64, c.c_int64, c.c_void_p,
     ]
+    lib.rt_bucketize_multi.restype = None
+    lib.rt_bucketize_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p,
+        c.c_int64, c.c_int64, c.c_void_p, c.c_int64, c.c_int64,
+    ]
+    lib.rt_hash_int_multi_out.restype = None
+    lib.rt_hash_int_multi_out.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
+        c.c_int64, c.c_int64,
+    ]
+    lib.rt_hash_fixed_multi_out.restype = None
+    lib.rt_hash_fixed_multi_out.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+        c.c_void_p, c.c_int64, c.c_int64,
+    ]
+    lib.rt_split_hash_multi_out.restype = c.c_int64
+    lib.rt_split_hash_multi_out.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+        c.c_int64, c.c_int64, c.c_void_p, c.c_int64, c.c_int64,
+    ]
+    lib.rt_fill_i32.restype = None
+    lib.rt_fill_i32.argtypes = [c.c_void_p, c.c_int64, c.c_int32, c.c_int64]
+    lib.rt_copy_f32_multi.restype = None
+    lib.rt_copy_f32_multi.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_void_p, c.c_int64
+    ]
+
+
+def get_pylib() -> Optional[ctypes.PyDLL]:
+    """CPython-API helper library (PyDLL: calls run WITH the GIL held);
+    None when Python headers/toolchain are unavailable."""
+    global _pylib, _pyfailed
+    if _pylib is not None or _pyfailed:
+        return _pylib
+    with _lock:
+        if _pylib is not None or _pyfailed:
+            return _pylib
+        try:
+            path = build_pylib()
+            lib = ctypes.PyDLL(path)
+            lib.rt_ptrs_from_buffers.restype = ctypes.c_int64
+            lib.rt_ptrs_from_buffers.argtypes = [
+                ctypes.py_object, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
+            _pylib = lib
+        except Exception as e:  # pragma: no cover - toolchain-dependent
+            _pyfailed = True
+            print(
+                f"[recom_tpu.native] py-helper build failed ({e}); "
+                "using ctypes pointer extraction",
+                file=sys.stderr,
+            )
+    return _pylib
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

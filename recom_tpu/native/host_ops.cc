@@ -392,4 +392,173 @@ int64_t rt_split_hash_multi(const uint8_t** bufs, const int64_t* widths,
   return maxp;
 }
 
+// ---------------------------------------------------------------------
+// Direct-write ("wire") variants: each column writes into its own
+// destination pointer at a caller-chosen element width (1/2/4 bytes).
+// These are the single-blob staging path (the reference's ConcatInputs,
+// concat_inputs_ops.cc:42-77): host prep packs every column's ids into one
+// contiguous byte blob so exactly ONE array crosses to the device per step.
+
+namespace {
+
+inline void WriteElem(uint8_t* dst, int64_t elem, int64_t i, int32_t v) {
+  switch (elem) {
+    case 1:
+      reinterpret_cast<int8_t*>(dst)[i] = static_cast<int8_t>(v);
+      break;
+    case 2:
+      reinterpret_cast<int16_t*>(dst)[i] = static_cast<int16_t>(v);
+      break;
+    default:
+      reinterpret_cast<int32_t*>(dst)[i] = v;
+  }
+}
+
+}  // namespace
+
+// TF Bucketize per column group, with optional fused post-bucketize LUT.
+// xs: n_cols pointers to float32[batch]; bounds: [n_cols, kmax] float64
+// padded +inf; counts[c] = true boundary count; luts: n_cols pointers to
+// int32[counts[c]+1] or null (identity).  Column c writes to
+// out + c*stride*elem (stride in ELEMENTS — the view's padded batch).
+// Semantics match the NumPy oracle (oracle/reference.py apply_transform
+// Bucketize): id = upper_bound over FLOAT64 boundaries (NaN -> count),
+// then id' = lut[id].
+void rt_bucketize_multi(const float** xs, const double* bounds, int64_t kmax,
+                        const int32_t* counts, const int32_t** luts,
+                        int64_t n_cols, int64_t batch, uint8_t* out,
+                        int64_t stride, int64_t elem) {
+  ParallelColumns(n_cols, 64, [=](int64_t c) {
+    const float* x = xs[c];
+    const double* b = bounds + c * kmax;
+    const int32_t k = counts[c];
+    const int32_t* lut = luts ? luts[c] : nullptr;
+    uint8_t* o = out + c * stride * elem;
+    for (int64_t i = 0; i < batch; ++i) {
+      const double v = static_cast<double>(x[i]);
+      // branchless-ish upper_bound: first index with b[idx] > v
+      int32_t lo = 0, hi = k;
+      while (lo < hi) {
+        int32_t mid = (lo + hi) >> 1;
+        if (b[mid] <= v)   // NaN: comparison false -> hi shrinks -> id==lo
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      int32_t id = lo;
+      if (v != v) id = k;  // NaN -> count (matches searchsorted/oracle)
+      if (lut) id = lut[id];
+      WriteElem(o, elem, i, id);
+    }
+  });
+}
+
+// Hash int64 columns; column c writes to out + c*stride*elem.  TF
+// ignore_value semantics folded in: input -1 writes id -1.
+void rt_hash_int_multi_out(const int64_t** vals, const int64_t* buckets,
+                           int64_t n_cols, int64_t batch, uint8_t* out,
+                           int64_t stride, int64_t elem) {
+  ParallelColumns(n_cols, 8, [=](int64_t c) {
+    uint8_t buf[24];
+    const int64_t* v = vals[c];
+    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
+    uint8_t* o = out + c * stride * elem;
+    for (int64_t i = 0; i < batch; ++i) {
+      if (v[i] == -1) {
+        WriteElem(o, elem, i, -1);
+        continue;
+      }
+      size_t len = FormatInt(v[i], buf);
+      WriteElem(o, elem, i, static_cast<int32_t>(Hash64(buf, len) % nb));
+    }
+  });
+}
+
+// Hash fixed-width string columns; column c writes to out + c*stride*elem.
+void rt_hash_fixed_multi_out(const uint8_t** bufs, const int64_t* widths,
+                             const int64_t* buckets, int64_t n_cols,
+                             int64_t batch, uint8_t* out, int64_t stride,
+                             int64_t elem) {
+  ParallelColumns(n_cols, 8, [=](int64_t c) {
+    const uint8_t* buf = bufs[c];
+    const int64_t w = widths[c];
+    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
+    uint8_t* o = out + c * stride * elem;
+    for (int64_t i = 0; i < batch; ++i) {
+      const uint8_t* p = buf + i * w;
+      WriteElem(o, elem, i,
+                static_cast<int32_t>(Hash64(p, FixedLen(p, w)) % nb));
+    }
+  });
+}
+
+namespace {
+
+// split+hash one column into dst at element width `elem`; returns max pieces.
+int64_t SplitHashPadElem(const uint8_t* buf, int64_t width, int64_t n,
+                         uint8_t delim, int64_t num_buckets, int64_t rowlen,
+                         uint8_t* dst, int64_t elem) {
+  int64_t maxp = 0;
+  const uint64_t nb = static_cast<uint64_t>(num_buckets);
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = buf + i * width;
+    size_t len = FixedLen(p, width);
+    uint8_t* row = dst + i * rowlen * elem;
+    int64_t cnt = 0;
+    if (len > 0) {
+      size_t start = 0;
+      for (size_t j = 0; j <= len; ++j) {
+        if (j == len || p[j] == delim) {
+          if (cnt < rowlen) {
+            uint64_t h = Hash64(p + start, j - start);
+            WriteElem(row, elem, cnt, static_cast<int32_t>(h % nb));
+          }
+          ++cnt;
+          start = j + 1;
+        }
+      }
+    }
+    for (int64_t j = cnt < rowlen ? cnt : rowlen; j < rowlen; ++j)
+      WriteElem(row, elem, j, -1);
+    if (cnt > maxp) maxp = cnt;
+  }
+  return maxp;
+}
+
+}  // namespace
+
+// Split+hash several delimited columns; column c writes [batch, rowlen]
+// ids (-1 padded) at out + c*stride*elem (stride in elements — the view's
+// padded batch * rowlen).  Returns max piece count.
+int64_t rt_split_hash_multi_out(const uint8_t** bufs, const int64_t* widths,
+                                const uint8_t* delims, const int64_t* buckets,
+                                int64_t n_cols, int64_t batch, int64_t rowlen,
+                                uint8_t* out, int64_t stride, int64_t elem) {
+  std::vector<int64_t> maxs(n_cols, 0);
+  ParallelColumns(n_cols, 4, [&, bufs, widths, delims, buckets](int64_t c) {
+    maxs[c] = SplitHashPadElem(bufs[c], widths[c], batch, delims[c],
+                               buckets[c], rowlen, out + c * stride * elem,
+                               elem);
+  });
+  int64_t maxp = 0;
+  for (int64_t m : maxs)
+    if (m > maxp) maxp = m;
+  return maxp;
+}
+
+// Fill a strided region with a constant byte pattern per element: used for
+// the -1 padding tails of id views ([batch..batch_padded) rows).
+void rt_fill_i32(uint8_t* dst, int64_t n, int32_t value, int64_t elem) {
+  for (int64_t i = 0; i < n; ++i) WriteElem(dst, elem, i, value);
+}
+
+// Copy n_cols float32 columns (xs[c]: [batch]) into out + c*stride floats —
+// the staging copy for dense features and raw bucketize floats (one call
+// for the whole class instead of a Python fill loop per column).
+void rt_copy_f32_multi(const float** xs, int64_t n_cols, int64_t batch,
+                       float* out, int64_t stride) {
+  for (int64_t c = 0; c < n_cols; ++c)
+    std::memcpy(out + c * stride, xs[c], batch * sizeof(float));
+}
+
 }  // extern "C"

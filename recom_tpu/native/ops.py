@@ -221,6 +221,180 @@ def split_hash_multi(
     return out, int(maxp)
 
 
+# ---------------------------------------------------------------------------
+# Direct-write ("wire") variants: one strided native call per column CLASS,
+# writing straight into the packed blob (the reference's ConcatInputs
+# staging, concat_inputs_ops.cc:42-77).  `out` is a [n_cols, ...] numpy view
+# of the blob (int8/int16/int32); column c lands at row c.  Input pointers
+# come from the CPython buffer helper when available (rt_ptrs_from_buffers,
+# ~100ns/column incl. dtype validation) with a coercing ctypes fallback.
+# All have pure-NumPy fallbacks when the native library is missing.
+
+_PTR_ANY, _PTR_F32, _PTR_I64 = 0, 1, 2
+
+
+def _fast_ptrs(items: List, mode: int, min_bytes: int) -> Optional[np.ndarray]:
+    from recom_tpu.native.build import get_pylib
+
+    plib = get_pylib()
+    if plib is None or not isinstance(items, list):
+        return None
+    out = np.empty(len(items), np.int64)
+    rc = plib.rt_ptrs_from_buffers(
+        items, len(items), mode, min_bytes, out.ctypes.data
+    )
+    return out if rc == 0 else None
+
+
+def _in_ptrs(
+    arrays: List, mode: int, dtype, batch: int
+) -> Tuple[np.ndarray, List]:
+    """(pointer array, keep-alive list).  Optimistic zero-copy through the
+    buffer helper; coerce + ctypes when any array fails validation."""
+    itemsize = np.dtype(dtype).itemsize
+    ptrs = _fast_ptrs(arrays, mode, batch * itemsize)
+    if ptrs is not None:
+        return ptrs, arrays
+    cols = [np.ascontiguousarray(a, dtype=dtype) for a in arrays]
+    return _ptr_array(cols), cols
+
+
+def bucketize_multi(
+    arrays: List[np.ndarray],
+    bounds: np.ndarray,
+    counts: np.ndarray,
+    lut_ptrs: Optional[np.ndarray],
+    luts: Optional[List[Optional[np.ndarray]]],
+    out: np.ndarray,
+    batch: int,
+) -> None:
+    """TF Bucketize (+ optional fused post-bucketize LUT) for a column
+    group, written into out[:, :batch] (out: [n_cols, Bp] int view).
+
+    arrays: per-column [>=batch] float32; bounds: [n, kmax] float64 padded
+    +inf; counts: [n] int32; lut_ptrs: prebuilt int64 pointer array over
+    `luts` (plan-static) or None.  Oracle semantics (oracle/reference.py):
+    id = upper_bound (float64 compare, NaN -> count), then lut[id]."""
+    lib = get_lib()
+    if lib is None:
+        for c, x in enumerate(arrays):
+            k = int(counts[c])
+            ids = np.searchsorted(
+                bounds[c, :k], np.asarray(x[:batch], np.float64),
+                side="right",
+            )
+            if luts is not None and luts[c] is not None:
+                ids = luts[c][ids]
+            out[c, :batch] = ids.astype(out.dtype)
+        return
+    ptrs, keep = _in_ptrs(arrays, _PTR_F32, np.float32, batch)
+    lib.rt_bucketize_multi(
+        ptrs.ctypes.data, bounds.ctypes.data, bounds.shape[1],
+        counts.ctypes.data,
+        lut_ptrs.ctypes.data if lut_ptrs is not None else 0,
+        len(arrays), batch, out.ctypes.data,
+        out.strides[0] // out.itemsize, out.itemsize,
+    )
+
+
+def hash_int_multi_out(
+    arrays: List[np.ndarray],
+    buckets: np.ndarray,
+    out: np.ndarray,
+    batch: int,
+) -> None:
+    """Hash int64 columns into out[:, :batch] (out: [n_cols, Bp(, 1)] int
+    view); input -1 -> id -1 (TF ignore_value)."""
+    lib = get_lib()
+    if lib is None:
+        for c, a in enumerate(arrays):
+            v = np.asarray(a[:batch], np.int64)
+            ids = hash_ints(v, int(buckets[c]))
+            out[c, :batch] = np.where(v == -1, -1, ids).reshape(
+                out[c, :batch].shape
+            ).astype(out.dtype)
+        return
+    ptrs, keep = _in_ptrs(arrays, _PTR_I64, np.int64, batch)
+    lib.rt_hash_int_multi_out(
+        ptrs.ctypes.data, buckets.ctypes.data, len(arrays), batch,
+        out.ctypes.data, out.strides[0] // out.itemsize, out.itemsize,
+    )
+
+
+def hash_fixed_multi_out(
+    arrays: List[np.ndarray],
+    buckets: np.ndarray,
+    out: np.ndarray,
+    batch: int,
+) -> None:
+    """Hash fixed-width 'S' string columns into out[:, :batch]."""
+    lib = get_lib()
+    if lib is None:
+        for c, a in enumerate(arrays):
+            out[c, :batch] = hash_strings(a[:batch], int(buckets[c])).reshape(
+                out[c, :batch].shape
+            ).astype(out.dtype)
+        return
+    ptrs, keep = _in_ptrs(arrays, _PTR_ANY, None, 0)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    lib.rt_hash_fixed_multi_out(
+        ptrs.ctypes.data, widths.ctypes.data, buckets.ctypes.data,
+        len(arrays), batch, out.ctypes.data,
+        out.strides[0] // out.itemsize, out.itemsize,
+    )
+
+
+def split_hash_multi_out(
+    arrays: List[np.ndarray],
+    delims: np.ndarray,
+    buckets: np.ndarray,
+    rowlen: int,
+    out: np.ndarray,
+    batch: int,
+) -> int:
+    """Split+hash delimited 'S' columns into out[:, :batch, :] (out:
+    [n_cols, Bp, rowlen] int view, -1 pad); returns max piece count."""
+    lib = get_lib()
+    if lib is None:
+        maxp = 0
+        for c, a in enumerate(arrays):
+            packed, mp = split_hash_padded(
+                a[:batch], delims[c:c + 1].tobytes().decode(),
+                int(buckets[c]), rowlen,
+            )
+            out[c, :batch] = packed.astype(out.dtype)
+            maxp = max(maxp, mp)
+        return maxp
+    ptrs, keep = _in_ptrs(arrays, _PTR_ANY, None, 0)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    return int(
+        lib.rt_split_hash_multi_out(
+            ptrs.ctypes.data, widths.ctypes.data, delims.ctypes.data,
+            buckets.ctypes.data, len(arrays), batch, rowlen,
+            out.ctypes.data, out.strides[0] // out.itemsize, out.itemsize,
+        )
+    )
+
+
+def copy_f32_multi(
+    arrays: List[np.ndarray], out: np.ndarray, batch: int
+) -> None:
+    """Stage float32 columns into out[:, :batch] (out: [n_cols, Bp] f32
+    view) — one native memcpy sweep instead of a Python fill loop."""
+    lib = get_lib()
+    ptrs = None
+    if lib is not None:
+        ptrs = _fast_ptrs(arrays, _PTR_F32, batch * 4)
+    if ptrs is None:
+        for c, a in enumerate(arrays):
+            out[c, :batch] = np.asarray(a, np.float32)[:batch]
+        return
+    lib.rt_copy_f32_multi(
+        ptrs.ctypes.data, len(arrays), batch, out.ctypes.data,
+        out.strides[0] // 4,
+    )
+
+
 def split_count_max(values: np.ndarray, delimiter: str) -> int:
     arr = _as_fixed_bytes(values)
     d = delimiter.encode()

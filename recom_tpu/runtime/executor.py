@@ -117,6 +117,10 @@ class Engine:
                         # the dim-sharded table (pure layout, no shard_map)
                         self._dim_sharded_gids.add(g.gid)
 
+        # single-blob wire staging (runtime/wire.py): single-device only —
+        # batch-axis mesh sharding needs the structured per-array layout
+        self._wire = bool(self.config.wire_pack) and self.mesh is None
+
         np_params = params if params is not None else init_model_params(model)
         self.device_params = self._build_device_params(np_params)
         import threading
@@ -357,6 +361,7 @@ class Engine:
                 and g.gid not in self._sharded_gids
                 and g.n_bucketize == g.num_columns
                 and g.lut_matrix is None
+                and "raw_bz" in packed
             ):
                 from recom_tpu.ops.lookup_pallas import (
                     onehot_bucketize_lookup,
@@ -378,7 +383,11 @@ class Engine:
                 group_out.append(pooled.reshape(pooled.shape[0], -1))
                 continue
             parts = []
-            if g.n_bucketize:
+            if g.n_bucketize and "bz_ids" in packed:
+                # ids computed on host (host_bucketize wire path; LUT
+                # already fused there) — just widen and stack
+                parts.append(packed["bz_ids"].T[:, :, None])    # [Bp, nbz, 1]
+            elif g.n_bucketize:
                 bz_ids = lookup_xla.device_bucketize(
                     arrs["raw_bz"],
                     jnp.asarray(g.boundary_matrix),
@@ -497,12 +506,17 @@ class Engine:
         return out, front
 
     def _forward(self, params, arrays, mode=("concat", "pooled"),
-                 logits_only: bool = False):
+                 logits_only: bool = False, signature=None):
         """mode: subset of {"concat", "pooled"} to return beyond "output".
         The serving hot path uses mode=() — XLA then never materializes
         the model-order concat or the per-group pooled tensors as program
         OUTPUTS (at 1000 columns x batch 512 that is ~16MB of pure HBM
         write traffic per step)."""
+        if "blob" in arrays:
+            from recom_tpu.runtime.wire import unpack_blob
+
+            bp, rowlens = signature
+            arrays = unpack_blob(self.compiled, arrays["blob"], bp, rowlens)
         grouped, pooled_list, overflow = self._embedding_forward(
             params, arrays
         )
@@ -533,7 +547,11 @@ class Engine:
             with self._jit_lock:
                 fn = self._jit_cache.get(key)
                 if fn is None:
-                    fn = jax.jit(functools.partial(self._forward, mode=mode))
+                    fn = jax.jit(
+                        functools.partial(
+                            self._forward, mode=mode, signature=signature
+                        )
+                    )
                     self._jit_cache[key] = fn
                     self.stats["compiles"] += 1
         return fn
@@ -541,9 +559,18 @@ class Engine:
     def prepare(self, batch: Dict, batch_size: Optional[int] = None):
         """prepare_batch with the engine's cached per-group rowlen hints
         (steady-state serving skips the row-length counting scan)."""
-        prepared = prepare_batch(
-            self.compiled, batch, batch_size, rowlen_hints=self._rowlen_hints
-        )
+        if self._wire:
+            from recom_tpu.runtime.wire import prepare_batch_wire
+
+            prepared = prepare_batch_wire(
+                self.compiled, batch, batch_size,
+                rowlen_hints=self._rowlen_hints,
+            )
+        else:
+            prepared = prepare_batch(
+                self.compiled, batch, batch_size,
+                rowlen_hints=self._rowlen_hints,
+            )
         for g, rl in zip(self.compiled.groups, prepared.rowlens):
             if g.ragged:
                 self._rowlen_hints[g.gid] = rl
@@ -656,7 +683,10 @@ class Engine:
         prepared = []
         if batches is not None:
             for b in batches:
-                prepared.append(prepare_batch(self.compiled, b))
+                # self.prepare (not prepare_batch): warmup also seeds the
+                # rowlen-hint cache so the first live request skips the
+                # row-length counting scan
+                prepared.append(self.prepare(b))
         else:
             from recom_tpu.compiler.buckets import pick_bucket
 
@@ -666,7 +696,16 @@ class Engine:
                     self.config.batch_buckets, bs,
                     self.config.allow_truncate_overflow,
                 )
-                prepared.append(make_empty_prepared(self.compiled, bp))
+                if self._wire:
+                    from recom_tpu.runtime.wire import (
+                        make_empty_prepared_wire,
+                    )
+
+                    prepared.append(
+                        make_empty_prepared_wire(self.compiled, bp)
+                    )
+                else:
+                    prepared.append(make_empty_prepared(self.compiled, bp))
         for p in prepared:
             fn = self._get_jitted(p.signature)
             out = fn(self.device_params, self.shard_batch_arrays(p.arrays))

@@ -82,12 +82,13 @@ def dlrm_optimizer(
     )
 
 
-def forward_logits(engine: Engine, params, arrays) -> jnp.ndarray:
+def forward_logits(engine: Engine, params, arrays, signature=None) -> jnp.ndarray:
     """Engine forward but with the final activation stripped (losses want
-    logits)."""
-    return engine._forward(params, arrays, mode=(), logits_only=True)[
-        "output"
-    ]
+    logits).  ``signature`` is required on the single-blob wire path (the
+    blob's layout is keyed by it)."""
+    return engine._forward(
+        params, arrays, mode=(), logits_only=True, signature=signature
+    )["output"]
 
 
 class Trainer:
@@ -119,12 +120,12 @@ class Trainer:
     def params(self):
         return self.engine.device_params
 
-    def _make_step(self):
+    def _make_step(self, signature):
         eng = self.engine
         opt = self.optimizer
 
         def loss_fn(params, arrays, labels, mask):
-            logits = forward_logits(eng, params, arrays)
+            logits = forward_logits(eng, params, arrays, signature)
             per = optax.sigmoid_binary_cross_entropy(logits[:, 0], labels)
             return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
@@ -148,7 +149,7 @@ class Trainer:
 
         fn = self._step_cache.get(prepared.signature)
         if fn is None:
-            fn = self._make_step()
+            fn = self._make_step(prepared.signature)
             self._step_cache[prepared.signature] = fn
 
         arrays = self.engine.shard_batch_arrays(prepared.arrays)

@@ -1,0 +1,199 @@
+"""Single-blob wire staging (runtime/wire.py): layout, packing, unpacking.
+
+Contract: the wire path is a pure re-encoding — Engine outputs must be
+BIT-IDENTICAL to the structured-array path for every column type, and the
+device-side unpack must reproduce exactly the arrays host_prep builds.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from recom_tpu import Engine, EngineConfig
+from recom_tpu.ir.intervals import IntervalSet
+from recom_tpu.ir.spec import (
+    Bucketize,
+    Combiner,
+    FeatureColumn,
+    FeatureKind,
+    FeatureSource,
+    FilterRange,
+    HashBucket,
+    LookupSpec,
+    ModelSpec,
+    NumToId,
+    SelectRange,
+    TableSpec,
+    TowerSpec,
+)
+from recom_tpu.models import make_random_batch
+from recom_tpu.models.synthetic import make_dlrm_model
+from recom_tpu.runtime.host_prep import prepare_batch
+from recom_tpu.runtime.wire import (
+    _id_dtype,
+    prepare_batch_wire,
+    unpack_blob,
+    wire_layout,
+)
+from recom_tpu.utils.params import init_model_params
+
+
+def make_kitchen_sink():
+    """Every wire-relevant column shape: bucketize (+LUT suffix), int/str
+    hash, delimited sparse, weighted sparse, large-vocab sparse."""
+    bz = Bucketize(list(range(0, 50, 5)))
+    tables = {
+        "t_bz": TableSpec("t_bz", 11, 8),
+        "t_lut": TableSpec("t_lut", 11, 8),
+        "t_int": TableSpec("t_int", 40, 8),
+        "t_str": TableSpec("t_str", 5000, 8),
+        "t_sp": TableSpec("t_sp", 5000, 8),
+        "t_w": TableSpec("t_w", 120, 8),
+        "t_big": TableSpec("t_big", 1 << 20, 16),
+    }
+    cols = [
+        FeatureColumn("bz", FeatureSource("bz", FeatureKind.DENSE_FLOAT),
+                      (bz,), LookupSpec("t_bz", Combiner.MEAN)),
+        FeatureColumn("lut", FeatureSource("lut", FeatureKind.DENSE_FLOAT),
+                      (bz, FilterRange(IntervalSet.closed(2, 8)),
+                       SelectRange(IntervalSet.closed(3, 7), 9)),
+                      LookupSpec("t_lut", Combiner.SUM)),
+        FeatureColumn("ih", FeatureSource("ih", FeatureKind.DENSE_INT),
+                      (HashBucket(40),), LookupSpec("t_int", Combiner.MEAN)),
+        FeatureColumn("sh", FeatureSource("sh", FeatureKind.STRING),
+                      (HashBucket(5000),), LookupSpec("t_str", Combiner.MEAN)),
+        FeatureColumn("sp", FeatureSource("sp", FeatureKind.STRING_LIST,
+                                          delimiter=";"),
+                      (HashBucket(5000),), LookupSpec("t_sp", Combiner.SUM)),
+        FeatureColumn("w", FeatureSource("w", FeatureKind.INT_LIST),
+                      (NumToId(120, default_id=0),),
+                      LookupSpec("t_w", Combiner.MEAN, weight_field="w_wt")),
+        FeatureColumn("big", FeatureSource("big", FeatureKind.STRING_LIST,
+                                           delimiter=";"),
+                      (HashBucket(1 << 20),),
+                      LookupSpec("t_big", Combiner.SQRTN)),
+        FeatureColumn("d0", FeatureSource("d0", FeatureKind.DENSE_FLOAT)),
+        FeatureColumn("d1", FeatureSource("d1", FeatureKind.DENSE_FLOAT)),
+    ]
+    tower = TowerSpec(arch="mlp", bottom_mlp=(4,), top_mlp=(16, 1),
+                      final_activation="sigmoid")
+    return ModelSpec("sink", tables, cols, tower)
+
+
+def _fix_weight_field(batch, model):
+    # make_random_batch names the weight field via the spec already
+    return batch
+
+
+@pytest.mark.parametrize("host_bucketize", [True, False])
+def test_wire_matches_structured_bitexact(host_bucketize):
+    model = make_kitchen_sink()
+    batch = make_random_batch(model, 37, seed=11)
+    params = init_model_params(model)
+
+    ref = Engine(
+        model, EngineConfig(wire_pack=False), params=params
+    ).predict(batch, return_pooled=True, return_concat=True)
+    out = Engine(
+        model,
+        EngineConfig(wire_pack=True, host_bucketize=host_bucketize),
+        params=params,
+    ).predict(batch, return_pooled=True, return_concat=True)
+
+    assert np.array_equal(out["output"], ref["output"])
+    assert np.array_equal(out["concat"], ref["concat"])
+    for k in ref["pooled"]:
+        assert np.array_equal(out["pooled"][k], ref["pooled"][k]), k
+
+
+def test_unpack_blob_reproduces_structured_arrays():
+    model = make_kitchen_sink()
+    batch = make_random_batch(model, 21, seed=3)
+    cfg = EngineConfig(host_bucketize=False)   # same views both paths
+    eng = Engine(model, cfg, params=init_model_params(model))
+    structured = prepare_batch(eng.compiled, batch)
+    wired = prepare_batch_wire(eng.compiled, batch)
+    assert wired.signature == structured.signature
+    bp, rowlens = wired.signature
+    unpacked = jax.jit(
+        lambda b: unpack_blob(eng.compiled, b, bp, rowlens)
+    )(wired.arrays["blob"])
+    assert np.array_equal(
+        np.asarray(unpacked["dense"]), structured.arrays["dense"]
+    )
+    for got, want in zip(unpacked["groups"], structured.arrays["groups"]):
+        assert set(got) == set(want)
+        for k in want:
+            g = np.asarray(got[k])
+            # ids are widened to int32 on device; compare as int32
+            assert np.array_equal(g, want[k].astype(g.dtype)), k
+
+
+def test_id_dtype_selection():
+    assert _id_dtype(-1, 100) == np.int8
+    assert _id_dtype(-1, 127) == np.int8
+    assert _id_dtype(-1, 128) == np.int16
+    assert _id_dtype(-1, 32767) == np.int16
+    assert _id_dtype(-1, 32768) == np.int32
+    assert _id_dtype(-200, 50) == np.int16
+
+
+def test_layout_dtypes_and_alignment():
+    model = make_kitchen_sink()
+    eng = Engine(model, EngineConfig(), params=init_model_params(model))
+    layout = wire_layout(eng.compiled, 64, tuple(
+        16 if g.ragged else 1 for g in eng.compiled.groups
+    ), True)
+    by = {}
+    for v in layout.views:
+        assert v.offset % 8 == 0
+        by.setdefault(v.name, []).append(v)
+    # bucketize ids fit int8 (K=10, LUT max 9); large vocab needs int32
+    assert all(v.dtype == np.int8 for v in by["bz_ids"])
+    dts = {v.dtype.itemsize for v in by["host_ids"]}
+    assert 4 in dts        # 2^20 vocab group
+    assert min(dts) <= 2   # small vocab groups travel narrow
+    # blob is strictly smaller than the f32/int32 structured encoding
+    structured_bytes = sum(
+        int(np.prod(v.shape)) * 4 for v in layout.views
+    )
+    assert layout.total_bytes < structured_bytes
+
+
+def test_wrong_rowlen_hint_recovers():
+    model = make_kitchen_sink()
+    params = init_model_params(model)
+    eng = Engine(model, EngineConfig(), params=params)
+    batch_long = make_random_batch(model, 16, seed=5, max_list_len=20)
+    batch_short = make_random_batch(model, 16, seed=6, max_list_len=2)
+    ref = Engine(model, EngineConfig(wire_pack=False), params=params)
+    # seed hints with the short batch, then serve the long one (hint busts)
+    for b in (batch_short, batch_long, batch_short):
+        out = eng.predict(b)
+        want = ref.predict(b)
+        assert np.array_equal(out["output"], want["output"])
+
+
+def test_wire_python_fallback_matches_native(monkeypatch):
+    from recom_tpu.native import ops as native_ops
+
+    model = make_dlrm_model(4, 2, 2, 2, 1, 3, [4], [8, 1], name="tiny",
+                            large_rows=70_000)
+    batch = make_random_batch(model, 19, seed=8)
+    params = init_model_params(model)
+    native = Engine(model, EngineConfig(), params=params).predict(batch)
+    monkeypatch.setattr(native_ops, "get_lib", lambda: None)
+    fallback = Engine(model, EngineConfig(), params=params).predict(batch)
+    assert np.array_equal(native["output"], fallback["output"])
+
+
+def test_empty_prepared_wire_compiles():
+    from recom_tpu.runtime.wire import make_empty_prepared_wire
+
+    model = make_kitchen_sink()
+    eng = Engine(model, EngineConfig(), params=init_model_params(model))
+    p = make_empty_prepared_wire(eng.compiled, 32)
+    fn = eng._get_jitted(p.signature)
+    out = fn(eng.device_params, p.arrays)
+    assert np.asarray(out["output"]).shape[0] == 32
