@@ -168,14 +168,17 @@ def _split_host_device(col: FeatureColumn):
 def _host_class(m: GroupMember) -> int:
     """Host-prep class of a member: 0 = int-hash fast path, 1 = fixed-string
     hash, 2 = delimited split+hash, 3 = generic oracle chain.  Must agree
-    with runtime/wire.py's plan partitioning (asserted at plan build)."""
+    with runtime/wire.py's plan partitioning (asserted at plan build).
+    Weighted members are always class 3 (they carry a weights plane the
+    fast paths don't produce), keeping ragged groups' class-2 members in a
+    contiguous [0, n_fast) prefix."""
     from recom_tpu.ir.spec import HashBucket
 
     col = m.column
     one_hash = len(m.host_chain) == 1 and isinstance(
         m.host_chain[0], HashBucket
     )
-    if not one_hash:
+    if not one_hash or col.lookup.weight_field is not None:
         return 3
     if col.source.kind == FeatureKind.DENSE_INT:
         return 0
@@ -184,7 +187,6 @@ def _host_class(m: GroupMember) -> int:
     if (
         col.source.kind == FeatureKind.STRING_LIST
         and col.source.delimiter is not None
-        and col.lookup.weight_field is None
     ):
         return 2
     return 3
@@ -196,7 +198,10 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
     members_by_col: Dict[str, Tuple[GroupMember, LookupGroup]] = {}
     for col in model.embedding_columns:
         tspec = model.tables[col.lookup.table]
-        ragged = col.source.is_ragged
+        # weighted columns always take the ragged layout (ids + weights
+        # arrays): TF's weighted_categorical_column applies to single-value
+        # features too, and the non-ragged fast path has no weights plane
+        ragged = col.source.is_ragged or col.lookup.weight_field is not None
         # Pallas one-hot megakernel eligibility: dense (L=1) unweighted
         # columns with small vocab — grouped by vocab so the kernel sees a
         # uniform [C, V, d] table stack

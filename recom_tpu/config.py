@@ -98,6 +98,13 @@ class EngineConfig:
     # static per-destination bucket capacity = ceil(N/m) * this factor for
     # the all-to-all path; overflowing ids drop (counted + surfaced)
     a2a_capacity_factor: float = 2.0
+    # what predict does when an a2a step reports dropped ids:
+    #   "recompute" — re-run the step via the lossless psum path (default:
+    #                 preserves the bit-exact serving contract; skewed
+    #                 batches pay a doubled step, the steady state doesn't)
+    #   "warn"      — keep the degraded result (affected entries pool 0)
+    #   "raise"     — fail the request
+    a2a_overflow_policy: str = "recompute"
     # tensor-parallel (embedding-dim) sharding: groups whose dim exceeds
     # this are stored P(None, "model") and GSPMD partitions the gather —
     # each shard holds every row's d/m slice, no id exchange at all.  The

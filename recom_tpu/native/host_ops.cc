@@ -417,36 +417,64 @@ inline void WriteElem(uint8_t* dst, int64_t elem, int64_t i, int32_t v) {
 }  // namespace
 
 // TF Bucketize per column group, with optional fused post-bucketize LUT.
-// xs: n_cols pointers to float32[batch]; bounds: [n_cols, kmax] float64
-// padded +inf; counts[c] = true boundary count; luts: n_cols pointers to
-// int32[counts[c]+1] or null (identity).  Column c writes to
-// out + c*stride*elem (stride in ELEMENTS — the view's padded batch).
-// Semantics match the NumPy oracle (oracle/reference.py apply_transform
-// Bucketize): id = upper_bound over FLOAT64 boundaries (NaN -> count),
-// then id' = lut[id].
-void rt_bucketize_multi(const float** xs, const double* bounds, int64_t kmax,
-                        const int32_t* counts, const int32_t** luts,
+//
+// EXACT float64 upper_bound semantics at float32 speed: the Python plan
+// builder converts each f64 boundary b to ceil32(b) — the smallest f32
+// whose f64 value is >= b.  Because inputs x are f32 (exact in f64),
+//   b <= (double)x  <=>  ceil32(b) <= x,
+// so every comparison below runs in f32 yet reproduces the oracle's
+// (oracle/reference.py Bucketize) f64 upper_bound bit-for-bit.
+//
+// xs: n_cols pointers to float32[batch]; bounds32: [n_cols, kmax] ceil32
+// boundaries padded +inf, kmax a power of two; counts[c] = true boundary
+// count; inv_ds[c]/b0 = slope/intercept of the affine index guess;
+// affine[c] = 1 when the plan builder verified the guess is within a few
+// steps of exact for EVERY input (near-uniform boundaries) — then the
+// search is O(1): guess + local fix-up.  affine[c] = 0 falls back to a
+// branchless (cmov) binary search over the +inf-padded power-of-two array.
+// luts: n_cols pointers to int32[counts[c]+1] or null (identity).
+// Column c writes to out + c*stride*elem (stride in ELEMENTS).
+// NaN input -> count (matches np.searchsorted/oracle).
+void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
+                        const int32_t* counts, const float* inv_ds,
+                        const uint8_t* affine, const int32_t** luts,
                         int64_t n_cols, int64_t batch, uint8_t* out,
                         int64_t stride, int64_t elem) {
   ParallelColumns(n_cols, 64, [=](int64_t c) {
     const float* x = xs[c];
-    const double* b = bounds + c * kmax;
+    const float* b = bounds32 + c * kmax;
     const int32_t k = counts[c];
+    const float b0 = b[0];
+    const float inv_d = inv_ds[c];
+    const bool aff = affine[c] != 0;
     const int32_t* lut = luts ? luts[c] : nullptr;
     uint8_t* o = out + c * stride * elem;
     for (int64_t i = 0; i < batch; ++i) {
-      const double v = static_cast<double>(x[i]);
-      // branchless-ish upper_bound: first index with b[idx] > v
-      int32_t lo = 0, hi = k;
-      while (lo < hi) {
-        int32_t mid = (lo + hi) >> 1;
-        if (b[mid] <= v)   // NaN: comparison false -> hi shrinks -> id==lo
-          lo = mid + 1;
-        else
-          hi = mid;
+      const float v = x[i];
+      int32_t id;
+      if (v != v) {
+        id = k;  // NaN -> count
+      } else if (aff && k > 0) {
+        int32_t e;
+        if (!(v >= b0)) {
+          e = 0;
+        } else {
+          float g = (v - b0) * inv_d + 1.0f;
+          e = g >= static_cast<float>(k) ? k : static_cast<int32_t>(g);
+        }
+        while (e > 0 && b[e - 1] > v) --e;
+        while (e < k && b[e] <= v) ++e;
+        id = e;
+      } else {
+        // branchless upper_bound: +inf padding keeps every probe in
+        // bounds; cmov per level, no mispredicts
+        int32_t idx = 0;
+        for (int32_t step = static_cast<int32_t>(kmax) >> 1; step;
+             step >>= 1)
+          idx += (b[idx + step - 1] <= v) ? step : 0;
+        // v == +inf also counts the +inf padding; clamp to true k
+        id = idx > k ? k : idx;
       }
-      int32_t id = lo;
-      if (v != v) id = k;  // NaN -> count (matches searchsorted/oracle)
       if (lut) id = lut[id];
       WriteElem(o, elem, i, id);
     }

@@ -259,10 +259,23 @@ def _in_ptrs(
     return _ptr_array(cols), cols
 
 
+def ceil32(bounds64: np.ndarray) -> np.ndarray:
+    """Smallest float32 >= each float64 boundary.  For f32 inputs x
+    (exact in f64):  b <= float64(x)  <=>  ceil32(b) <= x  — so f32
+    comparisons against ceil32 boundaries reproduce the oracle's float64
+    upper_bound EXACTLY (the native bucketize kernel relies on this)."""
+    b32 = np.asarray(bounds64, np.float64).astype(np.float32)
+    low = b32.astype(np.float64) < bounds64
+    b32[low] = np.nextafter(b32[low], np.float32(np.inf))
+    return b32
+
+
 def bucketize_multi(
     arrays: List[np.ndarray],
-    bounds: np.ndarray,
+    bounds32: np.ndarray,
     counts: np.ndarray,
+    inv_ds: np.ndarray,
+    affine: np.ndarray,
     lut_ptrs: Optional[np.ndarray],
     luts: Optional[List[Optional[np.ndarray]]],
     out: np.ndarray,
@@ -271,16 +284,21 @@ def bucketize_multi(
     """TF Bucketize (+ optional fused post-bucketize LUT) for a column
     group, written into out[:, :batch] (out: [n_cols, Bp] int view).
 
-    arrays: per-column [>=batch] float32; bounds: [n, kmax] float64 padded
-    +inf; counts: [n] int32; lut_ptrs: prebuilt int64 pointer array over
-    `luts` (plan-static) or None.  Oracle semantics (oracle/reference.py):
-    id = upper_bound (float64 compare, NaN -> count), then lut[id]."""
+    arrays: per-column [>=batch] float32; bounds32: [n, kmax] ceil32
+    boundaries padded +inf (kmax a power of two, kmax >= max(counts)+1);
+    counts: [n] int32; inv_ds/affine: affine index-guess slope + validity
+    flag per column (see host_ops.cc rt_bucketize_multi); lut_ptrs:
+    prebuilt int64 pointer array over `luts` (plan-static) or None.
+    Semantics = oracle float64 upper_bound (NaN -> count), then lut[id]."""
     lib = get_lib()
     if lib is None:
         for c, x in enumerate(arrays):
             k = int(counts[c])
+            # ceil32 boundaries make the f32 searchsorted exactly equal to
+            # the oracle's f64 upper_bound (see ceil32 docstring)
             ids = np.searchsorted(
-                bounds[c, :k], np.asarray(x[:batch], np.float64),
+                bounds32[c, :k],
+                np.ascontiguousarray(x[:batch], np.float32),
                 side="right",
             )
             if luts is not None and luts[c] is not None:
@@ -289,8 +307,8 @@ def bucketize_multi(
         return
     ptrs, keep = _in_ptrs(arrays, _PTR_F32, np.float32, batch)
     lib.rt_bucketize_multi(
-        ptrs.ctypes.data, bounds.ctypes.data, bounds.shape[1],
-        counts.ctypes.data,
+        ptrs.ctypes.data, bounds32.ctypes.data, bounds32.shape[1],
+        counts.ctypes.data, inv_ds.ctypes.data, affine.ctypes.data,
         lut_ptrs.ctypes.data if lut_ptrs is not None else 0,
         len(arrays), batch, out.ctypes.data,
         out.strides[0] // out.itemsize, out.itemsize,

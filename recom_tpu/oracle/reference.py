@@ -87,6 +87,33 @@ def _field_rows(batch: Dict, field: str):
     return rows
 
 
+def _scalar_weights(
+    batch: Dict, weight_field: Optional[str], col: FeatureColumn, b: int
+) -> Optional[np.ndarray]:
+    """Weights for single-value-per-example columns (TF's
+    weighted_categorical_column over a dense/scalar feature): one float
+    per example, accepted flat [B] or as [B] singleton lists."""
+    if weight_field is None:
+        return None
+    wrows = batch[weight_field]
+    if len(wrows) != b:
+        raise ValueError(
+            f"weight field {weight_field!r}: {len(wrows)} rows vs {b} "
+            f"value rows in {col.source.field!r}"
+        )
+    flat = []
+    for i, x in enumerate(wrows):
+        if isinstance(x, (list, tuple, np.ndarray)):
+            if len(x) != 1:
+                raise ValueError(
+                    f"weight field {weight_field!r} row {i} has {len(x)} "
+                    f"weights for 1 value in {col.source.field!r}"
+                )
+            x = x[0]
+        flat.append(float(x))
+    return np.asarray(flat, dtype=np.float32)
+
+
 def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[str]) -> SparseFeature:
     kind = col.source.kind
     if kind == FeatureKind.CROSS:
@@ -109,13 +136,16 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         b = arr.shape[0]
         values = arr.astype(np.float64 if kind == FeatureKind.DENSE_FLOAT else np.int64)
         row_ids = np.arange(b, dtype=np.int64)
+        weights = _scalar_weights(batch, weight_field, col, b)
         if kind == FeatureKind.DENSE_INT:
             # TF feature_column ignore_value semantics: -1 in a dense int
             # categorical input means MISSING (the row becomes empty ->
             # pooled zeros), validated vs TF 2.21 input_layer
             keep = values != -1
             values, row_ids = values[keep], row_ids[keep]
-        return SparseFeature(values, row_ids, None, b)
+            if weights is not None:
+                weights = weights[keep]
+        return SparseFeature(values, row_ids, weights, b)
     if kind == FeatureKind.STRING:
         b = len(data)
         vals = list(data)
@@ -127,7 +157,8 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
                 f"per example) but got {type(vals[0]).__name__}; use "
                 "STRING_LIST for ragged values"
             )
-        return SparseFeature(vals, np.arange(b, dtype=np.int64), None, b)
+        weights = _scalar_weights(batch, weight_field, col, b)
+        return SparseFeature(vals, np.arange(b, dtype=np.int64), weights, b)
     if kind in (FeatureKind.INT_LIST, FeatureKind.STRING_LIST):
         if col.source.delimiter is not None and len(data) and not isinstance(
             data[0], (list, tuple, np.ndarray)

@@ -272,10 +272,14 @@ class Engine:
         return jax.tree_util.tree_map(put, arrays)
 
     # ------------------------------------------------------------------
-    def _sharded_lookup(self, g, table, ids, arrs):
+    def _sharded_lookup(self, g, table, ids, arrs, lossless=False):
         """Row-sharded lookup via the configured comm strategy.  Returns
         (pooled [B, C, d], overflow scalar int32) — overflow is 0 on the
-        psum path (it cannot drop ids)."""
+        psum path (it cannot drop ids).  ``lossless=True`` compiles the
+        overflow-recovery program (predict_prepared re-runs a step whose
+        a2a buckets overflowed): the a2a path with capacity_factor = m,
+        which is provably overflow-free (see a2a_capacity) and therefore
+        keeps the BIT-exact contract the a2a path promises."""
         import jax.numpy as _jnp
 
         mode = self.config.shard_comm
@@ -288,6 +292,9 @@ class Engine:
         # does 1/m of the gather work per device (see all_to_all_lookup.py)
         use_a2a = mode == "all_to_all" or (
             mode == "auto" and divisible and l <= 2 * m
+        )
+        cap_factor = (
+            float(m) if lossless else self.config.a2a_capacity_factor
         )
         if use_a2a and divisible:
             from recom_tpu.parallel.all_to_all_lookup import (
@@ -302,7 +309,7 @@ class Engine:
                 g.combiner_code,
                 arrs.get("weights"),
                 exact_math=self.config.exact_combiner_math,
-                capacity_factor=self.config.a2a_capacity_factor,
+                capacity_factor=cap_factor,
                 weighted_cols=g.weighted_cols,
             )
         if use_a2a:
@@ -324,7 +331,9 @@ class Engine:
         )
         return pooled, _jnp.int32(0)
 
-    def _embedding_forward(self, params, arrays) -> Tuple[jnp.ndarray, List, jnp.ndarray]:
+    def _embedding_forward(
+        self, params, arrays, lossless_comm=False
+    ) -> Tuple[jnp.ndarray, List, jnp.ndarray]:
         """Grouped lookups -> (model-order emb concat [Bp, total_emb],
         per-group pooled [Bp, C, d] list, a2a overflow count scalar)."""
         compiled = self.compiled
@@ -415,7 +424,9 @@ class Engine:
                     interpret=interp,
                 )
             elif g.gid in self._sharded_gids:
-                pooled, ov = self._sharded_lookup(g, table, ids, arrs)
+                pooled, ov = self._sharded_lookup(
+                    g, table, ids, arrs, lossless=lossless_comm
+                )
                 overflow = overflow + ov
             else:
                 pooled = lookup_xla.group_pooled(
@@ -506,7 +517,8 @@ class Engine:
         return out, front
 
     def _forward(self, params, arrays, mode=("concat", "pooled"),
-                 logits_only: bool = False, signature=None):
+                 logits_only: bool = False, signature=None,
+                 lossless_comm: bool = False):
         """mode: subset of {"concat", "pooled"} to return beyond "output".
         The serving hot path uses mode=() — XLA then never materializes
         the model-order concat or the per-group pooled tensors as program
@@ -518,7 +530,7 @@ class Engine:
             bp, rowlens = signature
             arrays = unpack_blob(self.compiled, arrays["blob"], bp, rowlens)
         grouped, pooled_list, overflow = self._embedding_forward(
-            params, arrays
+            params, arrays, lossless_comm=lossless_comm
         )
         emb_tower = (
             grouped if self._fold_emb_perm else self._model_order(grouped)
@@ -536,9 +548,9 @@ class Engine:
         return result
 
     # ------------------------------------------------------------------
-    def _get_jitted(self, signature, mode=()):
+    def _get_jitted(self, signature, mode=(), lossless_comm=False):
         mode = tuple(sorted(mode))
-        key = (signature, mode)
+        key = (signature, mode, lossless_comm)
         fn = self._jit_cache.get(key)
         if fn is None:
             # lock the check-and-insert: concurrent serving threads racing
@@ -549,7 +561,8 @@ class Engine:
                 if fn is None:
                     fn = jax.jit(
                         functools.partial(
-                            self._forward, mode=mode, signature=signature
+                            self._forward, mode=mode, signature=signature,
+                            lossless_comm=lossless_comm,
                         )
                     )
                     self._jit_cache[key] = fn
@@ -608,20 +621,50 @@ class Engine:
         jax.block_until_ready(dev_out["output"])
         self.timers.add("device_step", time.perf_counter() - t0)
         self.stats["calls"] += 1
+        ov = 0
         if self._sharded_gids and "a2a_overflow" in dev_out:
             ov = int(dev_out["a2a_overflow"])
             if ov:
                 self.stats["a2a_overflow"] = (
                     self.stats.get("a2a_overflow", 0) + ov
                 )
-                self.log.warning(
-                    f"all-to-all capacity overflow: {ov} ids dropped this "
-                    f"step (raise EngineConfig.a2a_capacity_factor or set "
-                    f"shard_comm='psum')"
-                )
+                policy = self.config.a2a_overflow_policy
+                if policy == "raise":
+                    raise RuntimeError(
+                        f"all-to-all capacity overflow: {ov} ids dropped "
+                        "(raise EngineConfig.a2a_capacity_factor or set "
+                        "shard_comm='psum')"
+                    )
+                if policy == "recompute":
+                    # bit-exactness restored: re-run this step through the
+                    # a2a program with capacity_factor = m, which cannot
+                    # overflow (a2a_capacity docstring) and pools in the
+                    # same entry order — the recovered result is BIT-exact.
+                    # Skewed batches are rare with hashed ids, so only the
+                    # outliers pay the doubled step.
+                    self.stats["a2a_recomputes"] = (
+                        self.stats.get("a2a_recomputes", 0) + 1
+                    )
+                    self.log.warning(
+                        f"all-to-all overflow ({ov} ids): recomputing via "
+                        "lossless full-capacity exchange"
+                    )
+                    fn = self._get_jitted(
+                        prepared.signature, mode, lossless_comm=True
+                    )
+                    dev_out = fn(self.device_params, arrays)
+                    jax.block_until_ready(dev_out["output"])
+                    ov = 0
+                else:
+                    self.log.warning(
+                        f"all-to-all capacity overflow: {ov} ids dropped "
+                        "this step (raise EngineConfig.a2a_capacity_factor "
+                        "or set shard_comm='psum')"
+                    )
         b = prepared.batch_size
         result: Dict[str, np.ndarray] = {
-            "output": np.asarray(dev_out["output"])[:b]
+            "output": np.asarray(dev_out["output"])[:b],
+            "a2a_overflow": ov,
         }
         if return_concat:
             result["concat"] = np.asarray(dev_out["concat"])[:b]

@@ -162,8 +162,10 @@ class _GroupPlan:
     n_bz: int
     # bucketize members (device order 0..n_bz); plan-static native args
     bz_fields: List[str]
-    bz_bounds64: Optional[np.ndarray]      # [n_bz, kmax] f64 +inf padded
+    bz_bounds32: Optional[np.ndarray]      # [n_bz, kmax] ceil32, +inf pad
     bz_counts: Optional[np.ndarray]        # [n_bz] int32
+    bz_inv_ds: Optional[np.ndarray]        # [n_bz] f32 affine guess slope
+    bz_affine: Optional[np.ndarray]        # [n_bz] uint8 guess-valid flag
     bz_luts: Optional[List[Optional[np.ndarray]]]
     bz_lut_ptrs: Optional[np.ndarray]      # int64 ptr array over bz_luts
     # host members occupy CONTIGUOUS class ranges (lowering._host_class
@@ -194,15 +196,46 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
             m.column.source.field for m in g.members[: g.n_bucketize]
         ]
         bz_bounds = bz_counts = bz_luts = bz_lut_ptrs = None
+        bz_inv_ds = bz_affine = None
         if g.n_bucketize:
-            bz_bounds = np.full(
-                (g.n_bucketize, g.boundary_matrix.shape[1]), np.inf,
-                dtype=np.float64,
-            )
-            for i, m in enumerate(g.members[: g.n_bucketize]):
-                b = np.asarray(m.device_bucketize.boundaries, np.float64)
-                bz_bounds[i, : len(b)] = b
+            from recom_tpu.native.ops import ceil32
+
             bz_counts = np.ascontiguousarray(g.boundary_counts, np.int32)
+            # pad width: power of two STRICTLY greater than every count
+            # (the native branchless search needs >= 1 pad slot, see
+            # host_ops.cc rt_bucketize_multi)
+            kmax = 1
+            while kmax <= int(bz_counts.max()):
+                kmax *= 2
+            bz_bounds = np.full(
+                (g.n_bucketize, kmax), np.inf, dtype=np.float32
+            )
+            bz_inv_ds = np.zeros(g.n_bucketize, np.float32)
+            bz_affine = np.zeros(g.n_bucketize, np.uint8)
+            for i, m in enumerate(g.members[: g.n_bucketize]):
+                b64 = np.asarray(m.device_bucketize.boundaries, np.float64)
+                b32 = ceil32(b64)
+                k = len(b32)
+                bz_bounds[i, :k] = b32
+                if k < 2 or not np.isfinite(b32[[0, -1]]).all():
+                    continue
+                span = float(b32[-1]) - float(b32[0])
+                if span <= 0:
+                    continue
+                inv_d = np.float32((k - 1) / span)
+                # validate the affine guess at the boundaries and their
+                # midpoints: if every guess lands within 4 steps of the
+                # true upper_bound, ANY input's guess does too (the guess
+                # is monotone between probes) -> O(1) guess+fixup search
+                probes = np.concatenate(
+                    [b32, (b32[:-1] + b32[1:]) * 0.5]
+                ).astype(np.float32)
+                truth = np.searchsorted(b32, probes, side="right")
+                g32 = (probes - b32[0]) * inv_d + np.float32(1.0)
+                guess = np.minimum(g32, np.float32(k)).astype(np.int64)
+                if np.abs(guess - truth).max() <= 4:
+                    bz_inv_ds[i] = inv_d
+                    bz_affine[i] = 1
             bz_luts = [
                 None if m.device_lut is None
                 else np.ascontiguousarray(m.device_lut, np.int32)
@@ -228,7 +261,8 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
         )
         p = _GroupPlan(
             gid=g.gid, ragged=g.ragged, n_bz=g.n_bucketize,
-            bz_fields=bz_fields, bz_bounds64=bz_bounds, bz_counts=bz_counts,
+            bz_fields=bz_fields, bz_bounds32=bz_bounds, bz_counts=bz_counts,
+            bz_inv_ds=bz_inv_ds, bz_affine=bz_affine,
             bz_luts=bz_luts, bz_lut_ptrs=bz_lut_ptrs,
             n_int=len(ints),
             int_fields=[m.column.source.field for _, m in ints],
@@ -413,8 +447,8 @@ def prepare_batch_wire(
             if host_bz:
                 out = layout.view_np(blob, by_key[(p.gid, "bz_ids")])
                 native_ops.bucketize_multi(
-                    cols, p.bz_bounds64, p.bz_counts, p.bz_lut_ptrs,
-                    p.bz_luts, out, bs,
+                    cols, p.bz_bounds32, p.bz_counts, p.bz_inv_ds,
+                    p.bz_affine, p.bz_lut_ptrs, p.bz_luts, out, bs,
                 )
             else:
                 out = layout.view_np(blob, by_key[(p.gid, "raw_bz")])

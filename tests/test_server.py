@@ -66,15 +66,15 @@ def test_pipeline_retries_transient_failures():
     want = eng.predict(b)["output"]
 
     calls = {"n": 0}
-    orig = ServingPipeline._run
+    orig = ServingPipeline._dispatch
 
-    def flaky(self, prepared):
+    def flaky(self, batch, batch_size):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("transient")
-        return orig(self, prepared)
+        return orig(self, batch, batch_size)
 
-    ServingPipeline._run = flaky
+    ServingPipeline._dispatch = flaky
     try:
         with ServingPipeline(eng, retries=1) as pipe:
             out = pipe.submit(b).result()
@@ -90,4 +90,4 @@ def test_pipeline_retries_transient_failures():
             except RuntimeError:
                 pass
     finally:
-        ServingPipeline._run = orig
+        ServingPipeline._dispatch = orig

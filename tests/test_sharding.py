@@ -318,3 +318,43 @@ def test_dim_sharded_tensor_parallel_bitexact():
     ref = OracleModel(m).forward(b)
     for c, r in ref["pooled"].items():
         np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+
+@needs_8
+def test_a2a_overflow_policy_recompute_warn_raise():
+    """ADVICE r01: an overflowing a2a step must not silently violate the
+    bit-exact contract.  Default policy re-runs the step via the lossless
+    psum path; "warn" keeps the degraded result but surfaces the count;
+    "raise" fails the request."""
+    m = make_dlrm_model(0, 0, 0, 0, 1, 2, [4], [8], name="ovf",
+                        large_rows=4096)
+    base = dict(
+        mesh_shape=(2, 4), shard_rows_above=2048, use_pallas=False,
+        batch_buckets=(32,), shard_comm="all_to_all",
+        a2a_capacity_factor=0.01,
+    )
+    b = make_random_batch(m, 32, seed=3, max_list_len=16)
+    from recom_tpu.utils.params import init_model_params
+
+    params = init_model_params(m)
+
+    eng = Engine(m, EngineConfig(**base), params=params)  # recompute
+    assert eng._sharded_gids
+    out = eng.predict(b, return_pooled=True)
+    assert eng.stats.get("a2a_recomputes", 0) >= 1
+    assert out["a2a_overflow"] == 0
+    ref = OracleModel(m, params=params).forward(b)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+    eng_w = Engine(
+        m, EngineConfig(a2a_overflow_policy="warn", **base), params=params
+    )
+    out_w = eng_w.predict(b)
+    assert out_w["a2a_overflow"] > 0
+
+    eng_r = Engine(
+        m, EngineConfig(a2a_overflow_policy="raise", **base), params=params
+    )
+    with pytest.raises(RuntimeError, match="overflow"):
+        eng_r.predict(b)

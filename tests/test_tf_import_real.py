@@ -228,3 +228,244 @@ def test_import_real_sparse_split_and_cross_graph():
     np.testing.assert_array_equal(
         out2["pooled"][cross_col.name], want[:, 4:], err_msg="cross"
     )
+
+
+def _build_vocab_weighted_tower_graph():
+    """Frozen graph covering VERDICT r01 importer gaps: vocabulary-list
+    columns (with OOV buckets / default_value / int keys), a weighted
+    categorical column, and a frozen dense tower after the concat."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        fc = tf1.feature_column
+        feats = {}
+        cols = []
+        feats["vc"] = tf1.placeholder(tf.string, [None], name="vc")
+        cols.append(fc.embedding_column(
+            fc.categorical_column_with_vocabulary_list(
+                "vc", ["apple", "banana", "cherry"], num_oov_buckets=2),
+            dimension=4, combiner="mean"))
+        feats["vd"] = tf1.placeholder(tf.string, [None], name="vd")
+        cols.append(fc.embedding_column(
+            fc.categorical_column_with_vocabulary_list(
+                "vd", ["x", "y", "z"], default_value=1),
+            dimension=4, combiner="sum"))
+        feats["vi"] = tf1.placeholder(tf.int64, [None], name="vi")
+        cols.append(fc.embedding_column(
+            fc.categorical_column_with_vocabulary_list(
+                "vi", [5, 17, 42], dtype=tf.int64, num_oov_buckets=1),
+            dimension=4, combiner="mean"))
+        feats["wc"] = tf1.placeholder(tf.string, [None], name="wc")
+        feats["wt"] = tf1.placeholder(tf.float32, [None], name="wt")
+        cols.append(fc.embedding_column(
+            fc.weighted_categorical_column(
+                fc.categorical_column_with_hash_bucket("wc", 50), "wt"),
+            dimension=4, combiner="mean"))
+        feats["dn"] = tf1.placeholder(tf.float32, [None], name="dn")
+        cols.append(fc.numeric_column("dn"))
+
+        reshaped = {k: tf.reshape(v, [-1, 1]) for k, v in feats.items()}
+        concat = tf1.feature_column.input_layer(reshaped, cols)
+        rng_w = np.random.default_rng(9)
+        in_dim = 17           # 1 dense + 4 embeddings x 4
+        w1 = tf1.get_variable(
+            "l1/w", initializer=rng_w.standard_normal(
+                (in_dim, 16)).astype(np.float32))
+        b1 = tf1.get_variable(
+            "l1/b", initializer=rng_w.standard_normal(16).astype(np.float32))
+        w2 = tf1.get_variable(
+            "l2/w", initializer=rng_w.standard_normal(
+                (16, 1)).astype(np.float32))
+        b2 = tf1.get_variable(
+            "l2/b", initializer=rng_w.standard_normal(1).astype(np.float32))
+        h = tf.nn.relu(tf.nn.bias_add(tf.matmul(concat, w1), b1))
+        logits = tf.nn.bias_add(tf.matmul(h, w2), b2)
+        out = tf.sigmoid(logits, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            sess.run(tf1.tables_initializer())
+            rng = np.random.default_rng(5)
+            feed = {
+                feats["vc"]: np.asarray(
+                    ["apple", "nope", "cherry", "banana", "zz", "apple",
+                     "qq", "banana"]),
+                feats["vd"]: np.asarray(
+                    ["x", "huh", "z", "y", "x", "nope", "z", "y"]),
+                feats["vi"]: np.asarray([5, 9, 42, 17, 5, 123, 42, 17]),
+                feats["wc"]: np.asarray(
+                    ["a%d" % v for v in rng.integers(0, 10**6, 8)]),
+                feats["wt"]: rng.uniform(0.1, 3.0, 8).astype(np.float32),
+                feats["dn"]: rng.standard_normal(8).astype(np.float32),
+            }
+            want_concat, want_out = sess.run([concat, out], feed)
+            # keep table initializers in the frozen graph (the deployment
+            # convention: a frozen graph with lookup tables must retain
+            # its init ops or TF itself cannot run it) — the importer
+            # reads vocab keys/values from the kept Import op
+            init_op = tf1.tables_initializer()
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out", init_op.name.split(":")[0]])
+    batch = {ph.name.split(":")[0].rsplit("/")[-1]: v
+             for ph, v in feed.items()}
+    return frozen.SerializeToString(), batch, want_concat, want_out
+
+
+def test_import_vocab_weighted_and_tower_vs_real_tf():
+    from recom_tpu.importers.tf_graph import import_params
+    from recom_tpu.ir.spec import VocabLookup
+
+    data, batch, want_concat, want_out = _build_vocab_weighted_tower_graph()
+    model, weights = import_tf_graphdef(data, name="vw")
+
+    # structural checks: vocab transforms + weighted column + tower
+    by_field = {c.source.field: c for c in model.columns}
+    vc = next(c for f, c in by_field.items() if f.startswith("vc"))
+    vl = vc.transforms[0]
+    assert isinstance(vl, VocabLookup)
+    assert vl.vocab == ("apple", "banana", "cherry") and vl.num_oov == 2
+    vd = next(c for f, c in by_field.items() if f.startswith("vd"))
+    assert vd.transforms[0].num_oov == 0
+    assert vd.transforms[0].default == 1
+    vi = next(c for f, c in by_field.items() if f.startswith("vi"))
+    assert vi.transforms[0].vocab == (5, 17, 42)
+    wc = next(c for f, c in by_field.items() if f.startswith("wc"))
+    assert wc.lookup.weight_field is not None
+    assert model.tower.top_mlp == (16, 1)
+    assert model.tower.final_activation == "sigmoid"
+    assert getattr(model, "imported_tower_params", None) is not None
+
+    # rename feed keys to imported field names ("wt" is the weight feed,
+    # not a column field — it rides on wc.lookup.weight_field)
+    feed = {}
+    for k, v in batch.items():
+        if k == "wt":
+            continue
+        matches = [f for f in by_field if f == k or f.rsplit("/")[-1] == k
+                   or f.startswith(k)]
+        assert matches, f"lost feature {k}"
+        feed[matches[0]] = v
+    feed[wc.lookup.weight_field] = batch["wt"]
+
+    params = import_params(model, weights)
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(8,)),
+                 params=params)
+    out = eng.predict(feed, return_concat=True)
+
+    # per-column slices of TF's (alphabetical) input_layer concat must be
+    # bit-exact; the tower output must match to float tolerance
+    tf_order = sorted(
+        [("dn", 1), ("vc", 4), ("vd", 4), ("vi", 4), ("wc", 4)]
+    )
+    off = 0
+    tf_slices = {}
+    for nm, width in tf_order:
+        tf_slices[nm] = want_concat[:, off:off + width]
+        off += width
+    assert off == want_concat.shape[1]
+    # ours: [dense..., embeddings in import order]
+    ours = {"dn": out["concat"][:, :1]}
+    o = 1
+    for c in model.embedding_columns:
+        w = model.tables[c.lookup.table].dim
+        key = c.source.field.rsplit("/")[-1][:2]
+        ours[key] = out["concat"][:, o:o + w]
+        o += w
+    for nm in ("dn", "vc", "vd", "vi", "wc"):
+        np.testing.assert_array_equal(ours[nm], tf_slices[nm], err_msg=nm)
+    np.testing.assert_allclose(
+        out["output"], want_out, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_strict_mode_rejects_unrecognized_chain():
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        # a column idiom the importer does not know: identity categorical
+        # (ids used raw, no hash/bucketize/vocab)
+        fc = tf1.feature_column
+        a = tf1.placeholder(tf.int64, [None], name="a")
+        b = tf1.placeholder(tf.int64, [None], name="b")
+        cols = [
+            fc.embedding_column(
+                fc.categorical_column_with_identity("a", 100), 4),
+            fc.embedding_column(
+                fc.categorical_column_with_identity("b", 100), 4),
+        ]
+        out = tf1.feature_column.input_layer(
+            {"a": tf.reshape(a, [-1, 1]), "b": tf.reshape(b, [-1, 1])},
+            cols)
+        out = tf.identity(out, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+    data = frozen.SerializeToString()
+    with pytest.raises(ValueError, match="unrecognized transform chain"):
+        import_tf_graphdef(data, name="strict")
+    model, _ = import_tf_graphdef(data, name="lax", strict=False)
+    assert any("identity int ids" in w for w in model.import_warnings)
+
+
+def test_variablev2_tables_restore_from_checkpoint(tmp_path):
+    """VERDICT r01: an UNFROZEN TF1-style graph (VariableV2 tables) plus
+    its checkpoint bundle must import real weights, not random init.
+    Built manually with use_resource=False — the reference's deployment
+    shape (its ExtractFCNodes keys on VariableV2, graph_info.cc:211-258);
+    TF2's feature_column machinery would emit resource variables
+    instead."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        ih = tf1.placeholder(tf.int64, [None], name="ih")
+        sh = tf1.placeholder(tf.string, [None], name="sh")
+        pooled = []
+        for nm, vals, nb in (
+            ("ih", tf.strings.to_hash_bucket_fast(
+                tf.strings.as_string(ih), 32), 32),
+            ("sh", tf.strings.to_hash_bucket_fast(sh, 64), 64),
+        ):
+            n = tf.cast(tf.shape(vals)[0], tf.int64)
+            idx = tf.stack(
+                [tf.range(n), tf.zeros([n], tf.int64)], axis=1)
+            sp = tf.sparse.SparseTensor(idx, vals, tf.stack([n, 1]))
+            table = tf1.get_variable(
+                f"emb_{nm}", shape=[nb, 4], use_resource=False,
+                initializer=tf1.random_normal_initializer(seed=3),
+            )
+            pooled.append(tf.nn.safe_embedding_lookup_sparse(
+                table, sp, combiner="mean", default_id=None,
+                name=f"{nm}_pool"))
+        out = tf.concat(pooled, axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(1)
+            feed = {ih: rng.integers(0, 10**9, 8),
+                    sh: np.asarray(["s%d" % v
+                                    for v in rng.integers(0, 10**6, 8)])}
+            want = sess.run(out, feed)
+            prefix = str(tmp_path / "ckpt")
+            tf1.train.Saver().save(sess, prefix)
+            graph_bytes = g.as_graph_def().SerializeToString()
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        graph_bytes, name="ck", checkpoint=prefix)
+    assert weights, "checkpoint restore produced no table weights"
+    assert not any("randomly initialized" in w
+                   for w in model.import_warnings), model.import_warnings
+
+    by_field = {c.source.field: c for c in model.columns}
+    feed2 = {}
+    for k, v in [("ih", feed[ih]), ("sh", feed[sh])]:
+        m = [f for f in by_field if f == k or f.startswith(k)]
+        feed2[m[0]] = v
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(8,)),
+                 params=import_params(model, weights))
+    out2 = eng.predict(feed2, return_concat=True)
+    # column order may differ (TF alphabetical); widths are uniform 4 here
+    got = {tuple(np.round(out2["concat"][:, i:i+4].ravel(), 6))
+           for i in (0, 4)}
+    wanted = {tuple(np.round(want[:, i:i+4].ravel(), 6)) for i in (0, 4)}
+    assert got == wanted
