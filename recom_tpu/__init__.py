@@ -34,6 +34,7 @@ from recom_tpu.ir.spec import (  # noqa: F401
     Mod,
     ModelSpec,
     NumToId,
+    PostPool,
     SelectRange,
     TableSpec,
     TowerSpec,

@@ -51,6 +51,9 @@ class GroupMember:
     # filled in by layout assignment:
     group_index: int = -1        # position (C axis) inside the group
     concat_offset: int = -1      # column's offset in the model-order concat
+    out_width: int = -1          # concat-slot width (dim, or 1 after a
+                                 # post-lookup reduce)
+    in_group_offset: int = -1    # offset in the group's output concat
 
 
 @dataclasses.dataclass
@@ -84,7 +87,13 @@ class LookupGroup:
 
     @property
     def out_width(self) -> int:
-        return self.num_columns * self.dim
+        return sum(m.out_width for m in self.members)
+
+    @property
+    def any_post(self) -> bool:
+        """Any member carries post-lookup ops (the engine then builds the
+        group concat per-member instead of one reshape)."""
+        return any(m.column.post for m in self.members)
 
 
 @dataclasses.dataclass
@@ -253,6 +262,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             key=lambda m: (m.device_bucketize is None, _host_class(m))
         )
         row = 0
+        woff = 0
         codes = []
         offsets = []
         wcols = []
@@ -261,6 +271,11 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             offsets.append(row)
             m.row_offset = row
             row += m.vocab_size
+            from recom_tpu.ir.spec import column_out_width
+
+            m.out_width = column_out_width(model, m.column)
+            m.in_group_offset = woff
+            woff += m.out_width
             codes.append(_COMBINER_CODE[m.combiner])
             wcols.append(m.column.lookup.weight_field is not None)
         g.stacked_rows = row
@@ -309,9 +324,10 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         m, g = members_by_col[col.name]
         m.concat_offset = pos
         column_slot[col.name] = (g.gid, m.group_index)
-        src = group_base[g.gid] + m.group_index * g.dim
-        perm[pos : pos + g.dim] = np.arange(src, src + g.dim, dtype=np.int32)
-        pos += g.dim
+        src = group_base[g.gid] + m.in_group_offset
+        w = m.out_width
+        perm[pos : pos + w] = np.arange(src, src + w, dtype=np.int32)
+        pos += w
 
     return CompiledModel(
         model=model,

@@ -14,6 +14,9 @@ import dataclasses
 from typing import Dict, List, Tuple
 
 from recom_tpu.ir.intervals import IntervalSet
+from recom_tpu.utils.logging import Logger
+
+_log = Logger("passes")
 from recom_tpu.ir.spec import (
     Cast,
     FeatureColumn,
@@ -31,8 +34,22 @@ def _replace_columns(model: ModelSpec, columns: List[FeatureColumn]) -> ModelSpe
 
 
 def initial_range(col: FeatureColumn) -> IntervalSet:
-    """Integer range of the raw source values (pre-transform).  Non-integer
-    sources get the universe; the first Map establishes the real range."""
+    """Integer range of the raw source values (pre-transform).  Integer
+    sources with declared bounds (FeatureSource.int_range) seed the
+    interval analysis immediately — filters/selects before any Map
+    transform become provable; everything else gets the universe and the
+    first Map establishes the real range."""
+    from recom_tpu.ir.spec import FeatureKind
+
+    src = col.source
+    if (
+        src.int_range is not None
+        and src.kind in (FeatureKind.DENSE_INT, FeatureKind.INT_LIST)
+    ):
+        lo, hi = src.int_range
+        # (DENSE_INT -1 = missing is dropped at materialization, BEFORE
+        # the transform chain — the declared range describes real values)
+        return IntervalSet.closed(int(lo), int(hi))
     return IntervalSet.all()
 
 
@@ -143,8 +160,19 @@ def simplify_pre_lookup(model: ModelSpec) -> Tuple[ModelSpec, Dict]:
 # ---------------------------------------------------------------------------
 
 
-def canonicalize_lookup(model: ModelSpec) -> Tuple[ModelSpec, Dict]:
+def canonicalize_lookup(
+    model: ModelSpec, strict: bool = False
+) -> Tuple[ModelSpec, Dict]:
+    """Range-verify every chain against its table.  A chain whose range
+    can exceed the vocab WARNS and serves with runtime clamp/mask
+    semantics (ids < 0 prune as missing, ids >= vocab clamp to the last
+    row) — the reference's contract is leave-the-graph-untouched on any
+    match surprise (lookup_optimizer.cc RETURN_IF_FALSE discipline), and
+    a compile-time rejection would block serving for a model TF would
+    run.  ``strict=True`` (EngineConfig.strict_id_ranges) restores the
+    hard error for deployments that prefer failing the build."""
     always_valid = 0
+    range_warnings = 0
     for col in model.embedding_columns:
         vocab = model.tables[col.lookup.table].vocab_size
         r = chain_out_range(col)
@@ -152,13 +180,26 @@ def canonicalize_lookup(model: ModelSpec) -> Tuple[ModelSpec, Dict]:
             if r.is_all():
                 # unconstrained int source: runtime range check applies
                 continue
-            raise ValueError(
+            msg = (
                 f"column {col.name!r}: transform chain can produce id "
                 f"{r.max()} >= table vocab {vocab}"
             )
+            if strict:
+                raise ValueError(
+                    msg + " (strict_id_ranges=True fails the build; the "
+                    "default serves with runtime clamp/mask)"
+                )
+            _log.warning(
+                msg + "; serving with runtime clamp/mask semantics"
+            )
+            range_warnings += 1
+            continue
         if not r.is_empty() and r.min() >= 0:
             always_valid += 1
-    return model, {"columns_provably_valid": always_valid}
+    return model, {
+        "columns_provably_valid": always_valid,
+        "range_warnings": range_warnings,
+    }
 
 
 def column_always_valid(model: ModelSpec, col: FeatureColumn) -> bool:

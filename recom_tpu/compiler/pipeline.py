@@ -63,7 +63,9 @@ def run_passes(
         report.record("simplify_pre_lookup", info)
         _dump(model, config, "2_prelookup")
     if config.lookup_opt:
-        model, info = passes.canonicalize_lookup(model)
+        model, info = passes.canonicalize_lookup(
+            model, strict=getattr(config, "strict_id_ranges", False)
+        )
         report.record("canonicalize_lookup", info)
         _dump(model, config, "3_lookup")
     if config.dedup_subcolumns:

@@ -42,6 +42,10 @@ class EngineConfig:
     lookup_opt: bool = True             # RECOM_LOOKUP_OPT
     dedup_subcolumns: bool = True       # new: shared sub-column elimination
     use_pallas: bool = True             # RECOM_CODEGEN analogue
+    # fail the build when a chain's id range can exceed its table vocab
+    # (default: warn + serve with runtime clamp/mask — the reference's
+    # leave-unchanged contract)
+    strict_id_ranges: bool = False
 
     # --- shape bucketing (replaces symbolic shapes) ---
     batch_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048)

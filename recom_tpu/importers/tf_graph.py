@@ -500,6 +500,22 @@ def import_tf_graphdef(
                     "weights NOT imported"
                 )
 
+        # --- post-lookup column compute: Sum/Mean over the embedding dim
+        # after the pooled lookup (the reference's BatchColReduction,
+        # cuda_emitter.cc:1180-1244) ------------------------------------
+        post: tuple = ()
+        red = _resolve_through(
+            gi, inp, ("Identity", "Reshape", "ExpandDims", "Squeeze")
+        )
+        if red is not None and red.op in ("Sum", "Mean") and len(red.inputs) > 1:
+            ax = _const_scalar(gi, red.inputs[1])
+            if ax in (1, -1):
+                from recom_tpu.ir.spec import PostPool
+
+                post = (PostPool(
+                    "reduce_sum" if red.op == "Sum" else "reduce_mean"
+                ),)
+
         field = (
             main_ph.name if main_ph is not None
             else placeholders[0].name if placeholders else n.name
@@ -516,9 +532,10 @@ def import_tf_graphdef(
                 FeatureSource(field, kind, delimiter=delimiter),
                 transforms,
                 LookupSpec(tname, combiner, weight_field=weight_field),
+                post=post,
             )
         )
-        col_widths.append(dim)
+        col_widths.append(1 if post else dim)
 
     tower_params = None
     if tower is None:

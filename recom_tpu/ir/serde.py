@@ -87,6 +87,10 @@ def model_to_dict(model: S.ModelSpec) -> Dict:
                     "kind": c.source.kind.value,
                     "delimiter": c.source.delimiter,
                     "fields": list(c.source.fields) if c.source.fields else None,
+                    "int_range": (
+                        list(c.source.int_range)
+                        if c.source.int_range else None
+                    ),
                 },
                 "transforms": [transform_to_dict(t) for t in c.transforms],
                 "lookup": None
@@ -96,6 +100,12 @@ def model_to_dict(model: S.ModelSpec) -> Dict:
                     "combiner": c.lookup.combiner.value,
                     "weight_field": c.lookup.weight_field,
                 },
+                "post": [
+                    {"op": p.op,
+                     "scale": list(p.scale) if p.scale else None,
+                     "bias": list(p.bias) if p.bias else None}
+                    for p in c.post
+                ],
             }
             for c in model.columns
         ],
@@ -123,6 +133,9 @@ def model_from_dict(d: Dict) -> S.ModelSpec:
             fields=tuple(c["source"]["fields"])
             if c["source"].get("fields")
             else None,
+            int_range=tuple(c["source"]["int_range"])
+            if c["source"].get("int_range")
+            else None,
         )
         lookup = None
         if c["lookup"] is not None:
@@ -136,6 +149,14 @@ def model_from_dict(d: Dict) -> S.ModelSpec:
                 c["name"], src,
                 tuple(transform_from_dict(t) for t in c["transforms"]),
                 lookup,
+                post=tuple(
+                    S.PostPool(
+                        p["op"],
+                        scale=tuple(p["scale"]) if p.get("scale") else None,
+                        bias=tuple(p["bias"]) if p.get("bias") else None,
+                    )
+                    for p in c.get("post", ())
+                ),
             )
         )
     tower = S.TowerSpec(

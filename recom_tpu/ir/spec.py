@@ -26,6 +26,8 @@ import hashlib
 import json
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
+import numpy as np
+
 from recom_tpu.ir.intervals import IntervalSet
 
 
@@ -59,6 +61,14 @@ class FeatureSource:
     # For CROSS sources: the raw feature fields whose per-example value
     # tuples are crossed (tf.feature_column.crossed_column keys)
     fields: Optional[Tuple[str, ...]] = None
+    # For integer sources: declared inclusive value bounds.  Purely an
+    # optimization hint: it seeds the pre-lookup interval analysis
+    # (passes.initial_range) so filters/selects can be proven redundant
+    # BEFORE any Map transform — the reference derives the same
+    # information from upstream ops' symbolic content (PreLookupOptimizer
+    # match over the established range, pre_lookup_optimizer.cc:413-478).
+    # Values outside the declared range are the caller's contract breach.
+    int_range: Optional[Tuple[int, int]] = None
 
     def __post_init__(self):
         if self.kind == FeatureKind.CROSS and not self.fields:
@@ -319,19 +329,73 @@ class LookupSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class PostPool:
+    """Post-lookup per-column compute on the POOLED [B, d] output — the
+    expressible subset of the reference's post-lookup column subgraphs:
+    BatchColReduction (Sum over the embedding dim, cuda_emitter.cc:
+    1180-1244) and elementwise affine rewrites (the PostLookupOptimizer's
+    push-compute-under-sparse Mul pattern, post_lookup_optimizer.cc:
+    480-608, restated on the pooled dense output where it is equivalent).
+
+    op:
+      * "reduce_sum"  — y = sum_d x[:, d]   (output width 1)
+      * "reduce_mean" — y = mean_d x[:, d]  (output width 1)
+      * "affine"      — y = x * scale + bias (per-dim vectors or scalars
+                        broadcast; output width d)
+    Ops chain left-to-right; an affine after a reduce acts on width 1."""
+
+    op: str
+    scale: Optional[Tuple[float, ...]] = None
+    bias: Optional[Tuple[float, ...]] = None
+
+    def __post_init__(self):
+        if self.op not in ("reduce_sum", "reduce_mean", "affine"):
+            raise ValueError(f"unknown PostPool op {self.op!r}")
+        for f in ("scale", "bias"):
+            v = getattr(self, f)
+            if v is not None and not isinstance(v, tuple):
+                object.__setattr__(
+                    self, f,
+                    tuple(float(x) for x in np.atleast_1d(v)),
+                )
+
+    def out_width(self, d: int) -> int:
+        return 1 if self.op.startswith("reduce") else d
+
+    def cache_key(self) -> str:
+        return f"PostPool:{self.op}:{self.scale}:{self.bias}"
+
+
+def column_out_width(model, col) -> int:
+    """Concat-slot width of an embedding column: table dim transformed by
+    the post-lookup chain."""
+    d = model.tables[col.lookup.table].dim
+    for p in col.post:
+        d = p.out_width(d)
+    return d
+
+
+@dataclasses.dataclass(frozen=True)
 class FeatureColumn:
-    """source -> transforms -> (optional) lookup -> concat slot.
+    """source -> transforms -> (optional) lookup -> post -> concat slot.
 
     ``lookup is None`` means a dense passthrough column: the (single
-    per-example float) value feeds the tower directly."""
+    per-example float) value feeds the tower directly.  ``post`` applies
+    per-column compute to the pooled output (see PostPool)."""
 
     name: str
     source: FeatureSource
     transforms: Tuple[Transform, ...] = ()
     lookup: Optional[LookupSpec] = None
+    post: Tuple["PostPool", ...] = ()
 
     def __post_init__(self):
         object.__setattr__(self, "transforms", tuple(self.transforms))
+        object.__setattr__(self, "post", tuple(self.post))
+        if self.post and self.lookup is None:
+            raise ValueError(
+                f"column {self.name!r}: post-lookup ops need a lookup"
+            )
 
     def chain_key(self) -> str:
         """Identity of the source+transform chain, for shared-sub-column
@@ -398,6 +462,11 @@ class ModelSpec:
                         f"dense passthrough column {col.name!r} cannot have "
                         "transforms"
                     )
+            if col.post and self.tower.arch == "dlrm_dot":
+                raise ValueError(
+                    f"column {col.name!r}: post-lookup ops change slot "
+                    "widths; dlrm_dot interaction requires uniform dims"
+                )
 
     @property
     def embedding_columns(self) -> List[FeatureColumn]:

@@ -373,12 +373,32 @@ class OracleModel:
         return sp
 
     def pooled_outputs(self, batch: Dict) -> Dict[str, np.ndarray]:
+        """RAW pooled lookups (pre-post) — the bit-exact contract surface."""
         out = {}
         for col in self.model.embedding_columns:
             sp = self.column_ids(col, batch)
             table = self.params["tables"][col.lookup.table]
             out[col.name] = pool_lookup(sp, table, col.lookup.combiner)
         return out
+
+    @staticmethod
+    def apply_post(pooled: np.ndarray, post) -> np.ndarray:
+        """Post-lookup per-column chain on pooled [B, d] (PostPool).
+        Reduction order may differ from XLA's by float association — the
+        bit-exact contract covers the POOLED outputs; post outputs are
+        compared to float tolerance."""
+        x = pooled
+        for p in post:
+            if p.op == "reduce_sum":
+                x = x.sum(axis=1, keepdims=True)
+            elif p.op == "reduce_mean":
+                x = x.mean(axis=1, keepdims=True)
+            else:
+                if p.scale is not None:
+                    x = x * np.asarray(p.scale, np.float32)
+                if p.bias is not None:
+                    x = x + np.asarray(p.bias, np.float32)
+        return np.asarray(x, np.float32)
 
     def dense_matrix(self, batch: Dict) -> np.ndarray:
         cols = self.model.dense_columns
@@ -397,7 +417,10 @@ class OracleModel:
         dense = self.dense_matrix(batch)
         tower = self.model.tower
 
-        emb_list = [pooled[c.name] for c in self.model.embedding_columns]
+        emb_list = [
+            self.apply_post(pooled[c.name], c.post)
+            for c in self.model.embedding_columns
+        ]
         if tower.arch == "mlp":
             front = dense
             if tower.bottom_mlp and dense.shape[1]:

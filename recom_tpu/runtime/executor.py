@@ -38,6 +38,32 @@ def _act(name: Optional[str], x):
     raise ValueError(f"unknown activation {name}")
 
 
+def _group_concat(g, pooled):
+    """Group output concat [B, out_width] from pooled [B, C, d], applying
+    each member's post-lookup chain (PostPool — the reference's
+    BatchColReduction / elementwise post-lookup rewrites,
+    cuda_emitter.cc:1180-1244, post_lookup_optimizer.cc:480-608).  The
+    common no-post case is one reshape; XLA fuses the per-member ops of
+    the post case into the concat."""
+    if not g.any_post:
+        return pooled.reshape(pooled.shape[0], -1)
+    parts = []
+    for idx, m in enumerate(g.members):
+        x = pooled[:, idx, :]
+        for p in m.column.post:
+            if p.op == "reduce_sum":
+                x = x.sum(axis=1, keepdims=True)
+            elif p.op == "reduce_mean":
+                x = x.mean(axis=1, keepdims=True)
+            else:   # affine
+                if p.scale is not None:
+                    x = x * jnp.asarray(p.scale, jnp.float32)
+                if p.bias is not None:
+                    x = x + jnp.asarray(p.bias, jnp.float32)
+        parts.append(x)
+    return jnp.concatenate(parts, axis=1)
+
+
 def mlp_apply(layers, x, activation: str, final_activation):
     # TPU f32 matmul defaults to bfloat16-pass precision; the tower keeps
     # full f32 MXU passes so accuracy tracks the float32 oracle.
@@ -389,7 +415,7 @@ class Engine:
                 # one id per entry: combiner divisors are exactly 1
                 pooled = jnp.transpose(rows[: g.num_columns], (1, 0, 2))
                 pooled_list.append(pooled)
-                group_out.append(pooled.reshape(pooled.shape[0], -1))
+                group_out.append(_group_concat(g, pooled))
                 continue
             parts = []
             if g.n_bucketize and "bz_ids" in packed:
@@ -439,7 +465,7 @@ class Engine:
                     weighted_cols=g.weighted_cols,
                 )                                                # [Bp, C, d]
             pooled_list.append(pooled)
-            group_out.append(pooled.reshape(pooled.shape[0], -1))
+            group_out.append(_group_concat(g, pooled))
         if group_out:
             grouped = jnp.concatenate(group_out, axis=1)
         else:

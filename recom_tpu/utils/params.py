@@ -48,9 +48,11 @@ def init_mlp(
 
 def tower_input_dim(model: ModelSpec) -> int:
     """Width of the tower's input concat for each arch."""
+    from recom_tpu.ir.spec import column_out_width
+
     tower = model.tower
     n_dense = len(model.dense_columns)
-    emb_dims = [model.tables[c.lookup.table].dim for c in model.embedding_columns]
+    emb_dims = [column_out_width(model, c) for c in model.embedding_columns]
     if tower.arch == "mlp":
         if tower.bottom_mlp:
             n_dense = tower.bottom_mlp[-1] if n_dense else 0

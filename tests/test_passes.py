@@ -133,7 +133,10 @@ def test_select_then_filter_fusion():
     assert filters[0].keep == IntervalSet.closed(10, 50)
 
 
-def test_canonicalize_rejects_overflow_chain():
+def test_canonicalize_overflow_chain_warns_by_default_raises_in_strict():
+    """Reference contract: leave-the-graph-unchanged on a range surprise
+    (serve with runtime clamp/mask); the hard rejection is opt-in via
+    strict_id_ranges (VERDICT r01 weak #4)."""
     tables = {"t": TableSpec("t", 10, 4)}
     cols = [
         FeatureColumn(
@@ -144,8 +147,10 @@ def test_canonicalize_rejects_overflow_chain():
     ]
     model = ModelSpec("bad", tables, cols,
                       TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    out, info = passes.canonicalize_lookup(model)
+    assert info["range_warnings"] == 1
     with pytest.raises(ValueError, match="can produce id"):
-        passes.canonicalize_lookup(model)
+        passes.canonicalize_lookup(model, strict=True)
 
 
 def test_prune_useless_removes_identity_and_cast():
@@ -162,3 +167,39 @@ def test_prune_useless_removes_identity_and_cast():
     out, info = passes.prune_useless(model)
     assert info["removed_transforms"] == 2
     assert len(out.columns[0].transforms) == 1
+
+
+def test_declared_int_range_enables_pre_lookup_simplification():
+    """FeatureSource.int_range seeds interval analysis (VERDICT r01 weak
+    #6): a filter that cannot shrink the declared range is dropped before
+    any Map transform; one that can shrink it survives."""
+    from recom_tpu.ir.spec import NumToId
+
+    tables = {"t": TableSpec("t", 100, 4)}
+
+    def mk(int_range, keep):
+        cols = [
+            FeatureColumn(
+                "c",
+                FeatureSource("x", FeatureKind.INT_LIST,
+                              int_range=int_range),
+                (FilterRange(IntervalSet.closed(*keep)), NumToId(100)),
+                LookupSpec("t", Combiner.SUM),
+            )
+        ]
+        m = ModelSpec("ir", tables, cols,
+                      TowerSpec(arch="mlp", top_mlp=(),
+                                final_activation=None))
+        out, info = passes.simplify_pre_lookup(m)
+        return out.columns[0].transforms, info
+
+    # declared [0, 50], filter keeps [0, 80]: provably a no-op -> dropped
+    tf_out, info = mk((0, 50), (0, 80))
+    assert not any(isinstance(t, FilterRange) for t in tf_out)
+    assert info["dropped_transforms"] == 1
+    # declared [0, 50], filter keeps [10, 20]: shrinks -> kept
+    tf_out, info = mk((0, 50), (10, 20))
+    assert any(isinstance(t, FilterRange) for t in tf_out)
+    # no declared range: the same no-op filter cannot be proven -> kept
+    tf_out, info = mk(None, (0, 80))
+    assert any(isinstance(t, FilterRange) for t in tf_out)
