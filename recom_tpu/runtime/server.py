@@ -67,6 +67,8 @@ class ServingPipeline:
         import queue as _queue
 
         self._done_q: "_queue.Queue" = _queue.Queue()
+        self._max_inflight = max_inflight
+        self._wait_ema = 0.0     # EMA of block_until_ready cost (seconds)
         self._completer = threading.Thread(
             target=self._complete_loop, name="recom-complete", daemon=True
         )
@@ -85,27 +87,57 @@ class ServingPipeline:
 
         import jax
 
+        shutdown = False
+
+        def drain(batch_items) -> bool:
+            nonlocal shutdown
+            grew = False
+            while True:
+                try:
+                    nxt = self._done_q.get_nowait()
+                except _queue.Empty:
+                    return grew
+                if nxt is None:
+                    shutdown = True
+                    return grew
+                batch_items.append(nxt)
+                grew = True
+
         while True:
             item = self._done_q.get()
             if item is None:
                 return
             batch_items = [item]
-            while True:
-                try:
-                    nxt = self._done_q.get_nowait()
-                except _queue.Empty:
-                    break
-                if nxt is None:
-                    self._done_q.put(None)   # re-arm shutdown
-                    break
-                batch_items.append(nxt)
+            drain(batch_items)
+            # adaptive linger (NIC-coalescing style): when waits are
+            # expensive (remote-tunneled device: one RPC round trip each,
+            # and the wait does not yield to dispatcher threads), briefly
+            # let more dispatches land before paying the next wait — up
+            # to 25% of the observed wait cost, never on fast devices
+            if self._wait_ema > 2e-3:
+                deadline = time.perf_counter() + 0.25 * self._wait_ema
+                while (
+                    len(batch_items) < self._max_inflight
+                    and not shutdown
+                    and time.perf_counter() < deadline
+                ):
+                    time.sleep(2e-4)
+                    drain(batch_items)
             try:
+                t0 = time.perf_counter()
                 jax.block_until_ready(
                     [it[0]["output"] for it in batch_items]
+                )
+                dt = time.perf_counter() - t0
+                self._wait_ema = (
+                    dt if self._wait_ema == 0.0
+                    else 0.7 * self._wait_ema + 0.3 * dt
                 )
             except Exception as e:
                 for _, fut, _, work in batch_items:
                     self._retry_or_fail(fut, work, e)
+                if shutdown:
+                    return
                 continue
             for dev_out, fut, prepared, _ in batch_items:
                 try:
@@ -121,6 +153,8 @@ class ServingPipeline:
                     fut.set_exception(e)
                 finally:
                     self._inflight.release()
+            if shutdown:
+                return
 
     def _retry_or_fail(self, fut, work, exc):
         if work["attempt"] < self.retries:
