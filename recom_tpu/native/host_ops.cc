@@ -435,6 +435,81 @@ inline void WriteElem(uint8_t* dst, int64_t elem, int64_t i, int32_t v) {
 // luts: n_cols pointers to int32[counts[c]+1] or null (identity).
 // Column c writes to out + c*stride*elem (stride in ELEMENTS).
 // NaN input -> count (matches np.searchsorted/oracle).
+extern "C++" {
+namespace {
+
+// per-column bodies specialized on the output element type and the LUT
+// presence so the inner loop carries no per-element dispatch at all
+template <typename T, bool kLut>
+void BucketizeColAffine(const float* x, const float* b, int32_t k, float b0,
+                        float inv_d, const int32_t* lut, int64_t batch,
+                        T* o) {
+  const float fk = static_cast<float>(k);
+  for (int64_t i = 0; i < batch; ++i) {
+    const float v = x[i];
+    int32_t id;
+    if (v != v) {
+      id = k;  // NaN -> count
+    } else {
+      int32_t e;
+      if (!(v >= b0)) {
+        e = 0;
+      } else {
+        float g = (v - b0) * inv_d + 1.0f;
+        e = g >= fk ? k : static_cast<int32_t>(g);
+      }
+      while (e > 0 && b[e - 1] > v) --e;
+      while (e < k && b[e] <= v) ++e;
+      id = e;
+    }
+    if (kLut) id = lut[id];
+    o[i] = static_cast<T>(id);
+  }
+}
+
+template <typename T, bool kLut>
+void BucketizeColSearch(const float* x, const float* b, int32_t k,
+                        int64_t kmax, const int32_t* lut, int64_t batch,
+                        T* o) {
+  for (int64_t i = 0; i < batch; ++i) {
+    const float v = x[i];
+    int32_t id;
+    if (v != v) {
+      id = k;
+    } else {
+      // branchless upper_bound: +inf padding keeps every probe in
+      // bounds; cmov per level, no mispredicts
+      int32_t idx = 0;
+      for (int32_t step = static_cast<int32_t>(kmax) >> 1; step; step >>= 1)
+        idx += (b[idx + step - 1] <= v) ? step : 0;
+      // v == +inf also counts the +inf padding; clamp to true k
+      id = idx > k ? k : idx;
+    }
+    if (kLut) id = lut[id];
+    o[i] = static_cast<T>(id);
+  }
+}
+
+template <typename T>
+void BucketizeCol(const float* x, const float* b, int32_t k, int64_t kmax,
+                  float b0, float inv_d, bool aff, const int32_t* lut,
+                  int64_t batch, T* o) {
+  if (aff && k > 0) {
+    if (lut)
+      BucketizeColAffine<T, true>(x, b, k, b0, inv_d, lut, batch, o);
+    else
+      BucketizeColAffine<T, false>(x, b, k, b0, inv_d, nullptr, batch, o);
+  } else {
+    if (lut)
+      BucketizeColSearch<T, true>(x, b, k, kmax, lut, batch, o);
+    else
+      BucketizeColSearch<T, false>(x, b, k, kmax, nullptr, batch, o);
+  }
+}
+
+}  // namespace
+}  // extern "C++"
+
 void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
                         const int32_t* counts, const float* inv_ds,
                         const uint8_t* affine, const int32_t** luts,
@@ -444,39 +519,20 @@ void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
     const float* x = xs[c];
     const float* b = bounds32 + c * kmax;
     const int32_t k = counts[c];
-    const float b0 = b[0];
-    const float inv_d = inv_ds[c];
-    const bool aff = affine[c] != 0;
     const int32_t* lut = luts ? luts[c] : nullptr;
     uint8_t* o = out + c * stride * elem;
-    for (int64_t i = 0; i < batch; ++i) {
-      const float v = x[i];
-      int32_t id;
-      if (v != v) {
-        id = k;  // NaN -> count
-      } else if (aff && k > 0) {
-        int32_t e;
-        if (!(v >= b0)) {
-          e = 0;
-        } else {
-          float g = (v - b0) * inv_d + 1.0f;
-          e = g >= static_cast<float>(k) ? k : static_cast<int32_t>(g);
-        }
-        while (e > 0 && b[e - 1] > v) --e;
-        while (e < k && b[e] <= v) ++e;
-        id = e;
-      } else {
-        // branchless upper_bound: +inf padding keeps every probe in
-        // bounds; cmov per level, no mispredicts
-        int32_t idx = 0;
-        for (int32_t step = static_cast<int32_t>(kmax) >> 1; step;
-             step >>= 1)
-          idx += (b[idx + step - 1] <= v) ? step : 0;
-        // v == +inf also counts the +inf padding; clamp to true k
-        id = idx > k ? k : idx;
-      }
-      if (lut) id = lut[id];
-      WriteElem(o, elem, i, id);
+    switch (elem) {
+      case 1:
+        BucketizeCol<int8_t>(x, b, k, kmax, b[0], inv_ds[c], affine[c],
+                             lut, batch, reinterpret_cast<int8_t*>(o));
+        break;
+      case 2:
+        BucketizeCol<int16_t>(x, b, k, kmax, b[0], inv_ds[c], affine[c],
+                              lut, batch, reinterpret_cast<int16_t*>(o));
+        break;
+      default:
+        BucketizeCol<int32_t>(x, b, k, kmax, b[0], inv_ds[c], affine[c],
+                              lut, batch, reinterpret_cast<int32_t*>(o));
     }
   });
 }
@@ -520,18 +576,21 @@ void rt_hash_fixed_multi_out(const uint8_t** bufs, const int64_t* widths,
   });
 }
 
+extern "C++" {
 namespace {
 
-// split+hash one column into dst at element width `elem`; returns max pieces.
-int64_t SplitHashPadElem(const uint8_t* buf, int64_t width, int64_t n,
-                         uint8_t delim, int64_t num_buckets, int64_t rowlen,
-                         uint8_t* dst, int64_t elem) {
+// split+hash one column; returns max pieces.  Templated on the output
+// element type so the hot loop has no per-element width dispatch.
+template <typename T>
+int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
+                      uint8_t delim, int64_t num_buckets, int64_t rowlen,
+                      T* dst) {
   int64_t maxp = 0;
   const uint64_t nb = static_cast<uint64_t>(num_buckets);
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t* p = buf + i * width;
     size_t len = FixedLen(p, width);
-    uint8_t* row = dst + i * rowlen * elem;
+    T* row = dst + i * rowlen;
     int64_t cnt = 0;
     if (len > 0) {
       size_t start = 0;
@@ -539,7 +598,7 @@ int64_t SplitHashPadElem(const uint8_t* buf, int64_t width, int64_t n,
         if (j == len || p[j] == delim) {
           if (cnt < rowlen) {
             uint64_t h = Hash64(p + start, j - start);
-            WriteElem(row, elem, cnt, static_cast<int32_t>(h % nb));
+            row[cnt] = static_cast<T>(static_cast<int32_t>(h % nb));
           }
           ++cnt;
           start = j + 1;
@@ -547,13 +606,32 @@ int64_t SplitHashPadElem(const uint8_t* buf, int64_t width, int64_t n,
       }
     }
     for (int64_t j = cnt < rowlen ? cnt : rowlen; j < rowlen; ++j)
-      WriteElem(row, elem, j, -1);
+      row[j] = static_cast<T>(-1);
     if (cnt > maxp) maxp = cnt;
   }
   return maxp;
 }
 
+int64_t SplitHashPadElem(const uint8_t* buf, int64_t width, int64_t n,
+                         uint8_t delim, int64_t num_buckets, int64_t rowlen,
+                         uint8_t* dst, int64_t elem) {
+  switch (elem) {
+    case 1:
+      return SplitHashPadT<int8_t>(buf, width, n, delim, num_buckets,
+                                   rowlen, reinterpret_cast<int8_t*>(dst));
+    case 2:
+      return SplitHashPadT<int16_t>(buf, width, n, delim, num_buckets,
+                                    rowlen,
+                                    reinterpret_cast<int16_t*>(dst));
+    default:
+      return SplitHashPadT<int32_t>(buf, width, n, delim, num_buckets,
+                                    rowlen,
+                                    reinterpret_cast<int32_t*>(dst));
+  }
+}
+
 }  // namespace
+}  // extern "C++"
 
 // Split+hash several delimited columns; column c writes [batch, rowlen]
 // ids (-1 padded) at out + c*stride*elem (stride in elements — the view's
