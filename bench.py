@@ -234,18 +234,29 @@ def main():
 
         model = make_criteo_dlrm()
 
+    if args.embedding_only:
+        # only the LARGE-table gather path is measured (small tables run
+        # as MXU one-hot matmuls, not memory-bound gathers) — build just
+        # those columns so the probe doesn't pay a 5GB table upload for
+        # groups it never touches
+        from recom_tpu.tools.embedding_bw import embedding_only_bench
+
+        big = make_dlrm_model(
+            0, 0, 0, 0, 1, 0, [], [], name="embbw",
+            large_rows=1 << 23, large_dim=32,
+        )
+        bbatch = make_random_batch(big, args.batch, seed=7)
+        beng = Engine(big, EngineConfig(), params=None)
+        print(json.dumps(embedding_only_bench(beng, bbatch,
+                                              iters=args.iters)))
+        return
+
     batch = make_random_batch(model, args.batch, seed=7)
 
     from recom_tpu.utils.params import init_model_params
 
     np_params = init_model_params(model)
     eng = Engine(model, EngineConfig(), params=np_params)
-
-    if args.embedding_only:
-        from recom_tpu.tools.embedding_bw import embedding_only_bench
-
-        print(json.dumps(embedding_only_bench(eng, batch, iters=args.iters)))
-        return
 
     prep = eng.prepare(batch)
     darrays = jax.device_put(prep.arrays)

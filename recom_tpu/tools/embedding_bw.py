@@ -71,24 +71,32 @@ def embedding_only_bench(
     rl = dict(zip([q.gid for q in eng.compiled.groups], prep.rowlens))[g.gid]
     c = g.num_columns
     rng = np.random.Generator(np.random.PCG64(11))
-    ids = rng.integers(0, rows, size=(bp, c, rl), dtype=np.int64).astype(
-        np.int32
-    )
     n_gather = bp * c * rl
     offsets = np.zeros(c, np.int32)      # ids already span the full stack
     comb = np.asarray(g.combiner_code)
 
-    ids_dev = jax.device_put(ids)
+    # every dispatch carries a UNIQUE salt input: the transport here
+    # demonstrably caches repeated (program, inputs) executions (measured
+    # "2.2x HBM peak" when inputs repeat), so each request must differ
+    ids_dev = jax.device_put(
+        rng.integers(0, rows, size=(bp, c, rl), dtype=np.int64).astype(
+            np.int32
+        )
+    )
+    jax.block_until_ready(ids_dev)
 
     def perturb(x, i):
-        # new random-ish rows every round, no host traffic
-        return (x + i * np.int32(2654435761)) % np.int32(rows)
+        # new random-ish rows every round, no host traffic (odd Weyl
+        # constant; int32 wraparound is defined and % keeps it in range)
+        return (x + i * np.int32(1566083941)) % np.int32(rows)
 
+    # table passed as an ARGUMENT (closing over a concrete Array would
+    # bake it into the HLO as a constant — a multi-hundred-MB program)
     @jax.jit
-    def run_gather(ids0):
+    def run_gather(tbl, ids0, salt):
         def body(acc, i):
             rows_ = jnp.take(
-                table, perturb(ids0, i).reshape(-1), axis=0,
+                tbl, perturb(ids0, i + salt).reshape(-1), axis=0,
                 indices_are_sorted=False, unique_indices=False,
             )
             return acc + rows_.astype(jnp.float32).sum(), None
@@ -99,10 +107,10 @@ def embedding_only_bench(
         return acc
 
     @jax.jit
-    def run_pooled(ids0):
+    def run_pooled(tbl, ids0, salt):
         def body(acc, i):
             pooled = lookup_xla.group_pooled(
-                table, perturb(ids0, i), offsets, comb,
+                tbl, perturb(ids0, i + salt), offsets, comb,
                 exact_math=eng.config.exact_combiner_math,
             )
             return acc + pooled.sum(), None
@@ -113,16 +121,22 @@ def embedding_only_bench(
         return acc
 
     results = {}
+    salt_counter = [0]
     for name, fn in (("gather", run_gather), ("pooled", run_pooled)):
-        fn(ids_dev).block_until_ready()          # compile
-        per = max(1, iters // (rounds * windows) or 1)
+        def call(fn=fn):
+            salt_counter[0] += 1
+            return fn(table, ids_dev, np.int32(salt_counter[0] * rounds))
+
+        call().block_until_ready()                      # compile
+        # 16 pipelined dispatches per window, ONE drain: the device
+        # serializes executions, so wall time is device-bound and
+        # dispatch/RTT noise amortizes 16x
+        per = 16
         samples = []
         for _ in range(windows):
             t0 = time.perf_counter()
-            out = None
-            for _ in range(per):
-                out = fn(ids_dev)
-            out.block_until_ready()
+            outs = [call() for _ in range(per)]
+            jax.block_until_ready(outs)
             samples.append((time.perf_counter() - t0) / (per * rounds))
         step_s = float(np.median(samples))
         results[name] = {
