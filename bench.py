@@ -56,29 +56,35 @@ def time_windows(fn, iters, warmup=5, windows=5):
     return float(np.median(samples)), [round(s * 1e3, 3) for s in samples]
 
 
-def loop_windows(eng, batches, iters, confirm_every=8, windows=5):
+# Every timed dispatch carries UNIQUE batch content: the transport here
+# caches both same-content uploads (~4x cheaper) and repeated
+# (program, inputs) executions (micro-benchmarks read over HBM peak when
+# inputs repeat).  Measurement functions therefore consume a list of
+# DISTINCT batches sequentially — no batch is dispatched twice.
+
+
+def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
     """Single-threaded serving loop: prep + dispatch inline, confirming
     the backlog every ``confirm_every`` requests (and at window end) with
     one wait call.  ``confirm_every=1`` is the strict synchronous loop —
-    on THIS host the fastest mode, because the tunnel client busy-spins
-    the single CPU core while async work is in flight (measured: host
-    prep inflates 4.4ms -> 40-60ms with transfers outstanding), so
-    keeping at most one request in flight wins.  Returns (median
-    per-request s, window ms)."""
+    on THIS host often the fastest mode, because the tunnel client
+    busy-spins the single CPU core while async work is in flight
+    (measured: host prep inflates 4.4ms -> 40-60ms with transfers
+    outstanding).  Each of ``batches`` is served exactly once.  Returns
+    (median per-request s, window ms)."""
     import jax
 
-    # warm every signature + rowlen hints
-    for sb in batches:
+    for sb in warm_batches:     # warm signatures + rowlen hints
         p = eng.prepare(sb)
         fn = eng._get_jitted(p.signature)
         jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
-    per = max(4, iters // windows)
+    per = len(batches) // windows
     samples = []
-    for _ in range(windows):
+    for w in range(windows):
         backlog = []
         t0 = time.perf_counter()
         for i in range(per):
-            p = eng.prepare(batches[i % len(batches)])
+            p = eng.prepare(batches[w * per + i])
             fn = eng._get_jitted(p.signature)
             backlog.append(fn(eng.device_params, p.arrays)["output"])
             if len(backlog) >= confirm_every:
@@ -90,35 +96,72 @@ def loop_windows(eng, batches, iters, confirm_every=8, windows=5):
     return float(np.median(samples)), [round(s * 1e3, 3) for s in samples]
 
 
-def serve_windows(eng, batches, iters, max_inflight=24, prep_workers=3,
-                  windows=5):
+def serve_windows(eng, warm_batches, batches, max_inflight=24,
+                  prep_workers=3, windows=5):
     """Thread-pipelined serving throughput: the reference's
     N-threads-one-session protocol (recom_examples.patch:196-227).
-    Returns (median per-request seconds, window list ms).
+    Each of ``batches`` is served exactly once.  Returns (median
+    per-request seconds, window list ms).
 
     max_inflight=24: the completer amortizes one wait RPC over every
     in-flight request, so on a remote-tunneled device (RTT up to ~60ms
     observed) the queue must be deep enough that RTT/inflight falls below
     the per-request host-prep cost; on locally-attached TPUs the depth is
-    irrelevant (waits are microseconds).  On a single-CORE host prefer
-    async_loop_windows (threads cannot add parallelism there)."""
+    irrelevant (waits are microseconds).  On a single-CORE host the loop
+    modes usually win (threads cannot add parallelism there)."""
     from recom_tpu.runtime.server import ServingPipeline
 
     with ServingPipeline(
         eng, prep_workers=prep_workers, max_inflight=max_inflight,
         fetch_outputs=False,
     ) as pipe:
-        for sb in batches:                  # warm every signature + hints
+        for sb in warm_batches:             # warm signatures + hints
             pipe.submit(sb).result()
-        per = max(4, iters // windows)
+        per = len(batches) // windows
         samples = []
-        for _ in range(windows):
+        for w in range(windows):
             t0 = time.perf_counter()
-            futs = [pipe.submit(batches[i % len(batches)]) for i in range(per)]
+            futs = [pipe.submit(batches[w * per + i]) for i in range(per)]
             for f in futs:
                 f.result()
             samples.append((time.perf_counter() - t0) / per)
     return float(np.median(samples)), [round(s * 1e3, 3) for s in samples]
+
+
+def device_windows(eng, batches, windows=5):
+    """Device-step latency with inputs RESIDENT: pre-place every prepared
+    batch on device, then dispatch each exactly once (uniform signature),
+    draining once per window.  Returns (median s, window ms, signature,
+    first prepared, first device arrays)."""
+    import jax
+
+    sig = None
+    prepped = []
+    first_prep = None
+    for b in batches:
+        p = eng.prepare(b)
+        if sig is None:
+            sig, first_prep = p.signature, p
+        if p.signature == sig:
+            prepped.append(jax.device_put(p.arrays))
+    jax.block_until_ready(prepped)
+    fn = eng._get_jitted(sig)
+    jax.block_until_ready(fn(eng.device_params, prepped[0])["output"])
+    per = max(1, len(prepped) // windows)
+    samples = []
+    idx = 0
+    for _ in range(windows):
+        use = prepped[idx : idx + per] or [prepped[-1]]
+        idx += per
+        t0 = time.perf_counter()
+        outs = [fn(eng.device_params, a) for a in use]
+        jax.block_until_ready([o["output"] for o in outs])
+        samples.append((time.perf_counter() - t0) / len(use))
+    return (
+        float(np.median(samples)),
+        [round(s * 1e3, 3) for s in samples],
+        sig, first_prep, prepped[0],
+    )
 
 
 def check_bitexact(eng, model, np_params, batch, prep, darrays) -> None:
@@ -258,15 +301,24 @@ def main():
     np_params = init_model_params(model)
     eng = Engine(model, EngineConfig(), params=np_params)
 
-    prep = eng.prepare(batch)
-    darrays = jax.device_put(prep.arrays)
-    jax.block_until_ready(darrays)
-    fn = eng._get_jitted(prep.signature)
+    # distinct batch content for every timed dispatch (see the note above
+    # loop_windows: the transport caches repeated uploads AND executions)
+    seed_ctr = [1000]
 
-    # --- device-only: program latency with inputs resident -------------
-    dev_s, dev_w = time_windows(
-        lambda: fn(eng.device_params, darrays), args.iters
+    def fresh_batches(n):
+        out = [
+            make_random_batch(model, args.batch, seed=seed_ctr[0] + i)
+            for i in range(n)
+        ]
+        seed_ctr[0] += n
+        return out
+
+    # --- device-only: program latency with inputs resident, each
+    # prepared batch dispatched exactly once ------------------------------
+    dev_s, dev_w, sig, prep, darrays = device_windows(
+        eng, [batch] + fresh_batches(min(50, args.iters))
     )
+    fn = eng._get_jitted(sig)
 
     # --- host prep only (no device) ------------------------------------
     prep_s, prep_w = time_windows(
@@ -285,17 +337,17 @@ def main():
     lookup_gbps = gathered / dev_s / 1e9
 
     # --- strict per-request latency: prep + H2D + device + SYNC each
-    # request (on a remote-tunneled device the sync is a full RPC round
-    # trip, so this is the RTT-inflated per-request number — the serving
-    # modes below amortize it) --------------------------------------------
+    # request, fresh content per request ---------------------------------
+    sync_pool = iter(fresh_batches(max(5, args.iters // 5) + 2))
+
     def e2e():
-        p = eng.prepare(batch)
+        p = eng.prepare(next(sync_pool))
         f = eng._get_jitted(p.signature)
         out = f(eng.device_params, p.arrays)
         jax.block_until_ready(out["output"])
         return None                     # already synced
 
-    e2e_s, e2e_w = time_windows(e2e, max(5, args.iters // 5), warmup=2)
+    e2e_s, e2e_w = time_windows(e2e, max(5, args.iters // 5), warmup=1)
 
     # --- HEADLINE: serving throughput ----------------------------------
     # NOTE: every timed measurement runs BEFORE the first device-to-host
@@ -309,27 +361,27 @@ def main():
     windows_by = {}
     serve_retry_w = None
     if not args.no_serve:
-        serve_batches = [
-            make_random_batch(model, args.batch, seed=100 + i)
-            for i in range(4)
-        ]
-        # three serving modes, every request confirmed; the host decides
-        # which wins (sync loop when the transfer client spins the only
-        # core, async loop when dispatch overlap is free, thread pipeline
-        # on multi-core hosts)
-        s, w = loop_windows(eng, serve_batches, args.iters, confirm_every=1)
+        per_mode = max(4, args.iters // 5) * 5
+        # three serving modes, every request confirmed, fresh content per
+        # request; the host decides which wins (sync loop when the
+        # transfer client spins the only core, async loop when dispatch
+        # overlap is free, thread pipeline on multi-core hosts)
+        warm = fresh_batches(2)
+        s, w = loop_windows(eng, warm, fresh_batches(per_mode),
+                            confirm_every=1)
         candidates["serving_sync_loop"] = s
         windows_by["serving_sync_loop"] = w
-        s, w = loop_windows(eng, serve_batches, args.iters, confirm_every=8)
+        s, w = loop_windows(eng, warm, fresh_batches(per_mode),
+                            confirm_every=8)
         candidates["serving_async_loop"] = s
         windows_by["serving_async_loop"] = w
-        s, w = serve_windows(eng, serve_batches, args.iters)
+        s, w = serve_windows(eng, warm, fresh_batches(per_mode))
         # tunnel-squall retry (transparent: both window lists recorded):
         # when the median window is >3x the best window, the measurement
         # straddled a transient stall — remeasure once and keep the
         # better median
         if s * 1e3 > 3 * min(w):
-            s2, w2 = serve_windows(eng, serve_batches, args.iters)
+            s2, w2 = serve_windows(eng, warm, fresh_batches(per_mode))
             serve_retry_w = w
             if s2 < s:
                 s, w = s2, w2
