@@ -398,8 +398,14 @@ def main():
     # --- bit-exact gate (also exercises real Pallas on TPU); first D2H
     # of the process happens inside --------------------------------------
     check_bitexact(eng, model, np_params, batch, prep, darrays)
-    pallas_ok = check_pallas_paths(model, np_params, batch) if args.smoke \
-        else (jax.default_backend() == "tpu")
+    # the 3-engine fused-kernel comparison runs on --smoke only (full
+    # model E would triple the compile/upload bill); the full-run gate
+    # above still executes the id-driven Pallas megakernel.  Report what
+    # actually ran instead of claiming the smoke check.
+    pallas_ok = (
+        check_pallas_paths(model, np_params, batch) if args.smoke
+        else "gate_onehot_kernel_only"
+    )
 
     # --- baseline: REAL TensorFlow-CPU on the same model ---------------
     baseline_name = "tf_cpu"

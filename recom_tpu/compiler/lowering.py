@@ -73,6 +73,11 @@ class LookupGroup:
     # follows TF's weighted-path rounding; unweighted columns follow the
     # SparseSegment* reciprocal-multiply rounding)
     weighted_cols: Optional[np.ndarray] = None
+    # per-column last valid row (vocab-1): runtime ids clamp here, the
+    # serving semantics canonicalize_lookup's warn path promises (ids < 0
+    # stay missing).  Without the clamp an oversized id would fall into a
+    # SIBLING member's rows of the stacked table.
+    vocab_caps: Optional[np.ndarray] = None
     # device-bucketize members occupy group indices [0, n_bucketize)
     n_bucketize: int = 0
     boundary_matrix: Optional[np.ndarray] = None  # [n_bucketize, Kmax] f32
@@ -169,6 +174,10 @@ def _split_host_device(col: FeatureColumn):
         and col.transforms
         and isinstance(col.transforms[0], Bucketize)
         and _pointwise_suffix_ok(col.transforms[1:])
+        # weighted columns take the ragged host layout end to end (ids +
+        # weights planes); a device-bucketize member in a ragged group
+        # has no host weights plane to ride
+        and col.lookup.weight_field is None
     ):
         return col.transforms[0], col.transforms[1:], ()
     return None, (), col.transforms
@@ -178,14 +187,18 @@ def _host_class(m: GroupMember) -> int:
     """Host-prep class of a member: 0 = int-hash fast path, 1 = fixed-string
     hash, 2 = delimited split+hash, 3 = generic oracle chain.  Must agree
     with runtime/wire.py's plan partitioning (asserted at plan build).
-    Weighted members are always class 3 (they carry a weights plane the
-    fast paths don't produce), keeping ragged groups' class-2 members in a
-    contiguous [0, n_fast) prefix."""
+    Class 3 is the safe generic path; a member is fast-path eligible only
+    when the fast kernel reproduces the full semantics: unweighted, single
+    HashBucket whose bucket count fits the table (ids never need the
+    clamp the generic path applies), and — for splits — a SINGLE-byte
+    delimiter (the native splitter scans one byte)."""
     from recom_tpu.ir.spec import HashBucket
 
     col = m.column
-    one_hash = len(m.host_chain) == 1 and isinstance(
-        m.host_chain[0], HashBucket
+    one_hash = (
+        len(m.host_chain) == 1
+        and isinstance(m.host_chain[0], HashBucket)
+        and m.host_chain[0].num_buckets <= m.vocab_size
     )
     if not one_hash or col.lookup.weight_field is not None:
         return 3
@@ -196,6 +209,7 @@ def _host_class(m: GroupMember) -> int:
     if (
         col.source.kind == FeatureKind.STRING_LIST
         and col.source.delimiter is not None
+        and len(col.source.delimiter.encode()) == 1
     ):
         return 2
     return 3
@@ -235,6 +249,19 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             )
         g = group_map[key]
         bz, device_suffix, host_chain = _split_host_device(col)
+        lut = _suffix_lut(bz, device_suffix) if bz else None
+        if bz is not None:
+            # clamp device-computed ids to the member's table (the warn
+            # path of canonicalize_lookup admits over-range chains; the
+            # contract is clamp-to-last-row, never a sibling's rows)
+            cap = tspec.vocab_size - 1
+            if lut is not None:
+                lut = np.minimum(lut, cap)
+            elif len(bz.boundaries) > cap:
+                lut = np.minimum(
+                    np.arange(len(bz.boundaries) + 1, dtype=np.int32),
+                    np.int32(cap),
+                )
         m = GroupMember(
             column=col,
             table=col.lookup.table,
@@ -242,7 +269,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             vocab_size=tspec.vocab_size,
             combiner=col.lookup.combiner,
             device_bucketize=bz,
-            device_lut=_suffix_lut(bz, device_suffix) if bz else None,
+            device_lut=lut,
             host_chain=host_chain,
         )
         g.members.append(m)
@@ -266,6 +293,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         codes = []
         offsets = []
         wcols = []
+        caps = []
         for idx, m in enumerate(g.members):
             m.group_index = idx
             offsets.append(row)
@@ -278,10 +306,12 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             woff += m.out_width
             codes.append(_COMBINER_CODE[m.combiner])
             wcols.append(m.column.lookup.weight_field is not None)
+            caps.append(m.vocab_size - 1)
         g.stacked_rows = row
         g.row_offsets = np.asarray(offsets, dtype=np.int32)
         g.combiner_code = np.asarray(codes, dtype=np.int32)
         g.weighted_cols = np.asarray(wcols, dtype=bool)
+        g.vocab_caps = np.asarray(caps, dtype=np.int32)
         g.n_bucketize = sum(1 for m in g.members if m.device_bucketize is not None)
         if g.n_bucketize:
             bmax = max(

@@ -665,8 +665,15 @@ def _import_tower(
                 else cons2[0].inputs[0]
             )
             bias = _const_tensor_through(gi, other)
-            if bias is not None:
-                cur = cons2[0]
+            if bias is None:
+                # a live (non-frozen) bias: importing with zeros would
+                # silently change predictions — refuse the whole tower
+                warnings.append(
+                    f"tower: bias of {cons2[0].name} is not frozen; "
+                    "tower NOT imported"
+                )
+                return None, None
+            cur = cons2[0]
         act = None
         cons3 = [
             c for c in gi.consumers.get(cur.name, []) if c.op != "Shape"
@@ -1005,6 +1012,12 @@ def _vocab_transform(gi: GraphIndex, ops: Dict, warnings: List[str]):
         )
         return None, None
     keys_flat = keys.reshape(-1)
+    if keys_flat.size == 0:
+        warnings.append(
+            f"vocab table {tbl.name}: empty vocabulary tensor; NOT "
+            "imported as vocab"
+        )
+        return None, None
     keys_are_int = not isinstance(keys_flat[0], (bytes, np.bytes_, str))
     key_list = [
         int(k) if keys_are_int

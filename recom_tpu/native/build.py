@@ -151,8 +151,6 @@ def _declare(lib: ctypes.CDLL):
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
         c.c_int64, c.c_int64, c.c_void_p, c.c_int64, c.c_int64,
     ]
-    lib.rt_fill_i32.restype = None
-    lib.rt_fill_i32.argtypes = [c.c_void_p, c.c_int64, c.c_int32, c.c_int64]
     lib.rt_copy_f32_multi.restype = None
     lib.rt_copy_f32_multi.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, c.c_void_p, c.c_int64

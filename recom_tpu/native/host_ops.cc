@@ -652,12 +652,6 @@ int64_t rt_split_hash_multi_out(const uint8_t** bufs, const int64_t* widths,
   return maxp;
 }
 
-// Fill a strided region with a constant byte pattern per element: used for
-// the -1 padding tails of id views ([batch..batch_padded) rows).
-void rt_fill_i32(uint8_t* dst, int64_t n, int32_t value, int64_t elem) {
-  for (int64_t i = 0; i < n; ++i) WriteElem(dst, elem, i, value);
-}
-
 // Copy n_cols float32 columns (xs[c]: [batch]) into out + c*stride floats —
 // the staging copy for dense features and raw bucketize floats (one call
 // for the whole class instead of a Python fill loop per column).

@@ -438,6 +438,14 @@ class Engine:
             if "host_ids" in arrs:
                 parts.append(arrs["host_ids"])
             ids = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+            # serving clamp contract (canonicalize_lookup warn path): ids
+            # past a member's vocab clamp to ITS last row — without this,
+            # an over-range id indexes a sibling member's rows in the
+            # stacked table.  Negative ids stay missing.  Free for
+            # provably-in-range models (XLA folds a no-op min).
+            ids = jnp.minimum(
+                ids, jnp.asarray(g.vocab_caps)[None, :, None]
+            )
             if g.pallas_vocab is not None and g.gid not in self._sharded_gids:
                 from recom_tpu.ops.lookup_pallas import group_pooled_onehot
 

@@ -49,7 +49,7 @@ from recom_tpu.oracle.reference import (
 
 def _pack_sparse(
     sp: SparseFeature, rowlen: int, batch_padded: int,
-    truncate: bool = False,
+    truncate: bool = False, cap: Optional[int] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """(values, row_ids[, weights]) -> ids [Bp, L] int32 (-1 pad) and
     weights [Bp, L] f32 (0 pad) or None.  Preserves in-row entry order.
@@ -57,9 +57,18 @@ def _pack_sparse(
     ``truncate=True`` (allow_truncate_overflow) drops entries past
     ``rowlen`` from the END of each row and ignores rows past
     ``batch_padded`` — matching the native split path's behavior; False
-    raises on row overflow (the safe default)."""
+    raises on row overflow (the safe default).
+
+    ``cap``: member's last valid row — over-range ids clamp to it and
+    negatives map to -1/missing (the canonicalize_lookup warn-path
+    serving contract, applied identically on the wire path so both
+    encodings stay bit-identical)."""
     ids = np.full((batch_padded, rowlen), -1, dtype=np.int32)
     values = np.asarray(sp.values, dtype=np.int64)
+    if cap is not None and values.size:
+        values = np.where(
+            values < 0, np.int64(-1), np.minimum(values, cap)
+        )
     row_ids = sp.row_ids
     pos = None
     if values.size:
@@ -97,7 +106,7 @@ def fast_dense_plan(member, batch: Dict):
     col = member.column
     if member.host_chain and len(member.host_chain) == 1 and isinstance(
         member.host_chain[0], spec_mod.HashBucket
-    ):
+    ) and member.host_chain[0].num_buckets <= member.vocab_size:
         hb = member.host_chain[0]
         data = batch[col.source.field]
         if col.source.kind == spec_mod.FeatureKind.STRING and _is_string_array(data):
@@ -139,8 +148,10 @@ def fast_ragged_plan(member, batch: Dict):
     if (
         col.source.kind == spec_mod.FeatureKind.STRING_LIST
         and col.source.delimiter is not None
+        and len(col.source.delimiter.encode()) == 1
         and len(member.host_chain) == 1
         and isinstance(member.host_chain[0], spec_mod.HashBucket)
+        and member.host_chain[0].num_buckets <= member.vocab_size
         and col.lookup.weight_field is None
     ):
         data = batch[col.source.field]
@@ -335,7 +346,8 @@ def prepare_batch(
                 for i, m in rest:
                     sp = host_ids_for_member(m, batch, memo)
                     packed, _ = _pack_sparse(
-                        sp, 1, bp, config.allow_truncate_overflow
+                        sp, 1, bp, config.allow_truncate_overflow,
+                        cap=m.vocab_size - 1,
                     )
                     ids[i] = packed
                 arrs["host_ids"] = ids
@@ -364,7 +376,7 @@ def prepare_batch(
                     if sp.values is not None and len(sp.row_ids):
                         c = np.bincount(sp.row_ids, minlength=sp.batch).max()
                         max_len = max(max_len, int(c))
-                    slow.append((i, sp))
+                    slow.append((i, m, sp))
             rowlen = None
             multi = None
             hint = rowlen_hints.get(g.gid) if rowlen_hints else None
@@ -422,9 +434,10 @@ def prepare_batch(
                 n = min(multi.shape[1], bp)
                 ids[np.asarray(fast_idx, np.int64), :n, :] = multi[:, :n]
             slow_w = {}
-            for i, sp in slow:
+            for i, m, sp in slow:
                 packed, w = _pack_sparse(
-                    sp, rowlen, bp, config.allow_truncate_overflow
+                    sp, rowlen, bp, config.allow_truncate_overflow,
+                    cap=m.vocab_size - 1,
                 )
                 ids[i] = packed
                 slow_w[i] = w

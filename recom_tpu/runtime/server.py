@@ -67,6 +67,7 @@ class ServingPipeline:
         import queue as _queue
 
         self._done_q: "_queue.Queue" = _queue.Queue()
+        self._closed = False
         self._max_inflight = max_inflight
         self._wait_ema = 0.0     # EMA of block_until_ready cost (seconds)
         self._completer = threading.Thread(
@@ -157,13 +158,16 @@ class ServingPipeline:
                 return
 
     def _retry_or_fail(self, fut, work, exc):
-        if work["attempt"] < self.retries:
+        if work["attempt"] < self.retries and not self._closed:
             work["attempt"] += 1
             self._bump("retries")
-            self._pool.submit(self._work, work)
-        else:
-            fut.set_exception(exc)
-            self._inflight.release()
+            try:
+                self._pool.submit(self._work, work)
+                return
+            except RuntimeError:
+                pass    # pool shut down while scheduling: fail the request
+        fut.set_exception(exc)
+        self._inflight.release()
 
     def _dispatch(self, batch: Dict, batch_size: Optional[int]):
         """Prep + async device dispatch; returns (dev_out dict, prepared).
@@ -216,6 +220,7 @@ class ServingPipeline:
         return [f.result() for f in futs]
 
     def close(self):
+        self._closed = True      # retries after this point fail fast
         self._pool.shutdown(wait=True)
         self._done_q.put(None)
         self._completer.join(timeout=30)

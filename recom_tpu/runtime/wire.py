@@ -39,8 +39,6 @@ from recom_tpu.compiler.lowering import CompiledModel, LookupGroup
 from recom_tpu.runtime.host_prep import (
     PreparedBatch,
     _is_string_array,
-    fast_dense_plan,
-    fast_ragged_plan,
     host_ids_for_member,
 )
 
@@ -490,7 +488,10 @@ def prepare_batch_wire(
                     ]
             for i, m in list(p.rest) + str_rest:
                 sp = host_ids_for_member(m, batch, memo)
-                _pack_sparse_into(ids_v[i], None, sp, 1, bp, truncate)
+                _pack_sparse_into(
+                    ids_v[i], None, sp, 1, bp, truncate,
+                    cap=m.vocab_size - 1,
+                )
         else:
             weights_v = None
             if p.has_weights:
@@ -511,10 +512,14 @@ def prepare_batch_wire(
                 # non-optimistic overflow only under truncate (the counted
                 # pass sized rl exactly otherwise) — native path truncated
             slow_i = set()
+            host_members = g.members[p.n_bz :]
             for i, sp in slow_sps[p.gid]:
                 slow_i.add(i)
                 w_out = weights_v[i] if weights_v is not None else None
-                _pack_sparse_into(ids_v[i], w_out, sp, rl, bp, truncate)
+                _pack_sparse_into(
+                    ids_v[i], w_out, sp, rl, bp, truncate,
+                    cap=host_members[i].vocab_size - 1,
+                )
             if weights_v is not None:
                 # columns packed by the fast path are unweighted by plan
                 # construction: weight 1 at every non-pad slot
@@ -540,16 +545,26 @@ def _pack_sparse_into(
     rowlen: int,
     batch_padded: int,
     truncate: bool,
+    cap: Optional[int] = None,
 ) -> None:
     """host_prep._pack_sparse writing into pre-allocated blob views.
 
-    out_ids: [Bp, L] (any int dtype); out_weights: [Bp, L] f32 or None."""
+    out_ids: [Bp, L] (any int dtype); out_weights: [Bp, L] f32 or None.
+    ``cap``: the member's last valid row — ids above it clamp (the
+    serving contract for over-range chains) and anything negative maps
+    to -1 (missing).  Mandatory before narrowing to int8/int16: an
+    unclamped 735 would WRAP to -33 in int8 and silently change
+    semantics."""
     out_ids[:] = -1
     values = np.asarray(sp.values, dtype=np.int64)
     row_ids = sp.row_ids
     keep = None
     pos = None
     if values.size:
+        if cap is not None:
+            values = np.where(
+                values < 0, np.int64(-1), np.minimum(values, cap)
+            )
         counts = np.bincount(row_ids, minlength=sp.batch)
         if counts.max() > rowlen and not truncate:
             raise ValueError(
