@@ -467,6 +467,35 @@ void BucketizeColAffine(const float* x, const float* b, int32_t k, float b0,
   }
 }
 
+// branchless variant for columns whose affine guess is within ONE step of
+// exact at every boundary (flag 2, near-uniform boundaries): the two
+// conditional fix-ups become flag adds, no unpredictable branches.
+// Safety: when v >= b[0], the guess e is always >= 1, and b has at least
+// one +inf pad past k, so b[e] and b[e-1] stay in bounds.
+template <typename T, bool kLut>
+void BucketizeColAffine1(const float* x, const float* b, int32_t k,
+                         float b0, float inv_d, const int32_t* lut,
+                         int64_t batch, T* o) {
+  const float fk = static_cast<float>(k);
+  for (int64_t i = 0; i < batch; ++i) {
+    const float v = x[i];
+    int32_t id;
+    if (v != v) {
+      id = k;  // NaN -> count
+    } else if (!(v >= b0)) {
+      id = 0;
+    } else {
+      float g = (v - b0) * inv_d + 1.0f;
+      int32_t e = g >= fk ? k : static_cast<int32_t>(g);
+      e += b[e] <= v;      // e in [1, k]; b[k] is +inf pad
+      e -= b[e - 1] > v;   // e >= 1 here
+      id = e;
+    }
+    if (kLut) id = lut[id];
+    o[i] = static_cast<T>(id);
+  }
+}
+
 template <typename T, bool kLut>
 void BucketizeColSearch(const float* x, const float* b, int32_t k,
                         int64_t kmax, const int32_t* lut, int64_t batch,
@@ -492,9 +521,14 @@ void BucketizeColSearch(const float* x, const float* b, int32_t k,
 
 template <typename T>
 void BucketizeCol(const float* x, const float* b, int32_t k, int64_t kmax,
-                  float b0, float inv_d, bool aff, const int32_t* lut,
+                  float b0, float inv_d, uint8_t aff, const int32_t* lut,
                   int64_t batch, T* o) {
-  if (aff && k > 0) {
+  if (aff == 2 && k > 0) {             // guess exact to +-1: branchless
+    if (lut)
+      BucketizeColAffine1<T, true>(x, b, k, b0, inv_d, lut, batch, o);
+    else
+      BucketizeColAffine1<T, false>(x, b, k, b0, inv_d, nullptr, batch, o);
+  } else if (aff && k > 0) {           // guess within a few steps: loops
     if (lut)
       BucketizeColAffine<T, true>(x, b, k, b0, inv_d, lut, batch, o);
     else

@@ -222,16 +222,23 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
                     continue
                 inv_d = np.float32((k - 1) / span)
                 # validate the affine guess at the boundaries and their
-                # midpoints: if every guess lands within 4 steps of the
-                # true upper_bound, ANY input's guess does too (the guess
-                # is monotone between probes) -> O(1) guess+fixup search
+                # midpoints (the guess is monotone between probes, so
+                # interior error is bounded by probe error + 1):
+                #   probe error 0      -> |any input's error| <= 1 -> the
+                #                         BRANCHLESS fix-up path (flag 2)
+                #   probe error <= 4   -> guess + short fix-up loops (1)
+                #   else               -> branchless binary search (0)
                 probes = np.concatenate(
                     [b32, (b32[:-1] + b32[1:]) * 0.5]
                 ).astype(np.float32)
                 truth = np.searchsorted(b32, probes, side="right")
                 g32 = (probes - b32[0]) * inv_d + np.float32(1.0)
                 guess = np.minimum(g32, np.float32(k)).astype(np.int64)
-                if np.abs(guess - truth).max() <= 4:
+                err = np.abs(guess - truth).max()
+                if err == 0:
+                    bz_inv_ds[i] = inv_d
+                    bz_affine[i] = 2
+                elif err <= 4:
                     bz_inv_ds[i] = inv_d
                     bz_affine[i] = 1
             bz_luts = [
