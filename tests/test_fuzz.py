@@ -39,7 +39,8 @@ def random_model(rng: np.random.Generator, n_cols: int):
         dim = int(rng.choice([4, 8]))
         kind = rng.choice(
             ["bucketize", "bucketize_suffix", "int_hash", "str_hash",
-             "int_list", "weighted"]
+             "int_list", "weighted", "vocab", "weighted_str",
+             "delim_split"]
         )
         # span several vocab-pad regimes (the 128-pad / tile-divisibility
         # bugs only appear past 512: e.g. 2209 -> pad 2304, not % 512)
@@ -94,12 +95,57 @@ def random_model(rng: np.random.Generator, n_cols: int):
                 f"c{i}", FeatureSource(f"f{i}", FeatureKind.INT_LIST),
                 (NumToId(vocab),), LookupSpec(tname, comb),
             )
-        else:  # weighted int list
+        elif kind == "weighted":  # weighted int list
             col = FeatureColumn(
                 f"c{i}", FeatureSource(f"f{i}", FeatureKind.INT_LIST),
                 (NumToId(vocab),),
                 LookupSpec(tname, comb, weight_field=f"w{i}"),
             )
+        elif kind == "vocab":
+            from recom_tpu.ir.spec import VocabLookup
+
+            n_words = int(rng.integers(2, min(vocab, 12)))
+            words = [f"w{j}" for j in range(n_words)]
+            num_oov = int(rng.integers(0, vocab - n_words + 1))
+            col = FeatureColumn(
+                f"c{i}", FeatureSource(f"f{i}", FeatureKind.STRING),
+                (VocabLookup(words, num_oov=num_oov,
+                             default=-1 if num_oov == 0 else -1),),
+                LookupSpec(tname, comb),
+            )
+        elif kind == "weighted_str":  # weighted single-value string
+            col = FeatureColumn(
+                f"c{i}", FeatureSource(f"f{i}", FeatureKind.STRING),
+                (HashBucket(vocab),),
+                LookupSpec(tname, comb, weight_field=f"w{i}"),
+            )
+        else:  # delimited split (sometimes multi-byte delimiter)
+            delim = ";" if rng.random() < 0.7 else "||"
+            col = FeatureColumn(
+                f"c{i}",
+                FeatureSource(f"f{i}", FeatureKind.STRING_LIST,
+                              delimiter=delim),
+                (HashBucket(vocab),), LookupSpec(tname, comb),
+            )
+        # post-lookup per-column compute on a quarter of the columns
+        if rng.random() < 0.25:
+            from recom_tpu.ir.spec import PostPool
+
+            post = []
+            if rng.random() < 0.5:
+                post.append(PostPool(
+                    "affine",
+                    scale=tuple(rng.uniform(0.5, 2.0, dim).astype(float)),
+                    bias=(float(rng.uniform(-1, 1)),),
+                ))
+            if rng.random() < 0.6:
+                post.append(PostPool(
+                    "reduce_sum" if rng.random() < 0.5 else "reduce_mean"
+                ))
+            if post:
+                import dataclasses
+
+                col = dataclasses.replace(col, post=tuple(post))
         cols.append(col)
     tower = TowerSpec(arch="mlp", bottom_mlp=(), top_mlp=(8, 1),
                       final_activation="sigmoid")
@@ -117,8 +163,31 @@ def random_batch(rng: np.random.Generator, model: ModelSpec, batch: int):
             vals[rng.random(batch) < 0.1] = -1   # TF ignore_value missing
             out[f] = vals
         elif col.source.kind == FeatureKind.STRING:
+            if col.transforms and type(col.transforms[0]).__name__ == "VocabLookup":
+                vl = col.transforms[0]
+                pool = list(vl.vocab) + ["oovA", "oovB", "zzz"]
+                out[f] = np.asarray(
+                    [pool[int(rng.integers(0, len(pool)))]
+                     for _ in range(batch)]
+                )
+            else:
+                out[f] = np.asarray(
+                    ["s%d" % v for v in rng.integers(0, 10**6, batch)]
+                )
+            if col.lookup.weight_field:
+                out[col.lookup.weight_field] = rng.uniform(
+                    0.1, 2.0, batch
+                ).astype(np.float32)
+        elif col.source.kind == FeatureKind.STRING_LIST:
+            d = col.source.delimiter
             out[f] = np.asarray(
-                ["s%d" % v for v in rng.integers(0, 10**6, batch)]
+                [
+                    d.join("t%d" % v
+                           for v in rng.integers(0, 10**5,
+                                                 int(rng.integers(0, 6))))
+                    for _ in range(batch)
+                ],
+                dtype="S",
             )
         elif col.source.kind == FeatureKind.INT_LIST:
             vocab = model.tables[col.lookup.table].vocab_size
@@ -149,4 +218,10 @@ def test_random_models_bitexact(seed):
     ref = OracleModel(model).forward(batch)
     for c, r in ref["pooled"].items():
         np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
-    np.testing.assert_array_equal(out["concat"], ref["concat"])
+    if any(c.post for c in model.columns):
+        # post-lookup reductions: association may differ from numpy
+        np.testing.assert_allclose(
+            out["concat"], ref["concat"], rtol=1e-6, atol=1e-6
+        )
+    else:
+        np.testing.assert_array_equal(out["concat"], ref["concat"])
