@@ -247,6 +247,11 @@ def main():
                     help="report lookup bandwidth (GB/s) for the "
                          "large-table group vs chip peak (reference "
                          "--embedding_only, recom_examples.patch:100-290)")
+    ap.add_argument("--table-dtype", default="float32",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="table storage dtype for --embedding-only "
+                         "(quantized storage halves/quarters gather "
+                         "traffic, ops/quant.py)")
     ap.add_argument("--model", default="E", choices=["E", "F", "criteo"],
                     help="headline stays model E; F/criteo for the other "
                          "BASELINE configs")
@@ -289,9 +294,12 @@ def main():
             large_rows=1 << 23, large_dim=32,
         )
         bbatch = make_random_batch(big, args.batch, seed=7)
-        beng = Engine(big, EngineConfig(), params=None)
-        print(json.dumps(embedding_only_bench(beng, bbatch,
-                                              iters=args.iters)))
+        beng = Engine(
+            big, EngineConfig(table_dtype=args.table_dtype), params=None
+        )
+        out = embedding_only_bench(beng, bbatch, iters=args.iters)
+        out["detail"]["table_dtype"] = args.table_dtype
+        print(json.dumps(out))
         return
 
     batch = make_random_batch(model, args.batch, seed=7)

@@ -57,14 +57,21 @@ def embedding_only_bench(
     from recom_tpu.ops import lookup_xla
 
     # the largest-stacked-bytes group on the gather (non-one-hot) path
+    from recom_tpu.ops.lookup_xla import table_dim, table_num_rows
+    from recom_tpu.ops.quant import QuantizedTable
+
     cand = [
         g for g in eng.compiled.groups if g.pallas_vocab is None
     ] or list(eng.compiled.groups)
     g = max(cand, key=lambda g: g.stacked_rows * g.dim)
     table = eng.device_params["stacked"][str(g.gid)]
-    rows, d = int(table.shape[0]), int(table.shape[1])
-    itemsize = table.dtype.itemsize
-    row_bytes = d * itemsize
+    rows, d = int(table_num_rows(table)), int(table_dim(table))
+    if isinstance(table, QuantizedTable):
+        itemsize = 1
+        row_bytes = d + 4          # int8 row + the f32 per-row scale
+    else:
+        itemsize = table.dtype.itemsize
+        row_bytes = d * itemsize
 
     prep = eng.prepare(batch)
     bp = prep.batch_padded
@@ -95,11 +102,10 @@ def embedding_only_bench(
     @jax.jit
     def run_gather(tbl, ids0, salt):
         def body(acc, i):
-            rows_ = jnp.take(
-                tbl, perturb(ids0, i + salt).reshape(-1), axis=0,
-                indices_are_sorted=False, unique_indices=False,
+            rows_ = lookup_xla.gather_rows_f32(
+                tbl, perturb(ids0, i + salt).reshape(-1)
             )
-            return acc + rows_.astype(jnp.float32).sum(), None
+            return acc + rows_.sum(), None
 
         acc, _ = jax.lax.scan(
             body, jnp.float32(0), jnp.arange(rounds, dtype=jnp.int32)
