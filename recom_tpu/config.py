@@ -51,8 +51,11 @@ class EngineConfig:
     batch_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048)
     # per-group row-length (nnz-per-row) ladder; rows longer than the last
     # bucket are truncated from the *end* (documented divergence knob, off by
-    # default: overflow instead raises).
-    rowlen_buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128)
+    # default: overflow instead raises).  The 12 rung fills the wasteful
+    # 8->16 gap: common behavioral-feature caps (10-12 items) otherwise pad
+    # 60% of the id plane, which is pure wire bytes on remote-attached
+    # serving.
+    rowlen_buckets: Sequence[int] = (1, 2, 4, 8, 12, 16, 32, 64, 128)
     allow_truncate_overflow: bool = False
 
     # --- host/device staging ---

@@ -469,3 +469,55 @@ def test_variablev2_tables_restore_from_checkpoint(tmp_path):
            for i in (0, 4)}
     wanted = {tuple(np.round(want[:, i:i+4].ravel(), 6)) for i in (0, 4)}
     assert got == wanted
+
+
+def test_shared_embedding_columns_import_one_table():
+    """TF shared_embedding_columns: two categorical columns sharing ONE
+    embedding variable must import as two FeatureColumns referencing the
+    same TableSpec (and match TF bit-exactly)."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        fc = tf1.feature_column
+        a = tf1.placeholder(tf.string, [None], name="sa")
+        b = tf1.placeholder(tf.string, [None], name="sb")
+        ca = fc.categorical_column_with_hash_bucket("sa", 50)
+        cb = fc.categorical_column_with_hash_bucket("sb", 50)
+        shared = fc.shared_embedding_columns([ca, cb], dimension=4,
+                                             combiner="mean")
+        out = tf1.feature_column.input_layer(
+            {"sa": tf.reshape(a, [-1, 1]), "sb": tf.reshape(b, [-1, 1])},
+            shared)
+        out = tf.identity(out, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(4)
+            feed = {a: np.asarray(["a%d" % v
+                                   for v in rng.integers(0, 10**5, 12)]),
+                    b: np.asarray(["b%d" % v
+                                   for v in rng.integers(0, 10**5, 12)])}
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="shared")
+    emb = model.embedding_columns
+    assert len(emb) == 2
+    assert emb[0].lookup.table == emb[1].lookup.table, (
+        "shared embedding must import as ONE table"
+    )
+    assert len(weights) == 1
+
+    params = init_model_params(model)
+    for t, w in weights.items():
+        params["tables"][t] = w
+    feed2 = {}
+    for c in emb:
+        f = c.source.field
+        feed2[f] = feed[a] if "sa" in f else feed[b]
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+                 params=params)
+    got = eng.predict(feed2, return_concat=True)["concat"]
+    # TF concat order is alphabetical (sa, sb) = import order here
+    np.testing.assert_array_equal(got, want)
