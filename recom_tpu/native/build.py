@@ -64,6 +64,11 @@ def _build_one(
     tmp = so_path + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        # no FMA contraction: the bucketize affine-guess validation is
+        # performed in numpy's two-rounding arithmetic; a fused
+        # (v-b0)*inv_d+1.0f could differ by 1 ulp and break the proven
+        # error<=1 bound the branchless fix-up relies on
+        "-ffp-contract=off",
         "-pthread", *extra_flags, src_path, "-o", tmp,
     ]
     if verbose:

@@ -487,7 +487,10 @@ void BucketizeColAffine1(const float* x, const float* b, int32_t k,
     } else {
       float g = (v - b0) * inv_d + 1.0f;
       int32_t e = g >= fk ? k : static_cast<int32_t>(g);
-      e += b[e] <= v;      // e in [1, k]; b[k] is +inf pad
+      // guard e < k: for v == +inf, b[e]=b[k]=+inf pad and +inf <= +inf
+      // would bump e past k (and read lut[k+1]); & evaluates both sides
+      // branchlessly and b[k] is always readable (kmax > k)
+      e += (e < k) & (b[e] <= v);
       e -= b[e - 1] > v;   // e >= 1 here
       id = e;
     }

@@ -67,11 +67,9 @@ def embedding_only_bench(
     table = eng.device_params["stacked"][str(g.gid)]
     rows, d = int(table_num_rows(table)), int(table_dim(table))
     if isinstance(table, QuantizedTable):
-        itemsize = 1
         row_bytes = d + 4          # int8 row + the f32 per-row scale
     else:
-        itemsize = table.dtype.itemsize
-        row_bytes = d * itemsize
+        row_bytes = d * table.dtype.itemsize
 
     prep = eng.prepare(batch)
     bp = prep.batch_padded

@@ -165,3 +165,35 @@ def test_overrange_bucketize_lut_clamps():
             out["pooled"]["bz"], want_rows.astype(np.float32),
             err_msg=f"wire_pack={wire_pack}",
         )
+
+
+def test_bucketize_flag2_inf_nan_edges():
+    """The branchless (flag-2) bucketize must match float64 searchsorted
+    on +inf / -inf / NaN / exact-boundary inputs (review regression: +inf
+    used to return k+1 and read lut[k+1] out of bounds)."""
+    from recom_tpu.native import ops as native_ops
+    from recom_tpu.native.build import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    bounds64 = np.arange(1.0, 9.0)                  # uniform -> flag 2
+    b32 = native_ops.ceil32(bounds64)
+    kmax = 16
+    bounds32 = np.full((1, kmax), np.inf, np.float32)
+    bounds32[0, :8] = b32
+    counts = np.asarray([8], np.int32)
+    inv_ds = np.asarray([(8 - 1) / (b32[-1] - b32[0])], np.float32)
+    x = np.asarray(
+        [np.inf, -np.inf, np.nan, 0.5, 1.0, 8.0, 4.4, 7.999999],
+        np.float32,
+    )
+    want = np.searchsorted(bounds64, x.astype(np.float64), side="right")
+    for flag in (0, 1, 2):
+        out = np.zeros((1, 8), np.int8)
+        native_ops.bucketize_multi(
+            [x], bounds32, counts, inv_ds,
+            np.asarray([flag], np.uint8), None, None, out, 8,
+        )
+        np.testing.assert_array_equal(
+            out[0].astype(np.int64), want, err_msg=f"flag={flag}"
+        )

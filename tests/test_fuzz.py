@@ -107,10 +107,14 @@ def random_model(rng: np.random.Generator, n_cols: int):
             n_words = int(rng.integers(2, min(vocab, 12)))
             words = [f"w{j}" for j in range(n_words)]
             num_oov = int(rng.integers(0, vocab - n_words + 1))
+            # vary the OOV default too: -1 (missing) or a real row
+            default = (
+                int(rng.integers(0, n_words))
+                if num_oov == 0 and rng.random() < 0.5 else -1
+            )
             col = FeatureColumn(
                 f"c{i}", FeatureSource(f"f{i}", FeatureKind.STRING),
-                (VocabLookup(words, num_oov=num_oov,
-                             default=-1 if num_oov == 0 else -1),),
+                (VocabLookup(words, num_oov=num_oov, default=default),),
                 LookupSpec(tname, comb),
             )
         elif kind == "weighted_str":  # weighted single-value string
