@@ -341,9 +341,40 @@ def import_tf_graphdef(
             and _table_shape(x) is not None
         ]
         if not table_nodes:
-            # dense passthrough feature(s)
-            if not placeholders:
+            # ---- indicator_column: OneHot(+Sum over the sequence axis)
+            # with NO embedding table.  Multi-hot counts == an embedding
+            # lookup on an IDENTITY table with the SUM combiner, so it
+            # imports as exactly that (a vocab x vocab eye table) -------
+            if "OneHot" in ops:
+                handled = _import_indicator(
+                    gi, ops, sub, placeholders, columns, col_widths,
+                    tables, weights, warnings, strict,
+                )
+                if handled:
+                    continue
                 slots_complete = False
+                continue
+            # dense passthrough ONLY when the slot is pure plumbing —
+            # anything computational here would be silently dropped
+            benign = {
+                "Placeholder", "Reshape", "Identity", "Const", "Pack",
+                "StridedSlice", "Shape", "Cast", "ExpandDims", "Squeeze",
+                "ConcatV2",
+            }
+            slot_ops = set(x.op for x in sub)
+            if not placeholders or not slot_ops <= benign:
+                msg = (
+                    f"slot feeding {n.name}: no embedding table and "
+                    f"unrecognized ops {sorted(slot_ops - benign)}"
+                )
+                if strict:
+                    raise ValueError(
+                        msg + " — refusing to import as a dense "
+                        "passthrough; pass strict=False to skip the slot"
+                    )
+                warnings.append(msg + "; slot SKIPPED")
+                slots_complete = False
+                continue
             for ph in placeholders:
                 columns.append(
                     FeatureColumn(
@@ -552,6 +583,104 @@ def import_tf_graphdef(
     if tower_params is not None:
         model.imported_tower_params = tower_params  # type: ignore[attr-defined]
     return model, weights
+
+
+def _import_indicator(
+    gi, ops, sub, placeholders, columns, col_widths, tables, weights,
+    warnings, strict,
+) -> bool:
+    """tf.feature_column.indicator_column: multi-hot counts over the
+    categorical's vocab.  Equal to an embedding lookup on an IDENTITY
+    table with the SUM combiner (count per slot == sum of one-hot rows),
+    so it imports as a vocab x vocab eye TableSpec + frozen eye weights.
+    Returns True when the column was emitted."""
+    oh = ops["OneHot"]
+    depth = _const_scalar(gi, oh.inputs[1]) if len(oh.inputs) > 1 else None
+    if depth is None:
+        warnings.append(
+            "indicator column: OneHot depth is not a frozen scalar; "
+            "slot NOT imported"
+        )
+        return False
+    depth = int(depth)
+    if depth > 4096:
+        warnings.append(
+            f"indicator column: vocab {depth} too wide for a dense "
+            "multi-hot (identity table would be vocab^2 floats); slot "
+            "NOT imported"
+        )
+        return False
+
+    ragged = "StringSplit" in ops or "StringSplitV2" in ops
+    delimiter = None
+    if ragged:
+        sp = ops.get("StringSplit") or ops.get("StringSplitV2")
+        delimiter = (
+            _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
+        ) or ";"
+
+    vocab_tf, vocab_int_keys = _vocab_transform(gi, ops, warnings)
+    main_ph = None
+    if vocab_tf is not None:
+        transforms = (vocab_tf,)
+        find = ops.get("LookupTableFindV2") or ops.get("LookupTableFind")
+        main_ph = _placeholder_of(gi, find.inputs[1])
+        kind = (
+            FeatureKind.STRING_LIST if ragged
+            else FeatureKind.DENSE_INT if vocab_int_keys
+            else FeatureKind.STRING
+        )
+    elif "StringToHashBucketFast" in ops:
+        hb = ops["StringToHashBucketFast"]
+        transforms = (HashBucket(attr_int(hb.attr("num_buckets"))),)
+        main_ph = _placeholder_of(gi, hb.inputs[0])
+        if ragged:
+            kind = FeatureKind.STRING_LIST
+        elif "AsString" in ops or _ph_dtype(placeholders) in (
+            DT_INT32, DT_INT64
+        ):
+            kind = FeatureKind.DENSE_INT
+        else:
+            kind = FeatureKind.STRING
+    elif "Bucketize" in ops:
+        bz = ops["Bucketize"]
+        transforms = (Bucketize(attr_float_list(bz.attr("boundaries"))),)
+        main_ph = _placeholder_of(gi, bz.inputs[0])
+        kind = FeatureKind.DENSE_FLOAT
+    else:
+        msg = (
+            "indicator column: unrecognized categorical chain "
+            f"(ops: {sorted(set(x.op for x in sub))})"
+        )
+        if strict:
+            raise ValueError(msg)
+        warnings.append(msg + "; slot NOT imported")
+        return False
+
+    field = (
+        main_ph.name if main_ph is not None
+        else placeholders[0].name if placeholders else oh.name
+    )
+    cname = field
+    taken = {c.name for c in columns}
+    k2 = 2
+    while cname in taken:
+        cname = f"{field}__{k2}"
+        k2 += 1
+    tname = f"__indicator_eye_{depth}"
+    if tname not in tables:
+        tables[tname] = TableSpec(tname, depth, depth)
+        weights[tname] = np.eye(depth, dtype=np.float32)
+    columns.append(
+        FeatureColumn(
+            cname,
+            FeatureSource(field, kind, delimiter=delimiter),
+            transforms,
+            LookupSpec(tname, Combiner.SUM),
+        )
+    )
+    col_widths.append(depth)
+    return True
 
 
 def import_params(model: ModelSpec, weights: Dict[str, np.ndarray]) -> Dict:

@@ -521,3 +521,56 @@ def test_shared_embedding_columns_import_one_table():
     got = eng.predict(feed2, return_concat=True)["concat"]
     # TF concat order is alphabetical (sa, sb) = import order here
     np.testing.assert_array_equal(got, want)
+
+
+def test_indicator_column_imports_as_identity_table():
+    """tf.feature_column.indicator_column (multi-hot counts, no embedding
+    variable) imports as an identity-table embedding with SUM combiner
+    and matches TF bit-exactly, alongside a regular embedding column."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        fc = tf1.feature_column
+        a = tf1.placeholder(tf.string, [None], name="ind")
+        x = tf1.placeholder(tf.string, [None], name="oth")
+        cols = [
+            fc.indicator_column(
+                fc.categorical_column_with_hash_bucket("ind", 8)),
+            fc.embedding_column(
+                fc.categorical_column_with_hash_bucket("oth", 32),
+                dimension=4),
+        ]
+        out = tf1.feature_column.input_layer(
+            {"ind": tf.reshape(a, [-1, 1]), "oth": tf.reshape(x, [-1, 1])},
+            cols)
+        out = tf.identity(out, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(6)
+            feed = {a: np.asarray(["p%d" % v
+                                   for v in rng.integers(0, 30, 10)]),
+                    x: np.asarray(["u%d" % v
+                                   for v in rng.integers(0, 10**5, 10)])}
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="indic")
+    ind = next(c for c in model.embedding_columns
+               if c.lookup.table.startswith("__indicator_eye"))
+    assert model.tables[ind.lookup.table].vocab_size == 8
+    assert np.array_equal(weights[ind.lookup.table], np.eye(8))
+
+    feed2 = {}
+    for c in model.embedding_columns:
+        f = c.source.field
+        feed2[f] = feed[a] if "ind" in f else feed[x]
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+                 params=import_params(model, weights))
+    got = eng.predict(feed2, return_concat=True)["concat"]
+    # TF concat: alphabetical (ind_indicator width 8, oth_embedding 4)
+    np.testing.assert_array_equal(got[:, :8], want[:, :8], err_msg="ind")
+    np.testing.assert_array_equal(got[:, 8:], want[:, 8:], err_msg="oth")
