@@ -347,7 +347,7 @@ def import_tf_graphdef(
             # imports as exactly that (a vocab x vocab eye table) -------
             if "OneHot" in ops:
                 handled = _import_indicator(
-                    gi, ops, sub, placeholders, columns, col_widths,
+                    gi, ops, sub, inp, placeholders, columns, col_widths,
                     tables, weights, warnings, strict,
                 )
                 if handled:
@@ -362,7 +362,15 @@ def import_tf_graphdef(
                 "ConcatV2",
             }
             slot_ops = set(x.op for x in sub)
-            if not placeholders or not slot_ops <= benign:
+            if not placeholders:
+                # e.g. a constant concat slot: nothing to feed at serving
+                # time — skip non-fatally (tower import disabled)
+                warnings.append(
+                    f"slot feeding {n.name}: no placeholders; slot SKIPPED"
+                )
+                slots_complete = False
+                continue
+            if not slot_ops <= benign:
                 msg = (
                     f"slot feeding {n.name}: no embedding table and "
                     f"unrecognized ops {sorted(slot_ops - benign)}"
@@ -467,39 +475,12 @@ def import_tf_graphdef(
             )
             col_widths.append(dim)
             continue
-        range_tf = _extract_range_transforms(gi, sub, warnings)
-        vocab_tf, vocab_int_keys = _vocab_transform(gi, ops, warnings)
+        matched = _match_categorical_chain(
+            gi, ops, sub, placeholders, warnings
+        )
         main_ph: Optional[Node] = None
-        if vocab_tf is not None:
-            transforms = (vocab_tf,) + range_tf
-            find = ops.get("LookupTableFindV2") or ops.get("LookupTableFind")
-            main_ph = _placeholder_of(gi, find.inputs[1])
-            if ragged:
-                kind = FeatureKind.STRING_LIST
-            elif vocab_int_keys:
-                kind = FeatureKind.DENSE_INT
-            else:
-                kind = FeatureKind.STRING
-        elif "Bucketize" in ops:
-            bz = ops["Bucketize"]
-            transforms = (
-                Bucketize(attr_float_list(bz.attr("boundaries"))),
-            ) + range_tf
-            kind = FeatureKind.DENSE_FLOAT
-            main_ph = _placeholder_of(gi, bz.inputs[0])
-        elif "StringToHashBucketFast" in ops:
-            hb = ops["StringToHashBucketFast"]
-            nb = attr_int(hb.attr("num_buckets"))
-            transforms = (HashBucket(nb),) + range_tf
-            main_ph = _placeholder_of(gi, hb.inputs[0])
-            if ragged:
-                kind = FeatureKind.STRING_LIST
-            elif "AsString" in ops or _ph_dtype(placeholders) in (
-                DT_INT32, DT_INT64
-            ):
-                kind = FeatureKind.DENSE_INT
-            else:
-                kind = FeatureKind.STRING
+        if matched is not None:
+            transforms, kind, main_ph, ragged, delimiter, _ = matched
         else:
             msg = (
                 f"column feeding {n.name}: unrecognized transform chain "
@@ -585,32 +566,20 @@ def import_tf_graphdef(
     return model, weights
 
 
-def _import_indicator(
-    gi, ops, sub, placeholders, columns, col_widths, tables, weights,
-    warnings, strict,
-) -> bool:
-    """tf.feature_column.indicator_column: multi-hot counts over the
-    categorical's vocab.  Equal to an embedding lookup on an IDENTITY
-    table with the SUM combiner (count per slot == sum of one-hot rows),
-    so it imports as a vocab x vocab eye TableSpec + frozen eye weights.
-    Returns True when the column was emitted."""
-    oh = ops["OneHot"]
-    depth = _const_scalar(gi, oh.inputs[1]) if len(oh.inputs) > 1 else None
-    if depth is None:
-        warnings.append(
-            "indicator column: OneHot depth is not a frozen scalar; "
-            "slot NOT imported"
-        )
-        return False
-    depth = int(depth)
-    if depth > 4096:
-        warnings.append(
-            f"indicator column: vocab {depth} too wide for a dense "
-            "multi-hot (identity table would be vocab^2 floats); slot "
-            "NOT imported"
-        )
-        return False
+def _match_categorical_chain(
+    gi: GraphIndex, ops: Dict, sub, placeholders, warnings: List[str],
+    allow_identity_ids: bool = False,
+    identity_cap: Optional[int] = None,
+):
+    """Recognize a concat slot's categorical transform chain — the ONE
+    implementation shared by the embedding and indicator import paths.
 
+    Returns (transforms, kind, main_ph, ragged, delimiter, chain_hi) or
+    None when no known idiom matches.  ``chain_hi`` is the largest id the
+    chain can produce (None = unbounded), used by callers that must match
+    TF's zero-row semantics for over-range ids.  ``allow_identity_ids``
+    admits raw-integer-id chains (categorical_column_with_identity) as
+    NumToId(identity_cap)."""
     ragged = "StringSplit" in ops or "StringSplitV2" in ops
     delimiter = None
     if ragged:
@@ -618,11 +587,12 @@ def _import_indicator(
         delimiter = (
             _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
         ) or ";"
-
+    range_tf = _extract_range_transforms(gi, sub, warnings)
     vocab_tf, vocab_int_keys = _vocab_transform(gi, ops, warnings)
     main_ph = None
+    chain_hi: Optional[int] = None
     if vocab_tf is not None:
-        transforms = (vocab_tf,)
+        transforms = (vocab_tf,) + range_tf
         find = ops.get("LookupTableFindV2") or ops.get("LookupTableFind")
         main_ph = _placeholder_of(gi, find.inputs[1])
         kind = (
@@ -630,9 +600,20 @@ def _import_indicator(
             else FeatureKind.DENSE_INT if vocab_int_keys
             else FeatureKind.STRING
         )
+        chain_hi = len(vocab_tf.vocab) + max(vocab_tf.num_oov, 0) - 1
+        if vocab_tf.num_oov == 0:
+            chain_hi = max(chain_hi, vocab_tf.default)
+    elif "Bucketize" in ops:
+        bz = ops["Bucketize"]
+        bounds = attr_float_list(bz.attr("boundaries"))
+        transforms = (Bucketize(bounds),) + range_tf
+        kind = FeatureKind.DENSE_FLOAT
+        main_ph = _placeholder_of(gi, bz.inputs[0])
+        chain_hi = len(bounds)
     elif "StringToHashBucketFast" in ops:
         hb = ops["StringToHashBucketFast"]
-        transforms = (HashBucket(attr_int(hb.attr("num_buckets"))),)
+        nb = attr_int(hb.attr("num_buckets"))
+        transforms = (HashBucket(nb),) + range_tf
         main_ph = _placeholder_of(gi, hb.inputs[0])
         if ragged:
             kind = FeatureKind.STRING_LIST
@@ -642,20 +623,91 @@ def _import_indicator(
             kind = FeatureKind.DENSE_INT
         else:
             kind = FeatureKind.STRING
-    elif "Bucketize" in ops:
-        bz = ops["Bucketize"]
-        transforms = (Bucketize(attr_float_list(bz.attr("boundaries"))),)
-        main_ph = _placeholder_of(gi, bz.inputs[0])
-        kind = FeatureKind.DENSE_FLOAT
+        chain_hi = (nb or 0) - 1 if nb else None
+    elif (
+        allow_identity_ids
+        and _ph_dtype(placeholders) in (DT_INT32, DT_INT64)
+    ):
+        # categorical_column_with_identity: raw integer ids
+        from recom_tpu.ir.spec import NumToId
+
+        transforms = (NumToId(identity_cap),) + range_tf
+        main_ph = placeholders[0] if placeholders else None
+        kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
+        chain_hi = None
     else:
-        msg = (
-            "indicator column: unrecognized categorical chain "
+        return None
+    return transforms, kind, main_ph, ragged, delimiter, chain_hi
+
+
+def _import_indicator(
+    gi, ops, sub, inp, placeholders, columns, col_widths, tables, weights,
+    warnings, strict,
+) -> bool:
+    """tf.feature_column.indicator_column: multi-hot counts over the
+    categorical's vocab.  Equal to an embedding lookup on an IDENTITY
+    table with the SUM combiner (count per slot == sum of one-hot rows),
+    so it imports as a vocab x vocab eye TableSpec + frozen eye weights.
+    Over-range ids reproduce TF's zero rows via an appended FilterRange.
+    Returns True when the column was emitted; under strict=True any
+    unmatched detail RAISES (never silent semantic change)."""
+    def bail(msg: str) -> bool:
+        full = f"indicator column: {msg}"
+        if strict:
+            raise ValueError(
+                full + " — refusing to change semantics silently; pass "
+                "strict=False to skip the slot with a warning"
+            )
+        warnings.append(full + "; slot NOT imported")
+        return False
+
+    oh = ops["OneHot"]
+    depth = _const_scalar(gi, oh.inputs[1]) if len(oh.inputs) > 1 else None
+    if depth is None:
+        return bail("OneHot depth is not a frozen scalar")
+    depth = int(depth)
+    if depth > 4096:
+        return bail(
+            f"vocab {depth} too wide for a dense multi-hot (identity "
+            "table would be vocab^2 floats)"
+        )
+    # must be the plain 0/1 multi-hot, not a scaled/shifted one-hot
+    on = _const_scalar(gi, oh.inputs[2]) if len(oh.inputs) > 2 else 1.0
+    off = _const_scalar(gi, oh.inputs[3]) if len(oh.inputs) > 3 else 0.0
+    if on != 1.0 or off != 0.0:
+        return bail(f"OneHot on/off values ({on}, {off}) are not 1/0")
+    # the slot must consume the OneHot through reshape plumbing, with at
+    # most a Sum over the sequence axis (the multi-hot reduction) — any
+    # other compute between OneHot and the concat is not an indicator
+    red = _resolve_through(
+        gi, inp, ("Identity", "Reshape", "ExpandDims", "Squeeze")
+    )
+    if red is None or red.op not in ("Sum", "OneHot"):
+        return bail(
+            "ops between OneHot and the concat are not understood "
+            f"({red.op if red is not None else '?'})"
+        )
+
+    matched = _match_categorical_chain(
+        gi, ops, sub, placeholders, warnings,
+        allow_identity_ids=True, identity_cap=depth,
+    )
+    if matched is None:
+        return bail(
+            "unrecognized categorical chain "
             f"(ops: {sorted(set(x.op for x in sub))})"
         )
-        if strict:
-            raise ValueError(msg)
-        warnings.append(msg + "; slot NOT imported")
-        return False
+    transforms, kind, main_ph, ragged, delimiter, chain_hi = matched
+    if chain_hi is None or chain_hi > depth - 1:
+        # TF's one_hot emits an all-zero row for ids outside [0, depth);
+        # a trailing FilterRange reproduces that exactly (filtered entries
+        # contribute nothing to the SUM)
+        from recom_tpu.ir.intervals import IntervalSet
+        from recom_tpu.ir.spec import FilterRange
+
+        transforms = transforms + (
+            FilterRange(IntervalSet.closed(0, depth - 1)),
+        )
 
     field = (
         main_ph.name if main_ph is not None

@@ -574,3 +574,41 @@ def test_indicator_column_imports_as_identity_table():
     # TF concat: alphabetical (ind_indicator width 8, oth_embedding 4)
     np.testing.assert_array_equal(got[:, :8], want[:, :8], err_msg="ind")
     np.testing.assert_array_equal(got[:, 8:], want[:, 8:], err_msg="oth")
+
+
+def test_indicator_identity_categorical_and_oov_zeroing():
+    """indicator_column over categorical_column_with_identity (raw int
+    ids, no transform op in the graph) imports via NumToId + a depth
+    filter that reproduces TF one_hot's zero rows for out-of-range ids."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        a = tf1.placeholder(tf.int64, [None], name="idn")
+        d = tf1.placeholder(tf.float32, [None], name="dns")
+        # the raw one_hot idiom (identity categorical): OOB ids -> zeros
+        oh = tf.one_hot(tf.reshape(a, [-1, 1]), 6)
+        mh = tf.reduce_sum(oh, axis=1)
+        out = tf.concat([mh, tf.reshape(d, [-1, 1])], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            feed = {a: np.asarray([0, 5, 6, 99, 2, -1]),
+                    d: np.linspace(0, 1, 6).astype(np.float32)}
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="identind")
+    col = model.embedding_columns[0]
+    assert col.lookup.table == "__indicator_eye_6"
+    assert any(type(t).__name__ == "FilterRange" for t in col.transforms)
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(8,)),
+                 params=import_params(model, weights))
+    dense_field = model.dense_columns[0].source.field
+    got = eng.predict({col.source.field: feed[a], dense_field: feed[d]},
+                      return_concat=True)["concat"]
+    # ours: [dense, indicator]; TF: [indicator, dense]
+    np.testing.assert_array_equal(got[:, 1:], want[:, :6], err_msg="ind")
+    np.testing.assert_array_equal(got[:, :1], want[:, 6:], err_msg="dense")
