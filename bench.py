@@ -146,12 +146,16 @@ def device_windows(eng, batches, windows=5):
             prepped.append(jax.device_put(p.arrays))
     jax.block_until_ready(prepped)
     fn = eng._get_jitted(sig)
+    # warm on prepped[0] and time prepped[1:]: re-dispatching the warmed
+    # (program, inputs) pair would be served from the transport's
+    # execution cache, flattering the first window's median
     jax.block_until_ready(fn(eng.device_params, prepped[0])["output"])
-    per = max(1, len(prepped) // windows)
+    timed = prepped[1:] or prepped
+    per = max(1, len(timed) // windows)
     samples = []
     idx = 0
     for _ in range(windows):
-        use = prepped[idx : idx + per] or [prepped[-1]]
+        use = timed[idx : idx + per] or [timed[-1]]
         idx += per
         t0 = time.perf_counter()
         outs = [fn(eng.device_params, a) for a in use]

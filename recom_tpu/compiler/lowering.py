@@ -318,10 +318,21 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
                 len(m.device_bucketize.boundaries)
                 for m in g.members[: g.n_bucketize]
             )
+            from recom_tpu.native.ops import ceil32
+
             mat = np.full((g.n_bucketize, bmax), np.inf, dtype=np.float32)
             cnts = np.zeros((g.n_bucketize,), dtype=np.int32)
             for i, m in enumerate(g.members[: g.n_bucketize]):
-                b = np.asarray(m.device_bucketize.boundaries, dtype=np.float32)
+                # ceil32 (smallest f32 >= the f64 boundary), NOT a plain
+                # f32 cast: device compares f32 inputs with <=, and
+                # ceil32(b) <= x  <=>  b <= f64(x), so the f32 device
+                # comparison reproduces the oracle's f64 upper_bound
+                # exactly — keeping wire (host ceil32 bucketize) and
+                # structured (device bucketize) encodings bit-identical
+                # for boundaries whose f32 rounding goes down (e.g. 0.7).
+                b = ceil32(
+                    np.asarray(m.device_bucketize.boundaries, np.float64)
+                )
                 mat[i, : len(b)] = b
                 cnts[i] = len(b)
             g.boundary_matrix = mat

@@ -106,9 +106,11 @@ class EngineConfig:
     # the all-to-all path; overflowing ids drop (counted + surfaced)
     a2a_capacity_factor: float = 2.0
     # what predict does when an a2a step reports dropped ids:
-    #   "recompute" — re-run the step via the lossless psum path (default:
-    #                 preserves the bit-exact serving contract; skewed
-    #                 batches pay a doubled step, the steady state doesn't)
+    #   "recompute" — re-run via the a2a path at full (provably
+    #                 overflow-free) capacity_factor=m (default: preserves
+    #                 the BIT-exact serving contract — same path, same
+    #                 pooling order; skewed batches pay a doubled step,
+    #                 the steady state doesn't)
     #   "warn"      — keep the degraded result (affected entries pool 0)
     #   "raise"     — fail the request
     a2a_overflow_policy: str = "recompute"

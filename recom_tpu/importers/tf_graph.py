@@ -79,8 +79,6 @@ class Node:
 
 def _parse_attr_entries(buf: bytes) -> Dict[str, bytes]:
     out = {}
-    for field, _, val in pw.iter_fields(buf):
-        pass
     # attr map entry: key=1 (string), value=2 (AttrValue)
     d = pw.fields_dict(buf)
     key = d.get(1, [b""])[0].decode()
@@ -476,11 +474,30 @@ def import_tf_graphdef(
             col_widths.append(dim)
             continue
         matched = _match_categorical_chain(
-            gi, ops, sub, placeholders, warnings
+            gi, ops, sub, placeholders, warnings, strict=strict
         )
         main_ph: Optional[Node] = None
         if matched is not None:
-            transforms, kind, main_ph, ragged, delimiter, _ = matched
+            transforms, kind, main_ph, ragged, delimiter, _, anchor_kind = (
+                matched
+            )
+            # residue check: ops outside the idiom's measured vocabulary
+            # mean the slot computes something this import can't model
+            residue = _slot_residue(
+                set(x.op for x in sub), anchor_kind, weighted=weighted
+            )
+            if residue:
+                msg = (
+                    f"column feeding {n.name}: recognized {anchor_kind} "
+                    f"chain carries unmodeled ops {sorted(residue)}"
+                )
+                if strict:
+                    raise ValueError(
+                        msg + " — refusing to change semantics silently; "
+                        "pass strict=False to import the recognized part "
+                        "anyway (warned)"
+                    )
+                warnings.append(msg + "; imported WITHOUT them")
         else:
             msg = (
                 f"column feeding {n.name}: unrecognized transform chain "
@@ -570,16 +587,25 @@ def _match_categorical_chain(
     gi: GraphIndex, ops: Dict, sub, placeholders, warnings: List[str],
     allow_identity_ids: bool = False,
     identity_cap: Optional[int] = None,
+    strict: bool = False,
 ):
     """Recognize a concat slot's categorical transform chain — the ONE
     implementation shared by the embedding and indicator import paths.
 
-    Returns (transforms, kind, main_ph, ragged, delimiter, chain_hi) or
-    None when no known idiom matches.  ``chain_hi`` is the largest id the
-    chain can produce (None = unbounded), used by callers that must match
-    TF's zero-row semantics for over-range ids.  ``allow_identity_ids``
-    admits raw-integer-id chains (categorical_column_with_identity) as
-    NumToId(identity_cap)."""
+    Returns (transforms, kind, main_ph, ragged, delimiter, chain_hi,
+    anchor_kind) or None when no known idiom matches.  ``chain_hi`` is the
+    largest id the chain can produce (None = unbounded), used by callers
+    that must match TF's zero-row semantics for over-range ids.
+    ``allow_identity_ids`` admits raw-integer-id chains
+    (categorical_column_with_identity) as NumToId(identity_cap).
+
+    ``strict``: op PRESENCE matching alone would silently drop compute
+    sitting between the placeholder and the anchor op (e.g. Placeholder ->
+    Mul(2.0) -> Bucketize imports as Bucketize(placeholder)).  Strict mode
+    therefore verifies the anchor's VALUE path reaches a Placeholder
+    through value-preserving ops only (_trace_value_source) and raises on
+    anything else — mirroring the reference's leave-unchanged-on-mismatch
+    contract (RETURN_IF_FALSE discipline, fc_optimizer_base.h:202-257)."""
     ragged = "StringSplit" in ops or "StringSplitV2" in ops
     delimiter = None
     if ragged:
@@ -591,9 +617,12 @@ def _match_categorical_chain(
     vocab_tf, vocab_int_keys = _vocab_transform(gi, ops, warnings)
     main_ph = None
     chain_hi: Optional[int] = None
+    anchor_input: Optional[str] = None
     if vocab_tf is not None:
+        anchor_kind = "vocab"
         transforms = (vocab_tf,) + range_tf
         find = ops.get("LookupTableFindV2") or ops.get("LookupTableFind")
+        anchor_input = find.inputs[1]
         main_ph = _placeholder_of(gi, find.inputs[1])
         kind = (
             FeatureKind.STRING_LIST if ragged
@@ -604,16 +633,20 @@ def _match_categorical_chain(
         if vocab_tf.num_oov == 0:
             chain_hi = max(chain_hi, vocab_tf.default)
     elif "Bucketize" in ops:
+        anchor_kind = "bucketize"
         bz = ops["Bucketize"]
         bounds = attr_float_list(bz.attr("boundaries"))
         transforms = (Bucketize(bounds),) + range_tf
         kind = FeatureKind.DENSE_FLOAT
+        anchor_input = bz.inputs[0]
         main_ph = _placeholder_of(gi, bz.inputs[0])
         chain_hi = len(bounds)
     elif "StringToHashBucketFast" in ops:
+        anchor_kind = "hash"
         hb = ops["StringToHashBucketFast"]
         nb = attr_int(hb.attr("num_buckets"))
         transforms = (HashBucket(nb),) + range_tf
+        anchor_input = hb.inputs[0]
         main_ph = _placeholder_of(gi, hb.inputs[0])
         if ragged:
             kind = FeatureKind.STRING_LIST
@@ -631,13 +664,33 @@ def _match_categorical_chain(
         # categorical_column_with_identity: raw integer ids
         from recom_tpu.ir.spec import NumToId
 
+        anchor_kind = "identity"
         transforms = (NumToId(identity_cap),) + range_tf
         main_ph = placeholders[0] if placeholders else None
         kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
         chain_hi = None
     else:
         return None
-    return transforms, kind, main_ph, ragged, delimiter, chain_hi
+    if anchor_input is not None:
+        src = _trace_value_source(gi, anchor_input)
+        if src is not None and src.op == "Placeholder":
+            main_ph = src       # the verified value source beats the
+                                # first-reachable-placeholder BFS guess
+        else:
+            msg = (
+                f"{anchor_kind} chain: value path from the anchor's input "
+                f"({anchor_input}) does not reach a Placeholder through "
+                "value-preserving ops (stops at "
+                f"{src.op + ' ' + src.name if src is not None else 'a cycle'})"
+                " — the intervening computation would be silently dropped"
+            )
+            if strict:
+                raise ValueError(
+                    msg + "; pass strict=False to import the recognized "
+                    "part anyway (warned)"
+                )
+            warnings.append(msg + "; imported WITHOUT it")
+    return transforms, kind, main_ph, ragged, delimiter, chain_hi, anchor_kind
 
 
 def _import_indicator(
@@ -687,17 +740,48 @@ def _import_indicator(
             "ops between OneHot and the concat are not understood "
             f"({red.op if red is not None else '?'})"
         )
+    if red.op == "Sum":
+        # the multi-hot reduction sums the SEQUENCE axis (axis 1 of the
+        # [B, L, depth] one-hot); a Sum over any other axis (e.g. the
+        # depth axis) is a different computation and must not import as
+        # the sequence reduction
+        ax = _const_scalar(gi, red.inputs[1]) if len(red.inputs) > 1 else None
+        if ax not in (1, -2):
+            return bail(
+                f"multi-hot Sum reduces axis {ax}, not the sequence axis "
+                "(1) of the [batch, seq, depth] one-hot"
+            )
 
     matched = _match_categorical_chain(
         gi, ops, sub, placeholders, warnings,
-        allow_identity_ids=True, identity_cap=depth,
+        allow_identity_ids=True, identity_cap=depth, strict=strict,
     )
     if matched is None:
         return bail(
             "unrecognized categorical chain "
             f"(ops: {sorted(set(x.op for x in sub))})"
         )
-    transforms, kind, main_ph, ragged, delimiter, chain_hi = matched
+    transforms, kind, main_ph, ragged, delimiter, chain_hi, anchor_kind = (
+        matched
+    )
+    residue = _slot_residue(
+        set(x.op for x in sub), anchor_kind, indicator=True
+    )
+    if residue:
+        return bail(
+            f"recognized {anchor_kind} chain carries unmodeled ops "
+            f"{sorted(residue)}"
+        )
+    if anchor_kind == "identity":
+        # no anchor op to trace from: verify the one-hot's id path instead
+        src = _trace_value_source(gi, oh.inputs[0])
+        if src is None or src.op != "Placeholder":
+            return bail(
+                "identity-id value path does not reach a Placeholder "
+                "through value-preserving ops (stops at "
+                f"{src.op + ' ' + src.name if src is not None else 'a cycle'})"
+            )
+        main_ph = src
     if chain_hi is None or chain_hi > depth - 1:
         # TF's one_hot emits an all-zero row for ids outside [0, depth);
         # a trailing FilterRange reproduces that exactly (filtered entries
@@ -1229,6 +1313,98 @@ def _vocab_transform(gi: GraphIndex, ops: Dict, warnings: List[str]):
     ):
         num_oov = attr_int(sth.attr("num_buckets")) or 0
     return VocabLookup(vocab, num_oov=num_oov, default=default), keys_are_int
+
+
+# Ops a raw feature VALUE passes through unchanged on its way to a
+# transform anchor (Bucketize/Hash/LookupTableFind) in TF's feature-column
+# expansion: shape/dtype plumbing, the to_sparse_input missing-value
+# filter (values ride the gather's params side; selection never edits the
+# surviving values), string splitting (pieces of the source), and the
+# empty-row default insertion.  Value is the FIRST input except where
+# noted.  Anything else between the placeholder and the anchor computes —
+# importing would silently drop it (the ADVICE r02 Mul(2.0) case).
+_VALUE_TRAVERSAL: Dict[str, int] = {
+    "Identity": 0, "Reshape": 0, "Squeeze": 0, "ExpandDims": 0,
+    "Cast": 0, "AsString": 0,
+    "GatherNd": 0, "GatherV2": 0,
+    "StringSplit": 0, "StringSplitV2": 0,
+    "SparseFillEmptyRows": 1,      # (indices, VALUES, shape, default)
+    "SparseToDense": 2,            # (indices, shape, VALUES, default)
+}
+
+
+def _trace_value_source(gi: GraphIndex, name: str) -> Optional[Node]:
+    """Walk backward from ``name`` through value-preserving ops to the
+    producing node.  A clean feature chain ends at a Placeholder; any
+    computing op (Mul, AddV2, a second transform, ...) is returned
+    instead, so callers can refuse the import under strict mode rather
+    than silently dropping it."""
+    n = gi.node(name)
+    seen: Set[str] = set()
+    while n is not None and n.op in _VALUE_TRAVERSAL and n.inputs:
+        if n.name in seen:
+            return None
+        seen.add(n.name)
+        idx = _VALUE_TRAVERSAL[n.op]
+        if idx >= len(n.inputs):
+            return n
+        n = gi.node(n.inputs[idx])
+    return n
+
+
+# Op vocabulary of REAL frozen tf.feature_column slots (measured over
+# input_layer graphs built by TF 2.21 for every idiom this importer
+# claims: bucketized / hash / vocabulary-list (OOV, default_value, int
+# keys) / weighted / indicator / identity / crossed / split — see
+# tests/test_tf_import_real.py).  A slot containing ops OUTSIDE its
+# idiom's vocabulary carries computation this importer does not model;
+# strict mode refuses it.  (Presence alone is necessary, not sufficient —
+# Mul/AddV2 legitimately appear as offset math — which is why
+# _trace_value_source above independently verifies the value path.)
+_SLOT_OPS_COMMON = frozenset({
+    "Placeholder", "Const", "Identity", "Reshape", "Cast", "ExpandDims",
+    "Squeeze", "Pack", "Shape", "Slice", "StridedSlice", "Prod", "Range",
+    "Tile", "Transpose", "ConcatV2", "Concat", "Where", "Select",
+    "SelectV2", "GatherV2", "GatherNd", "Greater", "GreaterEqual", "Less",
+    "LessEqual", "Equal", "NotEqual", "LogicalAnd", "LogicalOr",
+    "LogicalNot", "SparseFillEmptyRows", "SparseReshape", "Unique",
+    "ZerosLike", "Fill", "Sub", "Mul", "Add", "AddV2", "Maximum", "Size",
+    "Rank", "SparseSegmentMean", "SparseSegmentSum", "SparseSegmentSqrtN",
+    "Sum", "Mean", "VariableV2", "VarHandleOp", "ReadVariableOp", "NoOp",
+    "StringSplit", "StringSplitV2", "SparseToDense",
+})
+_SLOT_OPS_BY_ANCHOR = {
+    "bucketize": frozenset({"Bucketize"}),
+    "hash": frozenset({"StringToHashBucketFast", "AsString",
+                       "StringToNumber"}),
+    "vocab": frozenset({
+        "LookupTableFindV2", "LookupTableFind", "HashTableV2",
+        "LookupTableSizeV2", "LookupTableImportV2", "InitializeTableV2",
+        "LookupTableImport", "InitializeTable",
+        "StringToHashBucketFast", "AsString",  # OOV bucket hashing
+    }),
+    "identity": frozenset(),
+}
+_SLOT_OPS_WEIGHTED = frozenset({
+    "SegmentSum", "DivNoNan", "RealDiv", "Div", "Sqrt", "Square", "Pow",
+})
+_SLOT_OPS_INDICATOR = frozenset({"OneHot"})
+
+
+def _slot_residue(
+    ops_present: Set[str], anchor_kind: str,
+    weighted: bool = False, indicator: bool = False,
+) -> Set[str]:
+    """Ops in the slot outside its idiom's measured vocabulary (empty for
+    every real feature-column graph; non-empty = unmodeled computation)."""
+    allowed = _SLOT_OPS_COMMON | _SLOT_OPS_BY_ANCHOR.get(
+        anchor_kind, frozenset()
+    )
+    if weighted:
+        allowed = allowed | _SLOT_OPS_WEIGHTED
+    if indicator:
+        allowed = allowed | _SLOT_OPS_INDICATOR
+    return set(ops_present) - allowed
 
 
 def _placeholder_of(gi: GraphIndex, name: str):

@@ -197,3 +197,42 @@ def test_bucketize_flag2_inf_nan_edges():
         np.testing.assert_array_equal(
             out[0].astype(np.int64), want, err_msg=f"flag={flag}"
         )
+
+
+def test_device_bucketize_boundaries_match_oracle_f64():
+    """ADVICE r02 regression: device bucketize boundaries must be ceil32
+    (exact f64 upper_bound), not a round-to-nearest f32 cast.  Boundary
+    0.7 rounds DOWN in f32; an input equal to the rounded value must
+    bucket as the oracle's f64 comparison says (bucket 0), on BOTH the
+    host wire path (host_bucketize=True, default) and the device path
+    (host_bucketize=False), keeping the two encodings bit-identical."""
+    bounds = [0.7, 1.3, 2.2, 3.1]       # all round down in f32
+    tables = {"t": TableSpec("t", len(bounds) + 1, 4, init_seed=3)}
+    cols = [
+        FeatureColumn(
+            "x", FeatureSource("x", FeatureKind.DENSE_FLOAT),
+            (Bucketize(bounds),), LookupSpec("t", Combiner.MEAN),
+        )
+    ]
+    model = ModelSpec("bz32", tables, cols, _tower())
+    params = init_model_params(model)
+    # inputs sitting exactly ON the f32 roundings of each boundary plus
+    # surrounding probes
+    probes = np.asarray(bounds, np.float32)
+    x = np.concatenate([
+        probes,
+        np.nextafter(probes, np.float32(-np.inf)),
+        np.nextafter(probes, np.float32(np.inf)),
+        np.asarray([0.0, 5.0], np.float32),
+    ]).astype(np.float32)
+    batch = {"x": x}
+    oracle = OracleModel(model, params=params)
+    want = oracle.pooled_outputs(batch)["x"]
+    for cfg in (
+        EngineConfig(interpret=True),                        # wire + host bz
+        EngineConfig(interpret=True, host_bucketize=False),  # device bz
+        EngineConfig(interpret=True, host_bucketize=False, wire_pack=False),
+    ):
+        eng = Engine(model, cfg, params=params)
+        got = eng.predict(batch, return_pooled=True)["pooled"]["x"]
+        np.testing.assert_array_equal(got, want)

@@ -290,3 +290,73 @@ def test_import_prelookup_filter_and_select_patterns():
     ref = OracleModel(model, params=params).forward(batch)
     for c, r in ref["pooled"].items():
         np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+
+def _bucketize_slot_graph(inject_mul: bool = False, residue_op: str = None):
+    """One bucketize column (+5 dense pads for the concat heuristic);
+    optionally with a Mul(2.0) between the placeholder and the Bucketize
+    (the compute a presence-based matcher would silently drop), or with a
+    ``residue_op`` node hanging off the id chain."""
+    rng = np.random.default_rng(0)
+    g = b""
+    concat_inputs = []
+    tbl = rng.standard_normal((11, 4)).astype(np.float32)
+    g += node("bz", "Placeholder", dtype=av_type(DT_FLOAT))
+    src = "bz"
+    if inject_mul:
+        g += node("bz/two", "Const",
+                  value=av_tensor_float(np.asarray(2.0, np.float32)))
+        g += node("bz/Mul", "Mul", ["bz", "bz/two"])
+        src = "bz/Mul"
+    g += node("bz/Bucketize", "Bucketize", [src],
+              boundaries=av_float_list([float(x) for x in range(0, 50, 5)]))
+    ids = "bz/Bucketize"
+    if residue_op:
+        g += node("bz/odd", residue_op, [ids])
+        ids = "bz/odd"
+    g += node("emb_bz", "Const", value=av_tensor_float(tbl))
+    g += node("bz/SparseSegmentMean", "SparseSegmentMean",
+              ["emb_bz", ids, "bz/segs"])
+    concat_inputs.append("bz/SparseSegmentMean")
+    for i in range(5):
+        g += node(f"dense{i}", "Placeholder", dtype=av_type(DT_FLOAT))
+        concat_inputs.append(f"dense{i}")
+    g += node("concat/axis", "Const")
+    g += node("input_layer/concat", "ConcatV2",
+              concat_inputs + ["concat/axis"], N=av_int(len(concat_inputs)))
+    return g
+
+
+def test_strict_rejects_compute_before_anchor():
+    """Placeholder -> Mul(2.0) -> Bucketize contains 'Bucketize', but
+    importing it as Bucketize(placeholder) silently drops the Mul; strict
+    mode must refuse (ADVICE r02: presence-based matching loophole)."""
+    g = _bucketize_slot_graph(inject_mul=True)
+    try:
+        import_tf_graphdef(g, name="m", strict=True)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "Mul" in str(e) or "value path" in str(e)
+    # non-strict: imports the recognized part with a warning
+    model, _ = import_tf_graphdef(g, name="m", strict=False)
+    assert any("value path" in w for w in model.import_warnings)
+
+
+def test_strict_rejects_residue_ops():
+    """A recognized chain carrying an op outside the measured
+    feature-column vocabulary (here Softplus) must raise under strict."""
+    g = _bucketize_slot_graph(residue_op="Softplus")
+    try:
+        import_tf_graphdef(g, name="m", strict=True)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "Softplus" in str(e)
+    model, _ = import_tf_graphdef(g, name="m", strict=False)
+    assert any("Softplus" in w for w in model.import_warnings)
+
+
+def test_clean_graph_still_imports_under_strict():
+    g = _bucketize_slot_graph()
+    model, _ = import_tf_graphdef(g, name="m", strict=True)
+    assert len(model.embedding_columns) == 1
+    assert isinstance(model.embedding_columns[0].transforms[0], Bucketize)
