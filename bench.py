@@ -336,6 +336,12 @@ def main():
     prep_s, prep_w = time_windows(
         lambda: eng.prepare(batch), max(5, args.iters // 5), warmup=2
     )
+    # per-class breakdown (VERDICT r02 item 7): prep.* stages recorded by
+    # prepare_batch_wire into the engine StageTimer
+    prep_breakdown = {
+        k: v for k, v in eng.timers.summary().items()
+        if k.startswith("prep.")
+    }
 
     # effective embedding-lookup bandwidth floor (BASELINE metric): bytes
     # the grouped gathers stream per step / device-step time; conservative
@@ -475,6 +481,7 @@ def main():
                     "device_windows_ms": dev_w,
                     "host_prep_ms": round(prep_s * 1e3, 3),
                     "host_prep_windows_ms": prep_w,
+                    "host_prep_breakdown": prep_breakdown,
                     "wire_bytes_per_step": wire_bytes,
                     "lookup_gbps_floor": round(lookup_gbps, 2),
                     "baseline": baseline_name,

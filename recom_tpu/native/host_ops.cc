@@ -19,6 +19,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define RECOM_AVX512 1
+#endif
+
 namespace {
 
 constexpr uint64_t k0 = 0xc3a5c85c97cb3127ULL;
@@ -226,6 +231,42 @@ inline size_t FixedLen(const uint8_t* p, int64_t width) {
   while (n > 0 && p[n - 1] == 0) --n;
   return static_cast<size_t>(n);
 }
+
+// Reciprocal modulo: hash % num_buckets costs a ~30-cycle divq per element
+// in the inner loops; with the divisor fixed per column a 64x64->128
+// multiply + <=2 corrections gives the same result in ~6 cycles.
+// q = floor(M*h / 2^64) with M = floor((2^64-1)/d) satisfies
+// h/d - 2 <= q <= h/d, so the while loop runs at most twice.
+struct FastMod {
+  uint64_t m, d;
+  explicit FastMod(uint64_t div) : m(~0ULL / div), d(div) {}
+  inline uint64_t operator()(uint64_t h) const {
+    uint64_t q = static_cast<uint64_t>(
+        (static_cast<unsigned __int128>(m) * h) >> 64);
+    uint64_t r = h - q * d;
+    while (r >= d) r -= d;
+    return r;
+  }
+};
+
+#ifdef RECOM_AVX512
+// FixedLen via 64-byte reverse probes: rows are typically half NUL pad,
+// so the first chunk from the end decides.
+inline size_t FixedLenSimd(const uint8_t* p, int64_t width) {
+  int64_t off = width;
+  while (off > 0) {
+    const int64_t chunk = off >= 64 ? 64 : off;
+    off -= chunk;
+    const __mmask64 loadm =
+        chunk == 64 ? ~0ULL : ((1ULL << chunk) - 1);
+    const __m512i v = _mm512_maskz_loadu_epi8(loadm, p + off);
+    const __mmask64 nz = _mm512_test_epi8_mask(v, v);
+    if (nz)
+      return static_cast<size_t>(off + 64 - __builtin_clzll(nz));
+  }
+  return 0;
+}
+#endif
 
 }  // namespace
 
@@ -499,6 +540,66 @@ void BucketizeColAffine1(const float* x, const float* b, int32_t k,
   }
 }
 
+#ifdef RECOM_AVX512
+// 16-lane AVX-512 flag-2 kernel: same math as BucketizeColAffine1 (affine
+// guess exact to +-1 at every probe), lane masks instead of branches, two
+// vgatherdps fix-up probes.  Semantics identical to the scalar version —
+// cross-checked element-for-element in tests/test_native.py.
+template <typename T, bool kLut>
+void BucketizeColAffine1Simd(const float* x, const float* b, int32_t k,
+                             float b0, float inv_d, const int32_t* lut,
+                             int64_t batch, T* o) {
+  const __m512 vb0 = _mm512_set1_ps(b0);
+  const __m512 vinv = _mm512_set1_ps(inv_d);
+  const __m512 vone = _mm512_set1_ps(1.0f);
+  const __m512 vfk = _mm512_set1_ps(static_cast<float>(k));
+  const __m512i vk = _mm512_set1_epi32(k);
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i vone_i = _mm512_set1_epi32(1);
+  int64_t i = 0;
+  for (; i + 16 <= batch; i += 16) {
+    const __m512 v = _mm512_loadu_ps(x + i);
+    const __mmask16 nan_m = _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
+    const __mmask16 below_m = _mm512_cmp_ps_mask(v, vb0, _CMP_LT_OQ);
+    const __m512 g =
+        _mm512_fmadd_ps(_mm512_sub_ps(v, vb0), vinv, vone);
+    const __mmask16 hi_m = _mm512_cmp_ps_mask(g, vfk, _CMP_GE_OQ);
+    __m512i e = _mm512_cvttps_epi32(g);
+    e = _mm512_mask_mov_epi32(e, hi_m, vk);
+    // below/NaN lanes carry garbage e (overwritten at the end); clamp
+    // into [1, k] so the two gather probes stay in bounds (b has a +inf
+    // pad past k, kmax > k guaranteed by the caller)
+    e = _mm512_min_epi32(_mm512_max_epi32(e, vone_i), vk);
+    // fix-up 1: e += (e < k) & (b[e] <= v)
+    const __m512 be = _mm512_i32gather_ps(e, b, 4);
+    const __mmask16 lt_k = _mm512_cmplt_epi32_mask(e, vk);
+    const __mmask16 inc =
+        _mm512_mask_cmp_ps_mask(lt_k, be, v, _CMP_LE_OQ);
+    e = _mm512_mask_add_epi32(e, inc, e, vone_i);
+    // fix-up 2: e -= (b[e-1] > v)   (e >= 1 here)
+    const __m512i em1 = _mm512_sub_epi32(e, vone_i);
+    const __m512 bem1 = _mm512_i32gather_ps(em1, b, 4);
+    const __mmask16 dec = _mm512_cmp_ps_mask(bem1, v, _CMP_GT_OQ);
+    e = _mm512_mask_sub_epi32(e, dec, e, vone_i);
+    e = _mm512_mask_mov_epi32(e, below_m, vzero);
+    e = _mm512_mask_mov_epi32(e, nan_m, vk);
+    if (kLut) e = _mm512_i32gather_epi32(e, lut, 4);
+    if (sizeof(T) == 1) {
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(o + i),
+                       _mm512_cvtepi32_epi8(e));
+    } else if (sizeof(T) == 2) {
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(o + i),
+                          _mm512_cvtepi32_epi16(e));
+    } else {
+      _mm512_storeu_si512(reinterpret_cast<void*>(o + i), e);
+    }
+  }
+  if (i < batch)
+    BucketizeColAffine1<T, kLut>(x + i, b, k, b0, inv_d, lut, batch - i,
+                                 o + i);
+}
+#endif  // RECOM_AVX512
+
 template <typename T, bool kLut>
 void BucketizeColSearch(const float* x, const float* b, int32_t k,
                         int64_t kmax, const int32_t* lut, int64_t batch,
@@ -527,10 +628,18 @@ void BucketizeCol(const float* x, const float* b, int32_t k, int64_t kmax,
                   float b0, float inv_d, uint8_t aff, const int32_t* lut,
                   int64_t batch, T* o) {
   if (aff == 2 && k > 0) {             // guess exact to +-1: branchless
+#ifdef RECOM_AVX512
+    if (lut)
+      BucketizeColAffine1Simd<T, true>(x, b, k, b0, inv_d, lut, batch, o);
+    else
+      BucketizeColAffine1Simd<T, false>(x, b, k, b0, inv_d, nullptr, batch,
+                                        o);
+#else
     if (lut)
       BucketizeColAffine1<T, true>(x, b, k, b0, inv_d, lut, batch, o);
     else
       BucketizeColAffine1<T, false>(x, b, k, b0, inv_d, nullptr, batch, o);
+#endif
   } else if (aff && k > 0) {           // guess within a few steps: loops
     if (lut)
       BucketizeColAffine<T, true>(x, b, k, b0, inv_d, lut, batch, o);
@@ -576,21 +685,32 @@ void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
 
 // Hash int64 columns; column c writes to out + c*stride*elem.  TF
 // ignore_value semantics folded in: input -1 writes id -1.
+// luts (optional, per column): precomputed hash ids for values
+// [0, lut_size) — TF's int hash is hash(decimal string), a pure function
+// of the value, so small non-negative ids (the common categorical case)
+// become one table load instead of format+hash+mod.
 void rt_hash_int_multi_out(const int64_t** vals, const int64_t* buckets,
+                           const int32_t** luts, int64_t lut_size,
                            int64_t n_cols, int64_t batch, uint8_t* out,
                            int64_t stride, int64_t elem) {
   ParallelColumns(n_cols, 8, [=](int64_t c) {
     uint8_t buf[24];
     const int64_t* v = vals[c];
-    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
+    const FastMod mod(static_cast<uint64_t>(buckets[c]));
+    const int32_t* lut = luts ? luts[c] : nullptr;
     uint8_t* o = out + c * stride * elem;
     for (int64_t i = 0; i < batch; ++i) {
-      if (v[i] == -1) {
+      const int64_t x = v[i];
+      if (lut && static_cast<uint64_t>(x) < static_cast<uint64_t>(lut_size)) {
+        WriteElem(o, elem, i, lut[x]);
+        continue;
+      }
+      if (x == -1) {
         WriteElem(o, elem, i, -1);
         continue;
       }
-      size_t len = FormatInt(v[i], buf);
-      WriteElem(o, elem, i, static_cast<int32_t>(Hash64(buf, len) % nb));
+      size_t len = FormatInt(x, buf);
+      WriteElem(o, elem, i, static_cast<int32_t>(mod(Hash64(buf, len))));
     }
   });
 }
@@ -603,12 +723,16 @@ void rt_hash_fixed_multi_out(const uint8_t** bufs, const int64_t* widths,
   ParallelColumns(n_cols, 8, [=](int64_t c) {
     const uint8_t* buf = bufs[c];
     const int64_t w = widths[c];
-    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
+    const FastMod mod(static_cast<uint64_t>(buckets[c]));
     uint8_t* o = out + c * stride * elem;
     for (int64_t i = 0; i < batch; ++i) {
       const uint8_t* p = buf + i * w;
-      WriteElem(o, elem, i,
-                static_cast<int32_t>(Hash64(p, FixedLen(p, w)) % nb));
+#ifdef RECOM_AVX512
+      const size_t len = FixedLenSimd(p, w);
+#else
+      const size_t len = FixedLen(p, w);
+#endif
+      WriteElem(o, elem, i, static_cast<int32_t>(mod(Hash64(p, len))));
     }
   });
 }
@@ -623,7 +747,47 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
                       uint8_t delim, int64_t num_buckets, int64_t rowlen,
                       T* dst) {
   int64_t maxp = 0;
-  const uint64_t nb = static_cast<uint64_t>(num_buckets);
+  const FastMod mod(static_cast<uint64_t>(num_buckets));
+#ifdef RECOM_AVX512
+  // delimiter positions come from 64-byte compare masks iterated by
+  // trailing-zero count (identical piece semantics to the scalar scan:
+  // empty rows contribute 0 pieces, empty pieces between delimiters DO
+  // hash — tf.strings.split behavior)
+  const __m512i vd = _mm512_set1_epi8(static_cast<char>(delim));
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* p = buf + i * width;
+    const size_t len = FixedLenSimd(p, width);
+    T* row = dst + i * rowlen;
+    int64_t cnt = 0;
+    if (len > 0) {
+      size_t start = 0;
+      for (size_t base = 0; base < len; base += 64) {
+        const size_t chunk = len - base >= 64 ? 64 : len - base;
+        const __mmask64 loadm =
+            chunk == 64 ? ~0ULL : ((1ULL << chunk) - 1);
+        const __m512i v = _mm512_maskz_loadu_epi8(loadm, p + base);
+        uint64_t m = _mm512_mask_cmpeq_epi8_mask(loadm, v, vd);
+        while (m) {
+          const size_t j = base + __builtin_ctzll(m);
+          m &= m - 1;
+          if (cnt < rowlen)
+            row[cnt] = static_cast<T>(
+                static_cast<int32_t>(mod(Hash64(p + start, j - start))));
+          ++cnt;
+          start = j + 1;
+        }
+      }
+      if (cnt < rowlen)
+        row[cnt] = static_cast<T>(
+            static_cast<int32_t>(mod(Hash64(p + start, len - start))));
+      ++cnt;
+    }
+    for (int64_t j = cnt < rowlen ? cnt : rowlen; j < rowlen; ++j)
+      row[j] = static_cast<T>(-1);
+    if (cnt > maxp) maxp = cnt;
+  }
+  return maxp;
+#else
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t* p = buf + i * width;
     size_t len = FixedLen(p, width);
@@ -635,7 +799,7 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
         if (j == len || p[j] == delim) {
           if (cnt < rowlen) {
             uint64_t h = Hash64(p + start, j - start);
-            row[cnt] = static_cast<T>(static_cast<int32_t>(h % nb));
+            row[cnt] = static_cast<T>(static_cast<int32_t>(mod(h)));
           }
           ++cnt;
           start = j + 1;
@@ -647,6 +811,7 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
     if (cnt > maxp) maxp = cnt;
   }
   return maxp;
+#endif
 }
 
 int64_t SplitHashPadElem(const uint8_t* buf, int64_t width, int64_t n,

@@ -320,9 +320,17 @@ def hash_int_multi_out(
     buckets: np.ndarray,
     out: np.ndarray,
     batch: int,
+    lut_ptrs: Optional[np.ndarray] = None,
+    luts: Optional[List[np.ndarray]] = None,
+    lut_size: int = 0,
 ) -> None:
     """Hash int64 columns into out[:, :batch] (out: [n_cols, Bp(, 1)] int
-    view); input -1 -> id -1 (TF ignore_value)."""
+    view); input -1 -> id -1 (TF ignore_value).
+
+    lut_ptrs/luts: optional plan-static per-column id tables for values
+    [0, lut_size) — TF's int hash is hash(str(v)), a pure function of v,
+    so common small ids skip the format+hash entirely.  ``luts`` is the
+    keep-alive list backing ``lut_ptrs``."""
     lib = get_lib()
     if lib is None:
         for c, a in enumerate(arrays):
@@ -334,7 +342,9 @@ def hash_int_multi_out(
         return
     ptrs, keep = _in_ptrs(arrays, _PTR_I64, np.int64, batch)
     lib.rt_hash_int_multi_out(
-        ptrs.ctypes.data, buckets.ctypes.data, len(arrays), batch,
+        ptrs.ctypes.data, buckets.ctypes.data,
+        lut_ptrs.ctypes.data if lut_ptrs is not None else 0,
+        lut_size, len(arrays), batch,
         out.ctypes.data, out.strides[0] // out.itemsize, out.itemsize,
     )
 

@@ -612,6 +612,7 @@ class Engine:
             prepared = prepare_batch_wire(
                 self.compiled, batch, batch_size,
                 rowlen_hints=self._rowlen_hints,
+                timers=self.timers,
             )
         else:
             prepared = prepare_batch(

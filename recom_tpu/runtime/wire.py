@@ -83,10 +83,16 @@ class WireView:
     dtype: np.dtype
     shape: Tuple[int, ...]
     offset: int               # byte offset into the blob
+    nbytes: int = 0           # precomputed at layout build (the view list
+                              # is per-signature static; recomputing the
+                              # prod per request cost ~0.2ms at 1000 cols)
 
-    @property
-    def nbytes(self) -> int:
-        return int(np.prod(self.shape)) * self.dtype.itemsize
+    def __post_init__(self):
+        if not self.nbytes:
+            n = self.dtype.itemsize
+            for s in self.shape:
+                n *= s
+            self.nbytes = n
 
 
 @dataclasses.dataclass
@@ -153,6 +159,9 @@ def wire_layout(
 # ---------------------------------------------------------------------------
 
 
+_INT_LUT_SIZE = 1024
+
+
 @dataclasses.dataclass
 class _GroupPlan:
     gid: int
@@ -172,6 +181,8 @@ class _GroupPlan:
     n_int: int
     int_fields: List[str]
     int_buckets: Optional[np.ndarray]      # int64
+    int_luts: Optional[List[np.ndarray]]   # per-col ids for values [0,1024)
+    int_lut_ptrs: Optional[np.ndarray]     # int64 ptr array over int_luts
     n_str: int
     str_fields: List[str]
     str_buckets: Optional[np.ndarray]
@@ -260,6 +271,23 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
             by_cls[cls].append((i, m))
         ints = by_cls[0] if not g.ragged else []
         strs = by_cls[1] if not g.ragged else []
+        int_luts = None
+        if ints:
+            # plan-static small-value id tables: TF's int hash is
+            # hash(decimal(v)) — a pure function of v — so ids for the
+            # common [0, 1024) range precompute once per model
+            from recom_tpu.native import ops as _nops
+
+            int_luts = [
+                np.ascontiguousarray(
+                    _nops.hash_ints(
+                        np.arange(_INT_LUT_SIZE, dtype=np.int64),
+                        int(m.host_chain[0].num_buckets),
+                    ),
+                    np.int32,
+                )
+                for _, m in ints
+            ]
         fasts = by_cls[2] if g.ragged else []
         rest = by_cls[3] + (by_cls[0] + by_cls[1] if g.ragged else []) + (
             by_cls[2] if not g.ragged else []
@@ -274,6 +302,10 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
             int_buckets=np.asarray(
                 [m.host_chain[0].num_buckets for _, m in ints], np.int64
             ) if ints else None,
+            int_luts=int_luts,
+            int_lut_ptrs=np.asarray(
+                [l.ctypes.data for l in int_luts], np.int64
+            ) if int_luts else None,
             n_str=len(strs),
             str_fields=[m.column.source.field for _, m in strs],
             str_buckets=np.asarray(
@@ -302,6 +334,12 @@ def _plan(compiled: CompiledModel) -> List[_GroupPlan]:
     if plans is None:
         plans = _build_plan(compiled)
         compiled._prep_plan = plans
+        # plan-static model facts the per-request loop must not recompute
+        # (dense_columns is a filtering property: ~0.15ms/request at 1000
+        # columns)
+        compiled._dense_fields = [
+            c.source.field for c in compiled.model.dense_columns
+        ]
     return plans
 
 
@@ -324,12 +362,16 @@ def prepare_batch_wire(
     batch_size: Optional[int] = None,
     rowlen_hints: Optional[Dict[int, int]] = None,
     _rowlen_overrides: Optional[Dict[int, int]] = None,
+    timers=None,
 ) -> PreparedBatch:
     """Packed single-blob PreparedBatch (arrays = {"blob": uint8[total]}).
 
     Mirrors host_prep.prepare_batch semantics exactly (same oracle-shared
     transform code for slow columns, same native fast paths) but writes
-    every column straight into its blob view.  Ragged row-length discovery
+    every column straight into its blob view.  ``timers``: optional
+    StageTimer; per-class host-prep costs land under "prep.*" stages
+    (two clock reads per class — the breakdown VERDICT r02 item 7 asks
+    the bench to publish).  Ragged row-length discovery
     keeps the optimistic-hint strategy: hash at the hinted bucket, detect a
     busted hint from the returned max piece count, and redo the (rare)
     mispredicted request with exact rowlens."""
@@ -356,6 +398,19 @@ def prepare_batch_wire(
     if batch_size > bp:
         batch_size = bp
     bs = batch_size
+
+    import time as _time
+
+    _marks = {} if timers is not None else None
+    _t0 = _time.perf_counter() if timers is not None else 0.0
+
+    def _mark(cls):
+        nonlocal _t0
+        if _marks is None:
+            return
+        t = _time.perf_counter()
+        _marks[cls] = _marks.get(cls, 0.0) + (t - _t0)
+        _t0 = t
 
     # ---- phase 1: slow-member evaluation + ragged rowlen resolution -----
     memo: Optional[Dict] = {} if config.dedup_subcolumns else None
@@ -427,28 +482,30 @@ def prepare_batch_wire(
             rowlens.append(slow_bucket)
             optimistic[p.gid] = False
 
+    _mark("prep.rowlen")
+
     # ---- phase 2: allocate blob, fill views ------------------------------
     layout = wire_layout(compiled, bp, tuple(rowlens), host_bz)
     blob = np.zeros(layout.total_bytes, dtype=np.uint8)
     by_key = {(v.gid, v.name): v for v in layout.views}
 
     dense_v = layout.view_np(blob, by_key[(-1, "dense")])
+    # raw arrays, no pre-coercion: copy_f32_multi's pointer helper
+    # validates dtype/contiguity zero-copy and falls back to a coercing
+    # fill per column only when needed (pre-coercing here would pay the
+    # ascontiguousarray walk TWICE per request)
     native_ops.copy_f32_multi(
-        [
-            np.ascontiguousarray(batch[c.source.field], np.float32)
-            for c in model.dense_columns
-        ],
-        dense_v, bs,
+        [batch[f] for f in compiled._dense_fields], dense_v, bs,
     )
+    _mark("prep.dense")
 
     redo: Dict[int, int] = {}
     for p, g, rl in zip(plans, compiled.groups, rowlens):
         truncate = config.allow_truncate_overflow
         if p.n_bz:
-            cols = [
-                np.ascontiguousarray(batch[f], dtype=np.float32)
-                for f in p.bz_fields
-            ]
+            # raw arrays: bucketize_multi/copy_f32_multi validate and
+            # coerce only when an array fails the zero-copy pointer check
+            cols = [batch[f] for f in p.bz_fields]
             if host_bz:
                 out = layout.view_np(blob, by_key[(p.gid, "bz_ids")])
                 native_ops.bucketize_multi(
@@ -458,6 +515,7 @@ def prepare_batch_wire(
             else:
                 out = layout.view_np(blob, by_key[(p.gid, "raw_bz")])
                 native_ops.copy_f32_multi(cols, out, bs)
+            _mark("prep.bz")
         n_host = len(g.members) - p.n_bz
         if not n_host:
             continue
@@ -471,7 +529,10 @@ def prepare_batch_wire(
                 native_ops.hash_int_multi_out(
                     [batch[f] for f in p.int_fields], p.int_buckets,
                     ids_v[: p.n_int], bs,
+                    lut_ptrs=p.int_lut_ptrs, luts=p.int_luts,
+                    lut_size=_INT_LUT_SIZE,
                 )
+                _mark("prep.int")
             str_rest: List[Tuple[int, object]] = []
             if p.n_str:
                 arrs = []
@@ -486,6 +547,7 @@ def prepare_batch_wire(
                         arrs, p.str_buckets,
                         ids_v[p.n_int : p.n_int + p.n_str], bs,
                     )
+                    _mark("prep.str")
                 else:
                     # wire-format surprise: whole class via oracle chains
                     host_members = g.members[p.n_bz :]
@@ -499,6 +561,8 @@ def prepare_batch_wire(
                     ids_v[i], None, sp, 1, bp, truncate,
                     cap=m.vocab_size - 1,
                 )
+            if p.rest or str_rest:
+                _mark("prep.slow")
         else:
             weights_v = None
             if p.has_weights:
@@ -510,6 +574,7 @@ def prepare_batch_wire(
                     arrs, p.fast_delims_np, p.fast_buckets, rl,
                     ids_v[: p.n_fast], bs,
                 )
+                _mark("prep.split")
                 needed = pick_bucket(
                     config.rowlen_buckets, max(1, maxp), truncate
                 )
@@ -527,21 +592,27 @@ def prepare_batch_wire(
                     ids_v[i], w_out, sp, rl, bp, truncate,
                     cap=host_members[i].vocab_size - 1,
                 )
+            if slow_sps[p.gid]:
+                _mark("prep.slow")
             if weights_v is not None:
                 # columns packed by the fast path are unweighted by plan
                 # construction: weight 1 at every non-pad slot
                 for i in range(n_host):
                     if i not in slow_i:
                         weights_v[i] = ids_v[i] >= 0
+                _mark("prep.weights")
 
     if redo:
         overrides = dict(_rowlen_overrides or {})
         overrides.update(redo)
         return prepare_batch_wire(
             compiled, batch, batch_size, rowlen_hints=None,
-            _rowlen_overrides=overrides,
+            _rowlen_overrides=overrides, timers=timers,
         )
 
+    if timers is not None:
+        for cls, dt in _marks.items():
+            timers.add(cls, dt)
     return PreparedBatch(bs, bp, tuple(rowlens), {"blob": blob})
 
 
