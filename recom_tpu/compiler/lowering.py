@@ -301,7 +301,13 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
             row += m.vocab_size
             from recom_tpu.ir.spec import column_out_width
 
-            m.out_width = column_out_width(model, m.column)
+            # hidden (in_concat=False) members pool like any other but
+            # occupy no group-concat slot — they exist as mul_column
+            # operands only
+            m.out_width = (
+                column_out_width(model, m.column)
+                if m.column.in_concat else 0
+            )
             m.in_group_offset = woff
             woff += m.out_width
             codes.append(_COMBINER_CODE[m.combiner])
@@ -366,7 +372,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         m.concat_offset = pos
         column_slot[col.name] = (g.gid, m.group_index)
         src = group_base[g.gid] + m.in_group_offset
-        w = m.out_width
+        w = m.out_width                # 0 for hidden columns
         perm[pos : pos + w] = np.arange(src, src + w, dtype=np.int32)
         pos += w
 

@@ -390,29 +390,31 @@ def import_tf_graphdef(
                 col_widths.append(1)
             continue
 
+        if len(table_nodes) > 1:
+            # two lookups converging inside ONE slot: the pooled-Mul
+            # pattern (reference post_lookup_optimizer.cc:480-608)
+            if _import_mul_slot(
+                gi, inp, columns, col_widths, tables, weights, warnings,
+                strict, checkpoint,
+            ):
+                continue
+            msg = (
+                f"column feeding {n.name}: {len(table_nodes)} embedding "
+                "tables converge in one slot and the shape is not the "
+                "pooled-Mul pattern"
+            )
+            if strict:
+                raise ValueError(
+                    msg + " — refusing to import one chain and drop the "
+                    "other; pass strict=False to skip the slot"
+                )
+            warnings.append(msg + "; slot SKIPPED")
+            slots_complete = False
+            continue
+
         tnode = table_nodes[0]
         vocab, dim = _table_shape(tnode)
-        tname = tnode.name
-        if tname not in tables:
-            tables[tname] = TableSpec(tname, vocab, dim)
-            tv = attr_tensor(tnode.attr("value")) if tnode.op == "Const" else None
-            if tv is not None:
-                weights[tname] = tv.astype(np.float32)
-            elif checkpoint is not None:
-                ck = load_checkpoint_tables(checkpoint, [tname])
-                if tname in ck:
-                    weights[tname] = ck[tname]
-                else:
-                    warnings.append(
-                        f"table {tname}: not found in checkpoint "
-                        f"{checkpoint}; randomly initialized"
-                    )
-            else:
-                warnings.append(
-                    f"table {tname}: VariableV2 values not in graph; pass "
-                    "checkpoint= or restore separately (randomly "
-                    "initialized otherwise)"
-                )
+        tname = _register_table(tnode, tables, weights, warnings, checkpoint)
 
         # --- combiner: unweighted SparseSegment* or the weighted
         # embedding_lookup_sparse expansion (Unique+Gather weights, then
@@ -473,6 +475,10 @@ def import_tf_graphdef(
             )
             col_widths.append(dim)
             continue
+        # --- post-lookup column compute detected FIRST so the residue
+        # check can admit the ops the post chain accounts for ------------
+        post, post_ops = _detect_post(gi, inp)
+
         matched = _match_categorical_chain(
             gi, ops, sub, placeholders, warnings, strict=strict
         )
@@ -484,7 +490,8 @@ def import_tf_graphdef(
             # residue check: ops outside the idiom's measured vocabulary
             # mean the slot computes something this import can't model
             residue = _slot_residue(
-                set(x.op for x in sub), anchor_kind, weighted=weighted
+                set(x.op for x in sub) - post_ops, anchor_kind,
+                weighted=weighted,
             )
             if residue:
                 msg = (
@@ -528,22 +535,6 @@ def import_tf_graphdef(
                     f"but {len(cands)} float placeholder candidates; "
                     "weights NOT imported"
                 )
-
-        # --- post-lookup column compute: Sum/Mean over the embedding dim
-        # after the pooled lookup (the reference's BatchColReduction,
-        # cuda_emitter.cc:1180-1244) ------------------------------------
-        post: tuple = ()
-        red = _resolve_through(
-            gi, inp, ("Identity", "Reshape", "ExpandDims", "Squeeze")
-        )
-        if red is not None and red.op in ("Sum", "Mean") and len(red.inputs) > 1:
-            ax = _const_scalar(gi, red.inputs[1])
-            if ax in (1, -1):
-                from recom_tpu.ir.spec import PostPool
-
-                post = (PostPool(
-                    "reduce_sum" if red.op == "Sum" else "reduce_mean"
-                ),)
 
         field = (
             main_ph.name if main_ph is not None
@@ -677,20 +668,192 @@ def _match_categorical_chain(
             main_ph = src       # the verified value source beats the
                                 # first-reachable-placeholder BFS guess
         else:
-            msg = (
-                f"{anchor_kind} chain: value path from the anchor's input "
-                f"({anchor_input}) does not reach a Placeholder through "
-                "value-preserving ops (stops at "
-                f"{src.op + ' ' + src.name if src is not None else 'a cycle'})"
-                " — the intervening computation would be silently dropped"
-            )
-            if strict:
-                raise ValueError(
-                    msg + "; pass strict=False to import the recognized "
-                    "part anyway (warned)"
+            # run-anything fallback: compile the blocked segment into a
+            # bounded host evaluator when it is elementwise const-operand
+            # arithmetic (the reference serves unmatched segments on CPU,
+            # cuda_emitter.cc:141-154; HostEvalChain is our equivalent)
+            from recom_tpu.ir.spec import HostEvalChain
+
+            steps, ph = _compile_host_eval(gi, anchor_input)
+            if steps is not None:
+                transforms = (HostEvalChain(steps),) + transforms
+                main_ph = ph
+                warnings.append(
+                    f"{anchor_kind} chain: pre-anchor compute "
+                    f"{[s[0] for s in steps]} compiled to a host "
+                    "evaluator (served bit-exact on host)"
                 )
-            warnings.append(msg + "; imported WITHOUT it")
+            else:
+                msg = (
+                    f"{anchor_kind} chain: value path from the anchor's "
+                    f"input ({anchor_input}) does not reach a Placeholder "
+                    "through value-preserving ops (stops at "
+                    f"{src.op + ' ' + src.name if src is not None else 'a cycle'})"
+                    " — the intervening computation would be silently "
+                    "dropped"
+                )
+                if strict:
+                    raise ValueError(
+                        msg + "; pass strict=False to import the "
+                        "recognized part anyway (warned)"
+                    )
+                warnings.append(msg + "; imported WITHOUT it")
     return transforms, kind, main_ph, ragged, delimiter, chain_hi, anchor_kind
+
+
+def _detect_post(gi: GraphIndex, inp: str):
+    """Post-lookup column compute at the slot tail: Sum/Mean over the
+    embedding dim (the reference's BatchColReduction, cuda_emitter.cc:
+    1180-1244) or Softmax over the embedding dim (the SparseSoftmax
+    pattern, post_lookup_optimizer.cc:311-478, in the pooled domain).
+    Returns (post tuple, ops the post chain accounts for)."""
+    from recom_tpu.ir.spec import PostPool
+
+    red = _resolve_through(
+        gi, inp, ("Identity", "Reshape", "ExpandDims", "Squeeze")
+    )
+    if red is None:
+        return (), set()
+    if red.op in ("Sum", "Mean") and len(red.inputs) > 1:
+        ax = _const_scalar(gi, red.inputs[1])
+        if ax in (1, -1):
+            return (
+                (PostPool(
+                    "reduce_sum" if red.op == "Sum" else "reduce_mean"
+                ),),
+                {red.op},
+            )
+    if red.op == "Softmax":
+        # tf.nn.softmax defaults to the LAST axis = the embedding dim of
+        # the pooled [B, d] output
+        return (PostPool("softmax"),), {"Softmax"}
+    return (), set()
+
+
+def _register_table(tnode, tables, weights, warnings, checkpoint):
+    """TableSpec + frozen weights for a table node (Const / VariableV2)."""
+    vocab, dim = _table_shape(tnode)
+    tname = tnode.name
+    if tname in tables:
+        return tname
+    tables[tname] = TableSpec(tname, vocab, dim)
+    tv = attr_tensor(tnode.attr("value")) if tnode.op == "Const" else None
+    if tv is not None:
+        weights[tname] = tv.astype(np.float32)
+    elif checkpoint is not None:
+        ck = load_checkpoint_tables(checkpoint, [tname])
+        if tname in ck:
+            weights[tname] = ck[tname]
+        else:
+            warnings.append(
+                f"table {tname}: not found in checkpoint {checkpoint}; "
+                "randomly initialized"
+            )
+    else:
+        warnings.append(
+            f"table {tname}: VariableV2 values not in graph; pass "
+            "checkpoint= or restore separately (randomly initialized "
+            "otherwise)"
+        )
+    return tname
+
+
+def _cone_combiner(ops: Dict):
+    """Unweighted combiner of one lookup cone, or None."""
+    if "SparseSegmentSum" in ops:
+        return Combiner.SUM
+    if "SparseSegmentSqrtN" in ops:
+        return Combiner.SQRTN
+    if "SparseSegmentMean" in ops:
+        return Combiner.MEAN
+    return None
+
+
+def _import_mul_slot(
+    gi, inp, columns, col_widths, tables, weights, warnings, strict,
+    checkpoint,
+) -> bool:
+    """One concat slot = Mul of TWO pooled embedding lookups — the
+    reference's push-Mul-under-sparse pattern (post_lookup_optimizer.cc:
+    480-608) observed at the pooled output.  Imports as: operand A as a
+    visible column with post=(mul_column other=B), operand B as a HIDDEN
+    column (in_concat=False) that pools but occupies no concat slot.
+    Returns True when the slot was emitted; failures bail (strict raises
+    upstream via the multi-table guard)."""
+    from recom_tpu.ir.spec import PostPool
+
+    mul = _resolve_through(
+        gi, inp, ("Identity", "Reshape", "ExpandDims", "Squeeze")
+    )
+    if mul is None or mul.op != "Mul" or len(mul.inputs) < 2:
+        return False
+    cones = []
+    for operand in mul.inputs[:2]:
+        start = gi.node(operand)
+        if start is None:
+            return False
+        sub = gi.backward_set(start)
+        ops = {x.op: x for x in sub}
+        tnodes = [
+            x for x in sub
+            if x.op in ("VariableV2", "VarHandleOp", "Const")
+            and _table_shape(x) is not None
+        ]
+        if len(tnodes) != 1:
+            return False
+        combiner = _cone_combiner(ops)
+        if combiner is None:
+            return False
+        phs = [x for x in sub if x.op == "Placeholder"]
+        matched = _match_categorical_chain(
+            gi, ops, sub, phs, warnings, strict=strict
+        )
+        if matched is None:
+            return False
+        transforms, kind, main_ph, ragged, delimiter, _, anchor_kind = (
+            matched
+        )
+        if _slot_residue(set(x.op for x in sub), anchor_kind):
+            return False
+        cones.append((
+            tnodes[0], combiner, transforms, kind, main_ph, ragged,
+            delimiter,
+        ))
+    taken = {c.name for c in columns}
+
+    def fresh(base: str) -> str:
+        name, k = base, 2
+        while name in taken:
+            name = f"{base}__{k}"
+            k += 1
+        taken.add(name)
+        return name
+
+    emitted = []
+    for tnode, combiner, transforms, kind, main_ph, ragged, delimiter in (
+        cones
+    ):
+        tname = _register_table(tnode, tables, weights, warnings, checkpoint)
+        field = main_ph.name if main_ph is not None else tnode.name
+        emitted.append((
+            fresh(field), FeatureSource(field, kind, delimiter=delimiter),
+            transforms, LookupSpec(tname, combiner),
+        ))
+    (a_name, a_src, a_tf, a_lk), (b_name, b_src, b_tf, b_lk) = emitted
+    columns.append(
+        FeatureColumn(
+            b_name, b_src, b_tf, b_lk, in_concat=False,
+        )
+    )
+    col_widths.append(0)
+    columns.append(
+        FeatureColumn(
+            a_name, a_src, a_tf, a_lk,
+            post=(PostPool("mul_column", other=b_name),),
+        )
+    )
+    col_widths.append(tables[a_lk.table].dim)
+    return True
 
 
 def _import_indicator(
@@ -1331,6 +1494,76 @@ _VALUE_TRAVERSAL: Dict[str, int] = {
     "SparseFillEmptyRows": 1,      # (indices, VALUES, shape, default)
     "SparseToDense": 2,            # (indices, shape, VALUES, default)
 }
+
+
+# Elementwise ops with a constant operand compilable to a HostEvalChain
+# step (the reference's MatchExpr / op_infer_fn vocabulary,
+# pre_lookup_optimizer.cc:66-123): op name -> (step op, mirrored step op
+# when the CONST is the left operand; None = bail on const-left).
+_HOSTEVAL_BINOPS = {
+    "Mul": ("mul", "mul"),
+    "Add": ("add", "add"),
+    "AddV2": ("add", "add"),
+    "Sub": ("sub", "rsub"),
+    "RealDiv": ("div", "rdiv"),
+    "Div": ("div", "rdiv"),
+    "FloorDiv": ("floordiv", None),
+    "FloorMod": ("mod", None),
+    "Maximum": ("maximum", "maximum"),
+    "Minimum": ("minimum", "minimum"),
+}
+_HOSTEVAL_UNOPS = {"Floor": "floor", "Ceil": "ceil", "Round": "round"}
+_EVAL_DT = {DT_FLOAT: "f32", DT_DOUBLE: "f64", DT_INT32: "i32",
+            DT_INT64: "i64"}
+
+
+def _compile_host_eval(gi: GraphIndex, name: str):
+    """Compile the value path from ``name`` back to a Placeholder into
+    HostEvalChain steps (forward order), traversing value-preserving ops
+    and elementwise const-operand arithmetic.  Returns (steps, placeholder)
+    or (None, None) when the segment contains anything else — the caller
+    then falls back to strict raise / warn."""
+    steps_rev = []
+    n = gi.node(name)
+    seen: Set[str] = set()
+    while n is not None and n.name not in seen:
+        seen.add(n.name)
+        if n.op == "Placeholder":
+            if not steps_rev:
+                return None, None       # nothing to evaluate
+            return tuple(reversed(steps_rev)), n
+        if n.op == "Cast":
+            dt = _EVAL_DT.get(attr_type(n.attr("DstT")))
+            if dt is None:
+                return None, None
+            steps_rev.append(("cast", None, dt))
+            n = gi.node(n.inputs[0])
+            continue
+        if n.op in _VALUE_TRAVERSAL:
+            idx = _VALUE_TRAVERSAL[n.op]
+            if idx >= len(n.inputs):
+                return None, None
+            n = gi.node(n.inputs[idx])
+            continue
+        dt = _EVAL_DT.get(attr_type(n.attr("T")))
+        if n.op in _HOSTEVAL_UNOPS and dt is not None and n.inputs:
+            steps_rev.append((_HOSTEVAL_UNOPS[n.op], None, dt))
+            n = gi.node(n.inputs[0])
+            continue
+        if n.op in _HOSTEVAL_BINOPS and dt is not None and len(n.inputs) >= 2:
+            op_r, op_l = _HOSTEVAL_BINOPS[n.op]
+            c = _const_scalar(gi, n.inputs[1])
+            if c is not None:
+                steps_rev.append((op_r, float(c), dt))
+                n = gi.node(n.inputs[0])
+                continue
+            c = _const_scalar(gi, n.inputs[0])
+            if c is not None and op_l is not None:
+                steps_rev.append((op_l, float(c), dt))
+                n = gi.node(n.inputs[1])
+                continue
+        return None, None
+    return None, None
 
 
 def _trace_value_source(gi: GraphIndex, name: str) -> Optional[Node]:

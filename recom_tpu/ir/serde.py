@@ -25,6 +25,7 @@ _TRANSFORMS = {
     "SelectRange": S.SelectRange,
     "Cast": S.Cast,
     "IdentityTransform": S.IdentityTransform,
+    "HostEvalChain": S.HostEvalChain,
 }
 
 
@@ -51,6 +52,8 @@ def transform_to_dict(t: S.Transform) -> Dict:
         body = {"keep": list(t.keep.intervals), "substitute": t.substitute}
     elif isinstance(t, S.Cast):
         body = {"dtype": t.dtype}
+    elif isinstance(t, S.HostEvalChain):
+        body = {"steps": [list(s) for s in t.steps]}
     elif isinstance(t, S.IdentityTransform):
         body = {}
     else:
@@ -65,6 +68,8 @@ def transform_from_dict(d: Dict) -> S.Transform:
         body["keep"] = IntervalSet(
             [(int(lo), int(hi)) for lo, hi in body["keep"]]
         )
+    if kind == "HostEvalChain":
+        body["steps"] = [tuple(s) for s in body["steps"]]
     cls = _TRANSFORMS[kind]
     return cls(**body)
 
@@ -100,10 +105,12 @@ def model_to_dict(model: S.ModelSpec) -> Dict:
                     "combiner": c.lookup.combiner.value,
                     "weight_field": c.lookup.weight_field,
                 },
+                "in_concat": c.in_concat,
                 "post": [
                     {"op": p.op,
                      "scale": list(p.scale) if p.scale else None,
-                     "bias": list(p.bias) if p.bias else None}
+                     "bias": list(p.bias) if p.bias else None,
+                     "other": p.other}
                     for p in c.post
                 ],
             }
@@ -149,11 +156,13 @@ def model_from_dict(d: Dict) -> S.ModelSpec:
                 c["name"], src,
                 tuple(transform_from_dict(t) for t in c["transforms"]),
                 lookup,
+                in_concat=c.get("in_concat", True),
                 post=tuple(
                     S.PostPool(
                         p["op"],
                         scale=tuple(p["scale"]) if p.get("scale") else None,
                         bias=tuple(p["bias"]) if p.get("bias") else None,
+                        other=p.get("other"),
                     )
                     for p in c.get("post", ())
                 ),

@@ -290,6 +290,42 @@ class Cast(Transform):
 
 
 @dataclasses.dataclass(frozen=True)
+class HostEvalChain(Transform):
+    """Bounded host-side evaluator for otherwise-unrecognized pre-lookup
+    VALUE compute — the run-anything fallback the reference gets from
+    leaving unmatched graph segments on the CPU (RETURN_IF_FALSE
+    discipline + CPU placement, cuda_emitter.cc:141-154).  The importer
+    compiles a chain of elementwise ops with constant operands (the
+    MatchExpr/op_infer_fn vocabulary: Mul/Add/Sub/Div/FloorDiv/FloorMod/
+    Min/Max/Floor/Ceil/Round/Cast) into ``steps`` evaluated per request on
+    the host in the ORIGINAL TF dtype, so results stay bit-exact with the
+    TF session that ran the same ops.
+
+    steps: tuple of (op, const, dtype) applied left-to-right; dtype in
+    {"f32", "f64", "i32", "i64"} is the TF op's T attr — each step casts
+    its input to that dtype before computing, reproducing TF's per-op
+    dtype semantics exactly."""
+
+    steps: Tuple[Tuple[str, Optional[float], str], ...]
+
+    def __init__(self, steps):
+        object.__setattr__(
+            self, "steps",
+            tuple((str(op), None if c is None else float(c), str(dt))
+                  for op, c, dt in steps),
+        )
+
+    @property
+    def kind(self) -> str:
+        # establishes no known range: downstream range analysis treats the
+        # output as unbounded (canonicalize then warns + clamps at serving)
+        return "keep"
+
+    def out_range(self, in_range: IntervalSet) -> IntervalSet:
+        return IntervalSet.all()
+
+
+@dataclasses.dataclass(frozen=True)
 class IdentityTransform(Transform):
     @property
     def kind(self) -> str:
@@ -333,24 +369,35 @@ class PostPool:
     """Post-lookup per-column compute on the POOLED [B, d] output — the
     expressible subset of the reference's post-lookup column subgraphs:
     BatchColReduction (Sum over the embedding dim, cuda_emitter.cc:
-    1180-1244) and elementwise affine rewrites (the PostLookupOptimizer's
-    push-compute-under-sparse Mul pattern, post_lookup_optimizer.cc:
-    480-608, restated on the pooled dense output where it is equivalent).
+    1180-1244), elementwise affine, softmax over the embedding dim (the
+    SparseSoftmax pattern, post_lookup_optimizer.cc:311-478, restated on
+    the pooled dense output), and elementwise column x column products
+    (the push-Mul-under-sparse pattern, post_lookup_optimizer.cc:480-608).
 
     op:
       * "reduce_sum"  — y = sum_d x[:, d]   (output width 1)
       * "reduce_mean" — y = mean_d x[:, d]  (output width 1)
       * "affine"      — y = x * scale + bias (per-dim vectors or scalars
                         broadcast; output width d)
+      * "softmax"     — y = softmax_d(x) (stable: exp(x - max) / sum;
+                        output width d)
+      * "mul_column"  — y = x * pooled[other] elementwise, where ``other``
+                        names another embedding column of the SAME dim in
+                        the model; the operand is other's RAW pooled
+                        output (pre-post), so chains cannot cycle.
     Ops chain left-to-right; an affine after a reduce acts on width 1."""
 
     op: str
     scale: Optional[Tuple[float, ...]] = None
     bias: Optional[Tuple[float, ...]] = None
+    other: Optional[str] = None         # mul_column operand column name
 
     def __post_init__(self):
-        if self.op not in ("reduce_sum", "reduce_mean", "affine"):
+        if self.op not in ("reduce_sum", "reduce_mean", "affine",
+                           "softmax", "mul_column"):
             raise ValueError(f"unknown PostPool op {self.op!r}")
+        if self.op == "mul_column" and not self.other:
+            raise ValueError("mul_column needs other=<column name>")
         for f in ("scale", "bias"):
             v = getattr(self, f)
             if v is not None and not isinstance(v, tuple):
@@ -363,7 +410,7 @@ class PostPool:
         return 1 if self.op.startswith("reduce") else d
 
     def cache_key(self) -> str:
-        return f"PostPool:{self.op}:{self.scale}:{self.bias}"
+        return f"PostPool:{self.op}:{self.scale}:{self.bias}:{self.other}"
 
 
 def column_out_width(model, col) -> int:
@@ -388,6 +435,11 @@ class FeatureColumn:
     transforms: Tuple[Transform, ...] = ()
     lookup: Optional[LookupSpec] = None
     post: Tuple["PostPool", ...] = ()
+    # in_concat=False: the column's pooled output feeds OTHER columns'
+    # post chains (mul_column operands) but occupies no concat slot — how
+    # the reference's push-Mul-under-sparse rewrite imports when only the
+    # product reaches the output concat (post_lookup_optimizer.cc:480-608)
+    in_concat: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "transforms", tuple(self.transforms))
@@ -395,6 +447,11 @@ class FeatureColumn:
         if self.post and self.lookup is None:
             raise ValueError(
                 f"column {self.name!r}: post-lookup ops need a lookup"
+            )
+        if not self.in_concat and self.lookup is None:
+            raise ValueError(
+                f"column {self.name!r}: in_concat=False needs a lookup "
+                "(a hidden column exists only as a pooled operand)"
             )
 
     def chain_key(self) -> str:
@@ -467,6 +524,25 @@ class ModelSpec:
                     f"column {col.name!r}: post-lookup ops change slot "
                     "widths; dlrm_dot interaction requires uniform dims"
                 )
+        by_name = {c.name: c for c in self.columns}
+        for col in self.columns:
+            for p in col.post:
+                if p.op != "mul_column":
+                    continue
+                other = by_name.get(p.other)
+                if other is None or other.lookup is None:
+                    raise ValueError(
+                        f"column {col.name!r}: mul_column operand "
+                        f"{p.other!r} is not an embedding column"
+                    )
+                if (
+                    self.tables[other.lookup.table].dim
+                    != self.tables[col.lookup.table].dim
+                ):
+                    raise ValueError(
+                        f"column {col.name!r}: mul_column operand "
+                        f"{p.other!r} has a different embedding dim"
+                    )
 
     @property
     def embedding_columns(self) -> List[FeatureColumn]:

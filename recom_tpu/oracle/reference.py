@@ -34,6 +34,7 @@ from recom_tpu.ir.spec import (
     FeatureKind,
     FilterRange,
     HashBucket,
+    HostEvalChain,
     IdentityTransform,
     Mod,
     ModelSpec,
@@ -264,9 +265,57 @@ def apply_transform(t: Transform, sp: SparseFeature) -> SparseFeature:
         mask = t.keep.membership_mask(v)
         sp.values = np.where(mask, v, np.int64(t.substitute))
         return sp
+    if isinstance(t, HostEvalChain):
+        sp.values = _host_eval_steps(sp.values, t.steps)
+        return sp
     if isinstance(t, (Cast, IdentityTransform)):
         return sp
     raise ValueError(f"unknown transform {t}")
+
+
+_EVAL_DTYPES = {"f32": np.float32, "f64": np.float64,
+                "i32": np.int32, "i64": np.int64}
+
+
+def _host_eval_steps(values, steps):
+    """Evaluate HostEvalChain steps; each step computes in ITS dtype (the
+    TF op's T attr) so float rounding matches the TF session exactly."""
+    x = np.asarray(values)
+    for op, c, dt in steps:
+        dtype = _EVAL_DTYPES[dt]
+        x = x.astype(dtype)
+        k = dtype(c) if c is not None else None
+        if op == "add":
+            x = x + k
+        elif op == "sub":
+            x = x - k
+        elif op == "rsub":
+            x = k - x
+        elif op == "mul":
+            x = x * k
+        elif op == "div":
+            x = x / k if x.dtype.kind == "f" else x // k
+        elif op == "rdiv":
+            x = k / x if x.dtype.kind == "f" else k // x
+        elif op == "floordiv":
+            x = np.floor_divide(x, k)
+        elif op == "mod":                   # TF FloorMod = python %
+            x = np.mod(x, k)
+        elif op == "minimum":
+            x = np.minimum(x, k)
+        elif op == "maximum":
+            x = np.maximum(x, k)
+        elif op == "floor":
+            x = np.floor(x)
+        elif op == "ceil":
+            x = np.ceil(x)
+        elif op == "round":                 # TF Round = half-to-even
+            x = np.round(x)
+        elif op == "cast":
+            pass                            # the astype above IS the cast
+        else:
+            raise ValueError(f"unknown host-eval op {op!r}")
+    return x
 
 
 def pool_lookup(
@@ -382,17 +431,28 @@ class OracleModel:
         return out
 
     @staticmethod
-    def apply_post(pooled: np.ndarray, post) -> np.ndarray:
+    def apply_post(pooled: np.ndarray, post, pooled_map=None) -> np.ndarray:
         """Post-lookup per-column chain on pooled [B, d] (PostPool).
         Reduction order may differ from XLA's by float association — the
         bit-exact contract covers the POOLED outputs; post outputs are
-        compared to float tolerance."""
+        compared to float tolerance.  ``pooled_map``: {column name: raw
+        pooled [B, d]} for mul_column operands (operand = the other
+        column's RAW pooled output, pre-post — no chain cycles)."""
         x = pooled
         for p in post:
             if p.op == "reduce_sum":
                 x = x.sum(axis=1, keepdims=True)
             elif p.op == "reduce_mean":
                 x = x.mean(axis=1, keepdims=True)
+            elif p.op == "softmax":
+                # stable softmax over the embedding dim (the reference's
+                # SparseSoftmax pattern, post_lookup_optimizer.cc:311-478,
+                # in the pooled domain)
+                m = x.max(axis=1, keepdims=True)
+                e = np.exp(x - m)
+                x = e / e.sum(axis=1, keepdims=True)
+            elif p.op == "mul_column":
+                x = x * np.asarray(pooled_map[p.other], np.float32)
             else:
                 if p.scale is not None:
                     x = x * np.asarray(p.scale, np.float32)
@@ -418,8 +478,9 @@ class OracleModel:
         tower = self.model.tower
 
         emb_list = [
-            self.apply_post(pooled[c.name], c.post)
+            self.apply_post(pooled[c.name], c.post, pooled_map=pooled)
             for c in self.model.embedding_columns
+            if c.in_concat
         ]
         if tower.arch == "mlp":
             front = dense

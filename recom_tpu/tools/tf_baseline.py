@@ -57,7 +57,9 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
     }
 
     dense_fields = [c.source.field for c in model.dense_columns]
-    emb_cols = list(model.embedding_columns)
+    # hidden (in_concat=False) columns feed other columns' posts, not the
+    # concat; the baseline models E/F/criteo carry no post chains
+    emb_cols = [c for c in model.embedding_columns if c.in_concat]
 
     def column_embedding(col, feed):
         kind = col.source.kind

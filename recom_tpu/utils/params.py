@@ -52,7 +52,11 @@ def tower_input_dim(model: ModelSpec) -> int:
 
     tower = model.tower
     n_dense = len(model.dense_columns)
-    emb_dims = [column_out_width(model, c) for c in model.embedding_columns]
+    emb_dims = [
+        column_out_width(model, c)
+        for c in model.embedding_columns
+        if c.in_concat
+    ]
     if tower.arch == "mlp":
         if tower.bottom_mlp:
             n_dense = tower.bottom_mlp[-1] if n_dense else 0

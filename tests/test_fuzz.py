@@ -142,7 +142,21 @@ def random_model(rng: np.random.Generator, n_cols: int):
                     scale=tuple(rng.uniform(0.5, 2.0, dim).astype(float)),
                     bias=(float(rng.uniform(-1, 1)),),
                 ))
-            if rng.random() < 0.6:
+            if rng.random() < 0.3:
+                post.append(PostPool("softmax"))
+            if rng.random() < 0.3:
+                # mul by an earlier same-dim embedding column's raw pooled
+                cands = [
+                    c.name for c in cols
+                    if c.lookup is not None
+                    and tables[c.lookup.table].dim == dim
+                ]
+                if cands:
+                    post.append(PostPool(
+                        "mul_column",
+                        other=cands[int(rng.integers(len(cands)))],
+                    ))
+            if rng.random() < 0.5:
                 post.append(PostPool(
                     "reduce_sum" if rng.random() < 0.5 else "reduce_mean"
                 ))

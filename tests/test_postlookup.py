@@ -177,3 +177,211 @@ def test_import_sum_after_lookup_as_post_reduce():
     got = eng.predict(feed2, return_concat=True)["concat"]
     # engine concat is [embeddings in import order]; same here (no dense)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def make_softmax_mul_model():
+    """Softmax + mul_column posts, incl. a HIDDEN operand column and a
+    cross-GROUP operand (dim-8 ragged operand for a dim-8 dense column)."""
+    tables = {
+        "t_a": TableSpec("t_a", 200, 8),
+        "t_b": TableSpec("t_b", 300, 8),
+        "t_sp": TableSpec("t_sp", 150, 8),
+        "t_sm": TableSpec("t_sm", 64, 4),
+    }
+    cols = [
+        # visible product column: a * pooled(b_hidden)
+        FeatureColumn("a", FeatureSource("a", FeatureKind.STRING),
+                      (HashBucket(200),), LookupSpec("t_a", Combiner.MEAN),
+                      post=(PostPool("mul_column", other="b_hidden"),)),
+        # hidden operand: pools, occupies no concat slot
+        FeatureColumn("b_hidden", FeatureSource("bh", FeatureKind.STRING),
+                      (HashBucket(300),), LookupSpec("t_b", Combiner.SUM),
+                      in_concat=False),
+        # cross-group operand: ragged column multiplied by the dense "a"
+        FeatureColumn("sp", FeatureSource("sp", FeatureKind.STRING_LIST,
+                                          delimiter=";"),
+                      (HashBucket(150),), LookupSpec("t_sp", Combiner.SUM),
+                      post=(PostPool("mul_column", other="a"),)),
+        # softmax over the embedding dim
+        FeatureColumn("sm", FeatureSource("sm", FeatureKind.STRING),
+                      (HashBucket(64),), LookupSpec("t_sm", Combiner.MEAN),
+                      post=(PostPool("softmax"),)),
+        FeatureColumn("d0", FeatureSource("d0", FeatureKind.DENSE_FLOAT)),
+    ]
+    tower = TowerSpec(arch="mlp", bottom_mlp=(), top_mlp=(8, 1),
+                      final_activation=None)
+    return ModelSpec("postsm", tables, cols, tower)
+
+
+@pytest.mark.parametrize("wire", [True, False])
+def test_softmax_and_mul_column_match_oracle(wire):
+    model = make_softmax_mul_model()
+    batch = make_random_batch(model, 29, seed=9)
+    params = init_model_params(model)
+    oracle = OracleModel(model, params=params)
+    eng = Engine(
+        model,
+        EngineConfig(interpret=True, wire_pack=wire, batch_buckets=(32,)),
+        params=params,
+    )
+    out = eng.predict(batch, return_pooled=True, return_concat=True)
+    ref = oracle.forward(batch)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+    # concat: dense(1) + a(8) + sp(8) + sm(4); b_hidden contributes NO slot
+    assert out["concat"].shape == ref["concat"].shape == (29, 21)
+    np.testing.assert_allclose(
+        out["concat"], ref["concat"], rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["output"], ref["output"], rtol=1e-5, atol=1e-6
+    )
+    # mul_column semantics: slot 'a' equals rawpooled(a) * rawpooled(b)
+    want = ref["pooled"]["a"] * ref["pooled"]["b_hidden"]
+    np.testing.assert_allclose(
+        out["concat"][:, 1:9], want, rtol=1e-6, atol=1e-6
+    )
+    # softmax rows sum to 1
+    sm = out["concat"][:, 17:21]
+    np.testing.assert_allclose(sm.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_mul_column_validation():
+    tables = {"t": TableSpec("t", 10, 8), "t2": TableSpec("t2", 10, 4)}
+    with pytest.raises(ValueError, match="not an embedding column"):
+        ModelSpec("bad", tables, [
+            FeatureColumn("a", FeatureSource("a", FeatureKind.STRING),
+                          (HashBucket(10),), LookupSpec("t", Combiner.MEAN),
+                          post=(PostPool("mul_column", other="nope"),)),
+        ], TowerSpec(arch="mlp", top_mlp=(1,)))
+    with pytest.raises(ValueError, match="different embedding dim"):
+        ModelSpec("bad2", tables, [
+            FeatureColumn("a", FeatureSource("a", FeatureKind.STRING),
+                          (HashBucket(10),), LookupSpec("t", Combiner.MEAN),
+                          post=(PostPool("mul_column", other="b"),)),
+            FeatureColumn("b", FeatureSource("b", FeatureKind.STRING),
+                          (HashBucket(10),), LookupSpec("t2", Combiner.MEAN)),
+        ], TowerSpec(arch="mlp", top_mlp=(1,)))
+
+
+def test_serde_roundtrip_softmax_mul_hidden():
+    from recom_tpu.ir.serde import model_from_dict, model_to_dict
+
+    model = make_softmax_mul_model()
+    rt = model_from_dict(model_to_dict(model))
+    assert [c.post for c in rt.columns] == [c.post for c in model.columns]
+    assert [c.in_concat for c in rt.columns] == (
+        [c.in_concat for c in model.columns]
+    )
+
+
+def test_import_softmax_after_lookup_as_post():
+    """Frozen TF graph: softmax over the pooled embedding dim imports as
+    PostPool('softmax') and matches the TF session output."""
+    import os
+
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+
+    from recom_tpu.importers.tf_graph import import_params, import_tf_graphdef
+
+    g = tf.Graph()
+    with g.as_default():
+        rng = np.random.default_rng(3)
+        tbl = tf.constant(rng.standard_normal((32, 4)).astype(np.float32))
+        ph = tf1.placeholder(tf.string, [None], name="s")
+        ids = tf.strings.to_hash_bucket_fast(ph, 32)
+        emb = tf.nn.embedding_lookup(tbl, ids)
+        sm = tf.nn.softmax(emb)
+        slots = [sm]
+        phs = {"s": ph}
+        for i in range(5):
+            p = tf1.placeholder(tf.float32, [None], name=f"d{i}")
+            phs[f"d{i}"] = p
+            slots.append(tf.reshape(p, [-1, 1]))
+        out = tf.identity(tf.concat(slots, axis=1), name="out")
+        with tf1.Session(graph=g) as sess:
+            feed = {phs["s"]: np.asarray([f"v{i}" for i in range(16)])}
+            for i in range(5):
+                feed[phs[f"d{i}"]] = rng.standard_normal(16).astype(np.float32)
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="sm", strict=True)
+    (col,) = model.embedding_columns
+    assert col.post and col.post[0].op == "softmax"
+    params = import_params(model, weights)
+    eng = Engine(model, EngineConfig(interpret=True), params=params)
+    batch = {"s": feed[phs["s"]]}
+    for i in range(5):
+        batch[f"d{i}"] = feed[phs[f"d{i}"]]
+    got = eng.predict(batch, return_concat=True)["concat"]
+    # engine concat = [dense..., emb]; TF slot order = [emb, dense...]
+    want_eng = np.concatenate([want[:, 4:], want[:, :4]], axis=1)
+    np.testing.assert_allclose(got, want_eng, rtol=1e-6, atol=1e-6)
+
+
+def test_import_mul_of_two_lookups_as_mul_column():
+    """Frozen TF graph: one concat slot = Mul of two pooled lookups
+    imports as a visible column with post=mul_column plus a HIDDEN
+    operand column, matching the TF session bit-for-bit at the output."""
+    import os
+
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+
+    from recom_tpu.importers.tf_graph import import_params, import_tf_graphdef
+
+    g = tf.Graph()
+    with g.as_default():
+        rng = np.random.default_rng(5)
+        ta = tf.constant(rng.standard_normal((64, 4)).astype(np.float32))
+        tb = tf.constant(rng.standard_normal((48, 4)).astype(np.float32))
+        pa = tf1.placeholder(tf.string, [None], name="fa")
+        pb = tf1.placeholder(tf.string, [None], name="fb")
+        ids_a = tf.strings.to_hash_bucket_fast(pa, 64)
+        ids_b = tf.strings.to_hash_bucket_fast(pb, 48)
+        # pooled lookups via sparse segment ops (one id per row)
+        seg = tf.range(tf.shape(ids_a)[0])
+        ea = tf.sparse.segment_sum(
+            tf.nn.embedding_lookup(ta, ids_a), tf.range(tf.size(ids_a)), seg)
+        eb = tf.sparse.segment_sum(
+            tf.nn.embedding_lookup(tb, ids_b), tf.range(tf.size(ids_b)), seg)
+        prod = ea * eb
+        slots = [prod]
+        phs = {"fa": pa, "fb": pb}
+        for i in range(5):
+            p = tf1.placeholder(tf.float32, [None], name=f"d{i}")
+            phs[f"d{i}"] = p
+            slots.append(tf.reshape(p, [-1, 1]))
+        out = tf.identity(tf.concat(slots, axis=1), name="out")
+        with tf1.Session(graph=g) as sess:
+            feed = {
+                phs["fa"]: np.asarray([f"a{i}" for i in range(16)]),
+                phs["fb"]: np.asarray([f"b{i*7}" for i in range(16)]),
+            }
+            for i in range(5):
+                feed[phs[f"d{i}"]] = rng.standard_normal(16).astype(np.float32)
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="mul", strict=True)
+    embs = model.embedding_columns
+    assert len(embs) == 2
+    hidden = [c for c in embs if not c.in_concat]
+    visible = [c for c in embs if c.in_concat]
+    assert len(hidden) == 1 and len(visible) == 1
+    assert visible[0].post[0].op == "mul_column"
+    assert visible[0].post[0].other == hidden[0].name
+    params = import_params(model, weights)
+    eng = Engine(model, EngineConfig(interpret=True), params=params)
+    batch = {"fa": feed[phs["fa"]], "fb": feed[phs["fb"]]}
+    for i in range(5):
+        batch[f"d{i}"] = feed[phs[f"d{i}"]]
+    got = eng.predict(batch, return_concat=True)["concat"]
+    want_eng = np.concatenate([want[:, 4:], want[:, :4]], axis=1)
+    np.testing.assert_allclose(got, want_eng, rtol=1e-6, atol=1e-6)

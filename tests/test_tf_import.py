@@ -306,7 +306,7 @@ def _bucketize_slot_graph(inject_mul: bool = False, residue_op: str = None):
     if inject_mul:
         g += node("bz/two", "Const",
                   value=av_tensor_float(np.asarray(2.0, np.float32)))
-        g += node("bz/Mul", "Mul", ["bz", "bz/two"])
+        g += node("bz/Mul", "Mul", ["bz", "bz/two"], T=av_type(DT_FLOAT))
         src = "bz/Mul"
     g += node("bz/Bucketize", "Bucketize", [src],
               boundaries=av_float_list([float(x) for x in range(0, 50, 5)]))
@@ -327,19 +327,66 @@ def _bucketize_slot_graph(inject_mul: bool = False, residue_op: str = None):
     return g
 
 
-def test_strict_rejects_compute_before_anchor():
+def test_compute_before_anchor_compiles_to_host_eval():
     """Placeholder -> Mul(2.0) -> Bucketize contains 'Bucketize', but
-    importing it as Bucketize(placeholder) silently drops the Mul; strict
-    mode must refuse (ADVICE r02: presence-based matching loophole)."""
+    importing it as Bucketize(placeholder) would silently drop the Mul
+    (ADVICE r02: presence-based matching loophole).  The value-path check
+    catches it, and the Mul compiles into a HostEvalChain so the column
+    serves with TF semantics instead of raising."""
+    from recom_tpu.ir.spec import HostEvalChain
+
     g = _bucketize_slot_graph(inject_mul=True)
+    model, _ = import_tf_graphdef(g, name="m", strict=True)
+    (col,) = model.embedding_columns
+    assert isinstance(col.transforms[0], HostEvalChain)
+    assert col.transforms[0].steps == (("mul", 2.0, "f32"),)
+    assert isinstance(col.transforms[1], Bucketize)
+    assert any("host evaluator" in w for w in model.import_warnings)
+    # and the oracle/engine actually evaluate it: x=6 -> 12 -> bucket 3
+    from recom_tpu.oracle import OracleModel
+    import recom_tpu.utils.params as up
+
+    params = up.init_model_params(model)
+    oracle = OracleModel(model, params=params)
+    batch = {"bz": np.asarray([6.0, 100.0, -3.0], np.float32)}
+    for i in range(5):
+        batch[f"dense{i}"] = np.zeros(3, np.float32)
+    pooled = oracle.pooled_outputs(batch)["bz"]
+    tbl = params["tables"]["emb_bz"]
+    np.testing.assert_array_equal(pooled[0], tbl[3])   # 12.0 -> bucket 3
+    np.testing.assert_array_equal(pooled[1], tbl[10])  # 200 -> clamp top
+    np.testing.assert_array_equal(pooled[2], tbl[0])   # -6 -> bucket 0
+
+
+def test_strict_rejects_uncompilable_compute_before_anchor():
+    """Compute the host evaluator can't express (Square has no const
+    operand) still raises under strict."""
+    rng = np.random.default_rng(0)
+    g = b""
+    concat_inputs = []
+    tbl = rng.standard_normal((11, 4)).astype(np.float32)
+    g += node("bz", "Placeholder", dtype=av_type(DT_FLOAT))
+    g += node("bz/Sq", "Square", ["bz"], T=av_type(DT_FLOAT))
+    g += node("bz/Bucketize", "Bucketize", ["bz/Sq"],
+              boundaries=av_float_list([float(x) for x in range(0, 50, 5)]))
+    g += node("emb_bz", "Const", value=av_tensor_float(tbl))
+    g += node("bz/SparseSegmentMean", "SparseSegmentMean",
+              ["emb_bz", "bz/Bucketize", "bz/segs"])
+    concat_inputs.append("bz/SparseSegmentMean")
+    for i in range(5):
+        g += node(f"dense{i}", "Placeholder", dtype=av_type(DT_FLOAT))
+        concat_inputs.append(f"dense{i}")
+    g += node("concat/axis", "Const")
+    g += node("input_layer/concat", "ConcatV2",
+              concat_inputs + ["concat/axis"], N=av_int(len(concat_inputs)))
     try:
         import_tf_graphdef(g, name="m", strict=True)
         assert False, "expected ValueError"
     except ValueError as e:
-        assert "Mul" in str(e) or "value path" in str(e)
-    # non-strict: imports the recognized part with a warning
+        assert "value path" in str(e) or "Square" in str(e)
     model, _ = import_tf_graphdef(g, name="m", strict=False)
-    assert any("value path" in w for w in model.import_warnings)
+    assert any("value path" in w or "Square" in w
+               for w in model.import_warnings)
 
 
 def test_strict_rejects_residue_ops():

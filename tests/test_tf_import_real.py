@@ -612,3 +612,60 @@ def test_indicator_identity_categorical_and_oov_zeroing():
     # ours: [dense, indicator]; TF: [indicator, dense]
     np.testing.assert_array_equal(got[:, 1:], want[:, :6], err_msg="ind")
     np.testing.assert_array_equal(got[:, :1], want[:, 6:], err_msg="dense")
+
+
+def test_host_eval_fallback_serves_bit_exact_vs_real_tf():
+    """An intentionally-odd frozen graph — Placeholder -> Mul(3.0) ->
+    AddV2(1.5) -> Bucketize -> lookup — has pre-anchor compute no chain
+    idiom models.  The reference leaves such segments on the CPU and still
+    runs them (RETURN_IF_FALSE discipline, cuda_emitter.cc:141-154); our
+    equivalent compiles the segment into a HostEvalChain, and the engine
+    must reproduce the TF session bit-exactly (VERDICT r02 item 9)."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        x = tf1.placeholder(tf.float32, [None], name="x")
+        y = tf.multiply(x, 3.0) + 1.5
+        bz = tf.raw_ops.Bucketize(input=y, boundaries=[1.0, 5.0, 9.0])
+        table = tf1.get_variable(
+            "emb", [4, 6], initializer=tf1.random_normal_initializer(seed=1)
+        )
+        n = tf.shape(bz)[0]
+        rows = tf.cast(tf.range(n), tf.int64)
+        sp = tf1.sparse.SparseTensor(
+            indices=tf.stack([rows, tf.zeros_like(rows)], axis=1),
+            values=tf.cast(bz, tf.int64),
+            dense_shape=tf.cast(tf.stack([n, 1]), tf.int64),
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, sp, combiner="mean"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="d")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feed_x = np.array([0.1, 0.4, 1.7, 3.0, 2.99, 0.33], np.float32)
+            feed_d = np.arange(6, dtype=np.float32).reshape(6, 1)
+            want = sess.run(out, {x: feed_x, d: feed_d})
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    from recom_tpu.importers.tf_graph import import_params
+    from recom_tpu.ir.spec import HostEvalChain
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="hosteval", strict=True
+    )
+    (col,) = model.embedding_columns
+    (he,) = [t for t in col.transforms if isinstance(t, HostEvalChain)]
+    assert he.steps == (("mul", 3.0, "f32"), ("add", 1.5, "f32"))
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(8,)),
+                 params=import_params(model, weights))
+    feed = {col.source.field: feed_x,
+            model.dense_columns[0].source.field: feed_d}
+    got = np.asarray(eng.predict(feed, return_concat=True)["concat"])
+    # ours: [dense, emb]; TF: [emb, dense]
+    np.testing.assert_array_equal(got[:, 1:], want[:, :6], err_msg="emb")
+    np.testing.assert_array_equal(got[:, :1], want[:, 6:], err_msg="dense")
