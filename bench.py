@@ -80,9 +80,11 @@ def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
         jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
     per = len(batches) // windows
     samples = []
+    req_ms = []                 # per-request wall times across ALL windows
     for w in range(windows):
         backlog = []
         t0 = time.perf_counter()
+        tprev = t0
         for i in range(per):
             p = eng.prepare(batches[w * per + i])
             fn = eng._get_jitted(p.signature)
@@ -90,10 +92,17 @@ def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
             if len(backlog) >= confirm_every:
                 jax.block_until_ready(backlog)
                 backlog = []
+            tnow = time.perf_counter()
+            req_ms.append(round((tnow - tprev) * 1e3, 3))
+            tprev = tnow
         if backlog:
             jax.block_until_ready(backlog)
         samples.append((time.perf_counter() - t0) / per)
-    return float(np.median(samples)), [round(s * 1e3, 3) for s in samples]
+    return (
+        float(np.median(samples)),
+        [round(s * 1e3, 3) for s in samples],
+        req_ms,
+    )
 
 
 def serve_windows(eng, warm_batches, batches, max_inflight=24,
@@ -238,6 +247,24 @@ def check_pallas_paths(model, np_params, batch) -> bool:
     return ok
 
 
+def check_pallas_paths_cheap() -> bool:
+    """One-group cheap variant of check_pallas_paths for EVERY full driver
+    run (VERDICT r02 item 4: the fused bucketize+one-hot kernel must be
+    compiled and validated against real Mosaic each run, not only under
+    --smoke): a small model whose columns route through both megakernels,
+    3 engine builds, bit-exact 3-way comparison."""
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.utils.params import init_model_params
+
+    model = make_dlrm_model(
+        16, 4, 4, 2, 0, 8, [8], [32, 1], name="pallas_trial"
+    )
+    np_params = init_model_params(model)
+    batch = make_random_batch(model, 128, seed=11)
+    return check_pallas_paths(model, np_params, batch)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true")
@@ -259,6 +286,11 @@ def main():
     ap.add_argument("--model", default="E", choices=["E", "F", "criteo"],
                     help="headline stays model E; F/criteo for the other "
                          "BASELINE configs")
+    ap.add_argument("--pallas-ab", action="store_true",
+                    help="A/B the fused bucketize+one-hot Pallas kernel "
+                         "(host_bucketize=False) against the default "
+                         "host-bucketize path on the chosen model/batch; "
+                         "prints one JSON artifact and exits")
     args = ap.parse_args()
 
     import jax
@@ -311,6 +343,42 @@ def main():
     from recom_tpu.utils.params import init_model_params
 
     np_params = init_model_params(model)
+
+    if args.pallas_ab:
+        # VERDICT r02 item 4: put the fused bucketize+one-hot kernel on
+        # trial in a recorded A/B — device-resident step latency AND host
+        # prep cost for both routings of the 880 bucketize columns
+        # (host_bucketize=True prepares ids on host; False ships raw f32
+        # and fuses bucketize into the one-hot megakernel,
+        # ops/lookup_pallas.py:81-125 — EmitInputInline's analogue)
+        out = {"model": model.name, "batch": args.batch, "arms": {}}
+        for label, hb in (("host_bucketize", True), ("fused_kernel", False)):
+            e = Engine(
+                model, EngineConfig(host_bucketize=hb), params=np_params
+            )
+            dev_s, dev_w, _, _, _ = device_windows(
+                e, [batch] + [
+                    make_random_batch(model, args.batch, seed=100 + i)
+                    for i in range(min(30, args.iters))
+                ]
+            )
+            prep_s, prep_w = time_windows(
+                lambda: e.prepare(batch), max(5, args.iters // 5), warmup=2
+            )
+            out["arms"][label] = {
+                "device_latency_ms": round(dev_s * 1e3, 3),
+                "device_windows_ms": dev_w,
+                "host_prep_ms": round(prep_s * 1e3, 3),
+                "host_prep_windows_ms": prep_w,
+                "request_ms": round((dev_s + prep_s) * 1e3, 3),
+            }
+        a = out["arms"]["host_bucketize"]["request_ms"]
+        b = out["arms"]["fused_kernel"]["request_ms"]
+        out["winner"] = "fused_kernel" if b < a else "host_bucketize"
+        out["fused_vs_host"] = round(a / b, 3)
+        print(json.dumps(out))
+        return
+
     eng = Engine(model, EngineConfig(), params=np_params)
 
     # distinct batch content for every timed dispatch (see the note above
@@ -378,6 +446,7 @@ def main():
     candidates = {}
     windows_by = {}
     serve_retry_w = None
+    per_request_ms = {}
     if not args.no_serve:
         per_mode = max(4, args.iters // 5) * 5
         # three serving modes, every request confirmed, fresh content per
@@ -385,14 +454,16 @@ def main():
         # transfer client spins the only core, async loop when dispatch
         # overlap is free, thread pipeline on multi-core hosts)
         warm = fresh_batches(2)
-        s, w = loop_windows(eng, warm, fresh_batches(per_mode),
-                            confirm_every=1)
+        s, w, req_sync = loop_windows(eng, warm, fresh_batches(per_mode),
+                                      confirm_every=1)
         candidates["serving_sync_loop"] = s
         windows_by["serving_sync_loop"] = w
-        s, w = loop_windows(eng, warm, fresh_batches(per_mode),
-                            confirm_every=8)
+        s, w, req_async = loop_windows(eng, warm, fresh_batches(per_mode),
+                                       confirm_every=8)
         candidates["serving_async_loop"] = s
         windows_by["serving_async_loop"] = w
+        per_request_ms = {"serving_sync_loop": req_sync,
+                          "serving_async_loop": req_async}
         s, w = serve_windows(eng, warm, fresh_batches(per_mode))
         # tunnel-squall retry (transparent: both window lists recorded):
         # when the median window is >3x the best window, the measurement
@@ -416,13 +487,13 @@ def main():
     # --- bit-exact gate (also exercises real Pallas on TPU); first D2H
     # of the process happens inside --------------------------------------
     check_bitexact(eng, model, np_params, batch, prep, darrays)
-    # the 3-engine fused-kernel comparison runs on --smoke only (full
-    # model E would triple the compile/upload bill); the full-run gate
-    # above still executes the id-driven Pallas megakernel.  Report what
-    # actually ran instead of claiming the smoke check.
+    # both Mosaic megakernels go on trial EVERY run: full-model 3-way
+    # comparison under --smoke, the one-group cheap variant otherwise
+    # (the full-model gate above already executes the id-driven kernel
+    # at scale; the cheap trial adds the fused bucketize+one-hot kernel)
     pallas_ok = (
         check_pallas_paths(model, np_params, batch) if args.smoke
-        else "gate_onehot_kernel_only"
+        else check_pallas_paths_cheap()
     )
 
     # --- baseline: REAL TensorFlow-CPU on the same model ---------------
@@ -474,6 +545,15 @@ def main():
                         k: round(v * 1e3, 3) for k, v in candidates.items()
                     },
                     "serve_modes_windows_ms": windows_by,
+                    # drift = last/first window: ~1.0 means the serving
+                    # measurement is stationary; r02's async loop drifted
+                    # monotonically 9.5 -> 21.4 ms (VERDICT weak #2) and
+                    # the per-request trace below localizes any recurrence
+                    "serve_window_drift": {
+                        k: round(w[-1] / w[0], 3)
+                        for k, w in windows_by.items() if w and w[0]
+                    },
+                    "serve_per_request_ms": per_request_ms,
                     "serve_squall_retry_windows_ms": serve_retry_w,
                     "request_latency_sync_ms": round(e2e_s * 1e3, 3),
                     "request_latency_sync_windows_ms": e2e_w,

@@ -150,3 +150,15 @@ class EngineConfig:
         self.use_pallas = _env_bool("RECOM_TPU_CODEGEN", self.use_pallas)
         self.batch_buckets = tuple(sorted(self.batch_buckets))
         self.rowlen_buckets = tuple(sorted(self.rowlen_buckets))
+        if self.shard_comm not in ("auto", "all_to_all", "psum"):
+            # an unrecognized value would silently take the psum path,
+            # which only promises 1e-6 where all_to_all promises bit-exact
+            raise ValueError(
+                f"shard_comm={self.shard_comm!r}: expected 'auto', "
+                "'all_to_all', or 'psum'"
+            )
+        if self.a2a_overflow_policy not in ("recompute", "warn", "raise"):
+            raise ValueError(
+                f"a2a_overflow_policy={self.a2a_overflow_policy!r}: "
+                "expected 'recompute', 'warn', or 'raise'"
+            )
