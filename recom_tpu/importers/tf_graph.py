@@ -333,10 +333,15 @@ def import_tf_graphdef(
         ops = {x.op: x for x in sub}
 
         placeholders = [x for x in sub if x.op == "Placeholder"]
+        # post-lookup column compute detected FIRST: its consumed nodes
+        # (a projection MatMul's frozen W const) must not be mistaken for
+        # embedding tables, and the residue check below admits its ops
+        post, post_ops, post_nodes = _detect_post(gi, inp)
         table_nodes = [
             x for x in sub
             if x.op in ("VariableV2", "VarHandleOp", "Const")
             and _table_shape(x) is not None
+            and x.name not in post_nodes
         ]
         if not table_nodes:
             # ---- indicator_column: OneHot(+Sum over the sequence axis)
@@ -475,10 +480,6 @@ def import_tf_graphdef(
             )
             col_widths.append(dim)
             continue
-        # --- post-lookup column compute detected FIRST so the residue
-        # check can admit the ops the post chain accounts for ------------
-        post, post_ops = _detect_post(gi, inp)
-
         matched = _match_categorical_chain(
             gi, ops, sub, placeholders, warnings, strict=strict
         )
@@ -704,30 +705,72 @@ def _match_categorical_chain(
 def _detect_post(gi: GraphIndex, inp: str):
     """Post-lookup column compute at the slot tail: Sum/Mean over the
     embedding dim (the reference's BatchColReduction, cuda_emitter.cc:
-    1180-1244) or Softmax over the embedding dim (the SparseSoftmax
-    pattern, post_lookup_optimizer.cc:311-478, in the pooled domain).
-    Returns (post tuple, ops the post chain accounts for)."""
+    1180-1244), Softmax over the embedding dim (the SparseSoftmax
+    pattern, post_lookup_optimizer.cc:311-478, in the pooled domain), or
+    a frozen MatMul projection (the push-MatMul-under-sparse rewrite,
+    post_lookup_optimizer.cc:227-309 — sum/mean pooling is linear, so the
+    projection commutes with it).  Ops peel tail-first into a chain.
+    Returns (post tuple, ops the post chain accounts for, node NAMES the
+    chain consumes — e.g. a MatMul's frozen W const, which must not be
+    mistaken for an embedding table by slot analysis)."""
     from recom_tpu.ir.spec import PostPool
 
-    red = _resolve_through(
-        gi, inp, ("Identity", "Reshape", "ExpandDims", "Squeeze")
-    )
-    if red is None:
-        return (), set()
-    if red.op in ("Sum", "Mean") and len(red.inputs) > 1:
-        ax = _const_scalar(gi, red.inputs[1])
-        if ax in (1, -1):
-            return (
-                (PostPool(
-                    "reduce_sum" if red.op == "Sum" else "reduce_mean"
-                ),),
-                {red.op},
-            )
-    if red.op == "Softmax":
-        # tf.nn.softmax defaults to the LAST axis = the embedding dim of
-        # the pooled [B, d] output
-        return (PostPool("softmax"),), {"Softmax"}
-    return (), set()
+    chain: list = []                    # built tail-first, reversed below
+    accounted: set = set()
+    node_names: set = set()
+    cur = inp
+    for _ in range(4):                  # bounded peel
+        red = _resolve_through(
+            gi, cur, ("Identity", "Reshape", "ExpandDims", "Squeeze")
+        )
+        if red is None:
+            break
+        if red.op in ("Sum", "Mean") and len(red.inputs) > 1:
+            ax = _const_scalar(gi, red.inputs[1])
+            if ax not in (1, -1):
+                break
+            chain.append(PostPool(
+                "reduce_sum" if red.op == "Sum" else "reduce_mean"
+            ))
+            accounted.add(red.op)
+            node_names.add(red.name)
+            cur = red.inputs[0]
+            continue
+        if red.op == "Softmax":
+            # tf.nn.softmax defaults to the LAST axis = the embedding dim
+            # of the pooled [B, d] output
+            chain.append(PostPool("softmax"))
+            accounted.add("Softmax")
+            node_names.add(red.name)
+            cur = red.inputs[0]
+            continue
+        if red.op == "MatMul" and len(red.inputs) == 2:
+            # x @ W with a frozen W on input 1 and no transposes (the
+            # reference declines transpose_a too, cc:247-249)
+            if attr_bool(red.attr("transpose_a")) or attr_bool(
+                red.attr("transpose_b")
+            ):
+                break
+            wnode = _resolve_through(gi, red.inputs[1])
+            if wnode is None or wnode.op != "Const":
+                break
+            w = attr_tensor(wnode.attr("value"))
+            if w is None or w.ndim != 2:
+                break
+            chain.append(PostPool(
+                "matmul",
+                weight=tuple(
+                    tuple(float(v) for v in row)
+                    for row in np.asarray(w, np.float32)
+                ),
+            ))
+            accounted.add("MatMul")
+            node_names.add(red.name)
+            node_names.add(wnode.name)
+            cur = red.inputs[0]
+            continue
+        break
+    return tuple(reversed(chain)), accounted, node_names
 
 
 def _register_table(tnode, tables, weights, warnings, checkpoint):

@@ -110,7 +110,9 @@ def model_to_dict(model: S.ModelSpec) -> Dict:
                     {"op": p.op,
                      "scale": list(p.scale) if p.scale else None,
                      "bias": list(p.bias) if p.bias else None,
-                     "other": p.other}
+                     "other": p.other,
+                     "weight": [list(r) for r in p.weight]
+                     if p.weight else None}
                     for p in c.post
                 ],
             }
@@ -163,6 +165,8 @@ def model_from_dict(d: Dict) -> S.ModelSpec:
                         scale=tuple(p["scale"]) if p.get("scale") else None,
                         bias=tuple(p["bias"]) if p.get("bias") else None,
                         other=p.get("other"),
+                        weight=tuple(tuple(r) for r in p["weight"])
+                        if p.get("weight") else None,
                     )
                     for p in c.get("post", ())
                 ),

@@ -385,16 +385,25 @@ class PostPool:
                         names another embedding column of the SAME dim in
                         the model; the operand is other's RAW pooled
                         output (pre-post), so chains cannot cycle.
+      * "matmul"      — y = x @ weight, a frozen per-column projection
+                        [d_in, d_out] (output width d_out).  The pooled
+                        restatement of the reference's push-MatMul-under-
+                        sparse rewrite (post_lookup_optimizer.cc:227-309:
+                        SparseToDense(sp) @ W -> SparseToDense(values @ W))
+                        — sum/mean/sqrtn pooling is linear in the values,
+                        so projecting the POOLED vector equals pooling the
+                        projected sequence values up to float association.
     Ops chain left-to-right; an affine after a reduce acts on width 1."""
 
     op: str
     scale: Optional[Tuple[float, ...]] = None
     bias: Optional[Tuple[float, ...]] = None
     other: Optional[str] = None         # mul_column operand column name
+    weight: Optional[Tuple[Tuple[float, ...], ...]] = None  # matmul [d,k]
 
     def __post_init__(self):
         if self.op not in ("reduce_sum", "reduce_mean", "affine",
-                           "softmax", "mul_column"):
+                           "softmax", "mul_column", "matmul"):
             raise ValueError(f"unknown PostPool op {self.op!r}")
         if self.op == "mul_column" and not self.other:
             raise ValueError("mul_column needs other=<column name>")
@@ -405,12 +414,34 @@ class PostPool:
                     self, f,
                     tuple(float(x) for x in np.atleast_1d(v)),
                 )
+        if self.op == "matmul":
+            w = self.weight
+            if w is None:
+                raise ValueError("matmul needs weight=[d_in][d_out]")
+            w = tuple(tuple(float(x) for x in row) for row in np.atleast_2d(w))
+            if len({len(r) for r in w}) != 1:
+                raise ValueError("matmul weight rows must be equal length")
+            object.__setattr__(self, "weight", w)
 
     def out_width(self, d: int) -> int:
+        if self.op == "matmul":
+            if len(self.weight) != d:
+                raise ValueError(
+                    f"matmul weight is {len(self.weight)}x"
+                    f"{len(self.weight[0])} but the column is width {d}"
+                )
+            return len(self.weight[0])
         return 1 if self.op.startswith("reduce") else d
 
     def cache_key(self) -> str:
-        return f"PostPool:{self.op}:{self.scale}:{self.bias}:{self.other}"
+        w = None
+        if self.weight is not None:
+            import hashlib
+
+            w = hashlib.md5(repr(self.weight).encode()).hexdigest()[:12]
+        return (
+            f"PostPool:{self.op}:{self.scale}:{self.bias}:{self.other}:{w}"
+        )
 
 
 def column_out_width(model, col) -> int:

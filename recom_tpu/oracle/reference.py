@@ -453,6 +453,10 @@ class OracleModel:
                 x = e / e.sum(axis=1, keepdims=True)
             elif p.op == "mul_column":
                 x = x * np.asarray(pooled_map[p.other], np.float32)
+            elif p.op == "matmul":
+                x = np.asarray(x, np.float32) @ np.asarray(
+                    p.weight, np.float32
+                )
             else:
                 if p.scale is not None:
                     x = x * np.asarray(p.scale, np.float32)

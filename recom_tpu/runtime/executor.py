@@ -64,6 +64,14 @@ def _group_concat(g, pooled, col_pooled=None):
             elif p.op == "mul_column":
                 # operand = the other column's RAW pooled output
                 x = x * col_pooled[p.other]
+            elif p.op == "matmul":
+                # frozen per-column projection (the push-MatMul-under-
+                # sparse rewrite, post_lookup_optimizer.cc:227-309, in the
+                # pooled domain); HIGHEST keeps the f32 MXU pass exact
+                x = jnp.dot(
+                    x, jnp.asarray(p.weight, jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             else:   # affine
                 if p.scale is not None:
                     x = x * jnp.asarray(p.scale, jnp.float32)

@@ -156,6 +156,17 @@ def random_model(rng: np.random.Generator, n_cols: int):
                         "mul_column",
                         other=cands[int(rng.integers(len(cands)))],
                     ))
+            if rng.random() < 0.3:
+                # frozen per-column projection (the push-MatMul-under-
+                # sparse rewrite in the pooled domain)
+                k = int(rng.integers(1, dim + 1))
+                post.append(PostPool(
+                    "matmul",
+                    weight=tuple(
+                        tuple(rng.uniform(-1, 1, k).astype(float))
+                        for _ in range(dim)
+                    ),
+                ))
             if rng.random() < 0.5:
                 post.append(PostPool(
                     "reduce_sum" if rng.random() < 0.5 else "reduce_mean"

@@ -323,6 +323,114 @@ def test_import_softmax_after_lookup_as_post():
     np.testing.assert_allclose(got, want_eng, rtol=1e-6, atol=1e-6)
 
 
+def test_matmul_post_matches_oracle_and_serde():
+    """PostPool('matmul') — the push-MatMul-under-sparse rewrite
+    (post_lookup_optimizer.cc:227-309) in the pooled domain: projection
+    widths flow through the concat; engine matches the oracle."""
+    from recom_tpu.ir.serde import model_from_dict, model_to_dict
+    from recom_tpu.ir.spec import column_out_width
+
+    rng = np.random.default_rng(12)
+    w_85 = tuple(tuple(rng.uniform(-1, 1, 5)) for _ in range(8))
+    w_43 = tuple(tuple(rng.uniform(-1, 1, 3)) for _ in range(4))
+    tables = {"t8": TableSpec("t8", 100, 8), "t4": TableSpec("t4", 40, 4)}
+    cols = [
+        # plain projection 8 -> 5
+        FeatureColumn("pa", FeatureSource("pa", FeatureKind.STRING),
+                      (HashBucket(100),), LookupSpec("t8", Combiner.MEAN),
+                      post=(PostPool("matmul", weight=w_85),)),
+        # softmax then projection 4 -> 3 then reduce
+        FeatureColumn("pb", FeatureSource("pb", FeatureKind.STRING),
+                      (HashBucket(40),), LookupSpec("t4", Combiner.SUM),
+                      post=(PostPool("softmax"),
+                            PostPool("matmul", weight=w_43),
+                            PostPool("reduce_sum"))),
+        FeatureColumn("d0", FeatureSource("d0", FeatureKind.DENSE_FLOAT)),
+    ]
+    model = ModelSpec("pm", tables, cols,
+                      TowerSpec(arch="mlp", top_mlp=(8, 1)))
+    assert column_out_width(model, model.columns[0]) == 5
+    assert column_out_width(model, model.columns[1]) == 1
+
+    rt = model_from_dict(model_to_dict(model))
+    assert [c.post for c in rt.columns] == [c.post for c in model.columns]
+
+    batch = make_random_batch(model, 21, seed=3)
+    params = init_model_params(model)
+    oracle = OracleModel(model, params=params)
+    eng = Engine(model, EngineConfig(interpret=True, batch_buckets=(32,)),
+                 params=params)
+    out = eng.predict(batch, return_pooled=True, return_concat=True)
+    ref = oracle.forward(batch)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+    # concat: dense(1) + pa(5) + pb(1)
+    assert out["concat"].shape == ref["concat"].shape == (21, 7)
+    np.testing.assert_allclose(
+        out["concat"], ref["concat"], rtol=1e-6, atol=1e-6
+    )
+
+    # bad width fails loudly
+    with pytest.raises(ValueError, match="width"):
+        column_out_width(
+            model,
+            FeatureColumn("bad", FeatureSource("x", FeatureKind.STRING),
+                          (HashBucket(10),), LookupSpec("t8", Combiner.MEAN),
+                          post=(PostPool("matmul", weight=w_43),)),
+        )
+
+
+def test_import_matmul_after_lookup_as_post():
+    """Frozen TF graph: pooled lookup @ const W imports as
+    PostPool('matmul') and matches the TF session output."""
+    import os
+
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+
+    from recom_tpu.importers.tf_graph import import_params, import_tf_graphdef
+
+    g = tf.Graph()
+    with g.as_default():
+        rng = np.random.default_rng(8)
+        tbl = tf.constant(rng.standard_normal((32, 4)).astype(np.float32))
+        proj = tf.constant(rng.standard_normal((4, 6)).astype(np.float32))
+        ph = tf1.placeholder(tf.string, [None], name="s")
+        ids = tf.strings.to_hash_bucket_fast(ph, 32)
+        emb = tf.nn.embedding_lookup(tbl, ids)
+        mm = tf.matmul(emb, proj)
+        slots = [mm]
+        phs = {"s": ph}
+        for i in range(5):
+            p = tf1.placeholder(tf.float32, [None], name=f"d{i}")
+            phs[f"d{i}"] = p
+            slots.append(tf.reshape(p, [-1, 1]))
+        out = tf.identity(tf.concat(slots, axis=1), name="out")
+        with tf1.Session(graph=g) as sess:
+            feed = {phs["s"]: np.asarray([f"q{i*3}" for i in range(16)])}
+            for i in range(5):
+                feed[phs[f"d{i}"]] = rng.standard_normal(16).astype(np.float32)
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="mmp", strict=True)
+    (col,) = model.embedding_columns
+    assert col.post and col.post[0].op == "matmul"
+    assert len(col.post[0].weight) == 4
+    assert len(col.post[0].weight[0]) == 6
+    params = import_params(model, weights)
+    eng = Engine(model, EngineConfig(interpret=True), params=params)
+    batch = {"s": feed[phs["s"]]}
+    for i in range(5):
+        batch[f"d{i}"] = feed[phs[f"d{i}"]]
+    got = eng.predict(batch, return_concat=True)["concat"]
+    # engine concat = [dense..., emb]; TF slot order = [emb(6), dense...]
+    want_eng = np.concatenate([want[:, 6:], want[:, :6]], axis=1)
+    np.testing.assert_allclose(got, want_eng, rtol=1e-5, atol=1e-6)
+
+
 def test_import_mul_of_two_lookups_as_mul_column():
     """Frozen TF graph: one concat slot = Mul of two pooled lookups
     imports as a visible column with post=mul_column plus a HIDDEN
