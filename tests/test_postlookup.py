@@ -431,6 +431,57 @@ def test_import_matmul_after_lookup_as_post():
     np.testing.assert_allclose(got, want_eng, rtol=1e-5, atol=1e-6)
 
 
+def test_import_softmax_matmul_sum_chain_as_post():
+    """Frozen TF graph: Softmax -> MatMul(W) -> Sum(axis 1) after the
+    lookup imports as the peeled 3-op post chain and matches TF."""
+    import os
+
+    os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+
+    from recom_tpu.importers.tf_graph import import_params, import_tf_graphdef
+
+    g = tf.Graph()
+    with g.as_default():
+        rng = np.random.default_rng(14)
+        tbl = tf.constant(rng.standard_normal((24, 4)).astype(np.float32))
+        proj = tf.constant(rng.standard_normal((4, 3)).astype(np.float32))
+        ph = tf1.placeholder(tf.string, [None], name="s")
+        ids = tf.strings.to_hash_bucket_fast(ph, 24)
+        emb = tf.nn.embedding_lookup(tbl, ids)
+        y = tf.reshape(
+            tf.reduce_sum(tf.matmul(tf.nn.softmax(emb), proj), axis=1),
+            [-1, 1],
+        )
+        slots = [y]
+        phs = {"s": ph}
+        for i in range(5):
+            p = tf1.placeholder(tf.float32, [None], name=f"d{i}")
+            phs[f"d{i}"] = p
+            slots.append(tf.reshape(p, [-1, 1]))
+        out = tf.identity(tf.concat(slots, axis=1), name="out")
+        with tf1.Session(graph=g) as sess:
+            feed = {phs["s"]: np.asarray([f"z{i*5}" for i in range(12)])}
+            for i in range(5):
+                feed[phs[f"d{i}"]] = rng.standard_normal(12).astype(np.float32)
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="chain", strict=True)
+    (col,) = model.embedding_columns
+    assert [p.op for p in col.post] == ["softmax", "matmul", "reduce_sum"]
+    params = import_params(model, weights)
+    eng = Engine(model, EngineConfig(interpret=True), params=params)
+    batch = {"s": feed[phs["s"]]}
+    for i in range(5):
+        batch[f"d{i}"] = feed[phs[f"d{i}"]]
+    got = eng.predict(batch, return_concat=True)["concat"]
+    want_eng = np.concatenate([want[:, 1:], want[:, :1]], axis=1)
+    np.testing.assert_allclose(got, want_eng, rtol=1e-5, atol=1e-6)
+
+
 def test_import_mul_of_two_lookups_as_mul_column():
     """Frozen TF graph: one concat slot = Mul of two pooled lookups
     imports as a visible column with post=mul_column plus a HIDDEN
