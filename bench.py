@@ -63,46 +63,9 @@ def time_windows(fn, iters, warmup=5, windows=5):
 # DISTINCT batches sequentially — no batch is dispatched twice.
 
 
-def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
-    """Single-threaded serving loop: prep + dispatch inline, confirming
-    the backlog every ``confirm_every`` requests (and at window end) with
-    one wait call.  ``confirm_every=1`` is the strict synchronous loop —
-    on THIS host often the fastest mode, because the tunnel client
-    busy-spins the single CPU core while async work is in flight
-    (measured: host prep inflates 4.4ms -> 40-60ms with transfers
-    outstanding).  Each of ``batches`` is served exactly once.  Returns
-    (median per-request s, window ms)."""
-    import jax
-
-    for sb in warm_batches:     # warm signatures + rowlen hints
-        p = eng.prepare(sb)
-        fn = eng._get_jitted(p.signature)
-        jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
-    per = len(batches) // windows
-    samples = []
-    req_ms = []                 # per-request wall times across ALL windows
-    for w in range(windows):
-        backlog = []
-        t0 = time.perf_counter()
-        tprev = t0
-        for i in range(per):
-            p = eng.prepare(batches[w * per + i])
-            fn = eng._get_jitted(p.signature)
-            backlog.append(fn(eng.device_params, p.arrays)["output"])
-            if len(backlog) >= confirm_every:
-                jax.block_until_ready(backlog)
-                backlog = []
-            tnow = time.perf_counter()
-            req_ms.append(round((tnow - tprev) * 1e3, 3))
-            tprev = tnow
-        if backlog:
-            jax.block_until_ready(backlog)
-        samples.append((time.perf_counter() - t0) / per)
-    return (
-        float(np.median(samples)),
-        [round(s * 1e3, 3) for s in samples],
-        req_ms,
-    )
+from recom_tpu.tools.serve_loops import loop_windows  # noqa: E402
+# (shared with tools/ae_sweep.py so the AE artifact and the headline bench
+# measure with the SAME confirm-every-N protocol)
 
 
 def serve_windows(eng, warm_batches, batches, max_inflight=24,

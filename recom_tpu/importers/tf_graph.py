@@ -55,11 +55,16 @@ from recom_tpu.ir.spec import (
     FeatureKind,
     FeatureSource,
     HashBucket,
+    HostEvalChain,
     LookupSpec,
     ModelSpec,
     TableSpec,
     TowerSpec,
 )
+
+
+def _has_hosteval(transforms) -> bool:
+    return any(isinstance(t, HostEvalChain) for t in transforms)
 
 DT_FLOAT, DT_DOUBLE, DT_INT32, DT_STRING, DT_INT64 = 1, 2, 3, 7, 9
 
@@ -492,7 +497,7 @@ def import_tf_graphdef(
             # mean the slot computes something this import can't model
             residue = _slot_residue(
                 set(x.op for x in sub) - post_ops, anchor_kind,
-                weighted=weighted,
+                weighted=weighted, hosteval=_has_hosteval(transforms),
             )
             if residue:
                 msg = (
@@ -556,7 +561,14 @@ def import_tf_graphdef(
                 post=post,
             )
         )
-        col_widths.append(1 if post else dim)
+        # concat-slot width = table dim folded through the post chain
+        # (reduce -> 1, softmax/mul -> dim, matmul -> d_out); a bare
+        # "1 if post else dim" broke tower import for the non-reducing
+        # post ops
+        w = dim
+        for p in post or ():
+            w = p.out_width(w)
+        col_widths.append(w)
 
     tower_params = None
     if tower is None:
@@ -649,20 +661,50 @@ def _match_categorical_chain(
         else:
             kind = FeatureKind.STRING
         chain_hi = (nb or 0) - 1 if nb else None
-    elif (
-        allow_identity_ids
-        and _ph_dtype(placeholders) in (DT_INT32, DT_INT64)
-    ):
-        # categorical_column_with_identity: raw integer ids
-        from recom_tpu.ir.spec import NumToId
-
-        anchor_kind = "identity"
-        transforms = (NumToId(identity_cap),) + range_tf
-        main_ph = placeholders[0] if placeholders else None
-        kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
-        chain_hi = None
     else:
-        return None
+        # No transform anchor op at all.  Before giving up, try the
+        # run-anything fallback on the WHOLE id value path: an anchor-less
+        # chain like Placeholder -> Div(2) -> lookup carries real compute
+        # that compiles to a bounded host evaluator (the reference serves
+        # such unmatched segments on CPU, cuda_emitter.cc:141-154).  The
+        # id values enter the sparse machinery at SparseFillEmptyRows
+        # (indices, VALUES, shape, default) or SparseToDense
+        # (indices, shape, VALUES, default).
+        entry = None
+        if "SparseFillEmptyRows" in ops:
+            entry = ops["SparseFillEmptyRows"].inputs[1]
+        elif "SparseToDense" in ops:
+            entry = ops["SparseToDense"].inputs[2]
+        steps = he_ph = None
+        if entry is not None:
+            steps, he_ph = _compile_host_eval(gi, entry)
+        if steps is not None and steps[-1][2] in ("i32", "i64"):
+            anchor_kind = "hosteval"
+            transforms = (HostEvalChain(steps),) + range_tf
+            main_ph = he_ph
+            if ragged:
+                kind = FeatureKind.INT_LIST
+            elif attr_type(he_ph.attr("dtype")) in (DT_FLOAT, DT_DOUBLE):
+                kind = FeatureKind.DENSE_FLOAT
+            else:
+                kind = FeatureKind.DENSE_INT
+            warnings.append(
+                "anchor-less chain: id path compiled to a host evaluator "
+                f"{[s[0] for s in steps]} (served bit-exact on host)"
+            )
+        elif (
+            allow_identity_ids
+            and _ph_dtype(placeholders) in (DT_INT32, DT_INT64)
+        ):
+            # categorical_column_with_identity: raw integer ids
+            from recom_tpu.ir.spec import NumToId
+
+            anchor_kind = "identity"
+            transforms = (NumToId(identity_cap),) + range_tf
+            main_ph = placeholders[0] if placeholders else None
+            kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
+        else:
+            return None
     if anchor_input is not None:
         src = _trace_value_source(gi, anchor_input)
         if src is not None and src.op == "Placeholder":
@@ -673,8 +715,6 @@ def _match_categorical_chain(
             # bounded host evaluator when it is elementwise const-operand
             # arithmetic (the reference serves unmatched segments on CPU,
             # cuda_emitter.cc:141-154; HostEvalChain is our equivalent)
-            from recom_tpu.ir.spec import HostEvalChain
-
             steps, ph = _compile_host_eval(gi, anchor_input)
             if steps is not None:
                 transforms = (HostEvalChain(steps),) + transforms
@@ -856,12 +896,20 @@ def _import_mul_slot(
         transforms, kind, main_ph, ragged, delimiter, _, anchor_kind = (
             matched
         )
-        if _slot_residue(set(x.op for x in sub), anchor_kind):
+        if _slot_residue(set(x.op for x in sub), anchor_kind,
+                         hosteval=_has_hosteval(transforms)):
             return False
         cones.append((
             tnodes[0], combiner, transforms, kind, main_ph, ragged,
             delimiter,
         ))
+    # elementwise Mul requires equal pooled widths: a broadcast Mul (e.g.
+    # gating by a [V,1] table) is NOT this pattern — bail so the caller's
+    # multi-table guard skips-and-warns instead of crashing model
+    # validation after import
+    dims = [_table_shape(c[0])[1] for c in cones]
+    if dims[0] != dims[1]:
+        return False
     taken = {c.name for c in columns}
 
     def fresh(base: str) -> str:
@@ -971,7 +1019,8 @@ def _import_indicator(
         matched
     )
     residue = _slot_residue(
-        set(x.op for x in sub), anchor_kind, indicator=True
+        set(x.op for x in sub), anchor_kind, indicator=True,
+        hosteval=_has_hosteval(transforms),
     )
     if residue:
         return bail(
@@ -1665,11 +1714,19 @@ _SLOT_OPS_WEIGHTED = frozenset({
     "SegmentSum", "DivNoNan", "RealDiv", "Div", "Sqrt", "Square", "Pow",
 })
 _SLOT_OPS_INDICATOR = frozenset({"OneHot"})
+# Ops a HostEvalChain can absorb (the MatchExpr vocabulary).  Allowed in
+# residue ONLY when the match actually produced a HostEvalChain — i.e.
+# _compile_host_eval verified the value path compiles; presence of these
+# ops elsewhere in such a slot is then covered by the same vocabulary.
+_SLOT_OPS_HOSTEVAL = (
+    frozenset(_HOSTEVAL_BINOPS) | frozenset(_HOSTEVAL_UNOPS)
+)
 
 
 def _slot_residue(
     ops_present: Set[str], anchor_kind: str,
     weighted: bool = False, indicator: bool = False,
+    hosteval: bool = False,
 ) -> Set[str]:
     """Ops in the slot outside its idiom's measured vocabulary (empty for
     every real feature-column graph; non-empty = unmodeled computation)."""
@@ -1680,6 +1737,8 @@ def _slot_residue(
         allowed = allowed | _SLOT_OPS_WEIGHTED
     if indicator:
         allowed = allowed | _SLOT_OPS_INDICATOR
+    if hosteval:
+        allowed = allowed | _SLOT_OPS_HOSTEVAL
     return set(ops_present) - allowed
 
 

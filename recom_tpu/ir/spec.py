@@ -557,23 +557,30 @@ class ModelSpec:
                 )
         by_name = {c.name: c for c in self.columns}
         for col in self.columns:
+            if not col.post or col.lookup is None:
+                continue
+            # fold widths through the chain so a mul_column AFTER a
+            # width-changing op (reduce/matmul) is checked against the
+            # width AT ITS POSITION, not the column's table dim — the
+            # operand is the other column's RAW pooled [B, table dim]
+            # and mul is strictly elementwise (no broadcast)
+            w = self.tables[col.lookup.table].dim
             for p in col.post:
-                if p.op != "mul_column":
-                    continue
-                other = by_name.get(p.other)
-                if other is None or other.lookup is None:
-                    raise ValueError(
-                        f"column {col.name!r}: mul_column operand "
-                        f"{p.other!r} is not an embedding column"
-                    )
-                if (
-                    self.tables[other.lookup.table].dim
-                    != self.tables[col.lookup.table].dim
-                ):
-                    raise ValueError(
-                        f"column {col.name!r}: mul_column operand "
-                        f"{p.other!r} has a different embedding dim"
-                    )
+                if p.op == "mul_column":
+                    other = by_name.get(p.other)
+                    if other is None or other.lookup is None:
+                        raise ValueError(
+                            f"column {col.name!r}: mul_column operand "
+                            f"{p.other!r} is not an embedding column"
+                        )
+                    if self.tables[other.lookup.table].dim != w:
+                        raise ValueError(
+                            f"column {col.name!r}: mul_column operand "
+                            f"{p.other!r} is width "
+                            f"{self.tables[other.lookup.table].dim} but "
+                            f"the chain is width {w} at that position"
+                        )
+                w = p.out_width(w)
 
     @property
     def embedding_columns(self) -> List[FeatureColumn]:
@@ -585,10 +592,13 @@ class ModelSpec:
 
     @property
     def output_dim(self) -> int:
-        """Width of the concatenated feature matrix feeding the tower."""
+        """Width of the concatenated feature matrix feeding the tower:
+        dense passthroughs + each concat-visible embedding column's
+        post-chain output width."""
         d = len(self.dense_columns)
         for c in self.embedding_columns:
-            d += self.tables[c.lookup.table].dim
+            if c.in_concat:
+                d += column_out_width(self, c)
         return d
 
     def spec_hash(self) -> str:

@@ -138,10 +138,17 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         values = arr.astype(np.float64 if kind == FeatureKind.DENSE_FLOAT else np.int64)
         row_ids = np.arange(b, dtype=np.int64)
         weights = _scalar_weights(batch, weight_field, col, b)
-        if kind == FeatureKind.DENSE_INT:
+        if kind == FeatureKind.DENSE_INT and not (
+            col.transforms and isinstance(col.transforms[0], HostEvalChain)
+        ):
             # TF feature_column ignore_value semantics: -1 in a dense int
             # categorical input means MISSING (the row becomes empty ->
-            # pooled zeros), validated vs TF 2.21 input_layer
+            # pooled zeros), validated vs TF 2.21 input_layer.  NOT when a
+            # HostEvalChain leads the chain: there the raw value is
+            # pre-id arithmetic input (e.g. Placeholder -> Div -> lookup),
+            # and missing/valid is decided by the chain's OUTPUT (the
+            # imported FilterRange / the ids<0 prune), matching the TF
+            # session that computed on the raw -1.
             keep = values != -1
             values, row_ids = values[keep], row_ids[keep]
             if weights is not None:
@@ -277,6 +284,15 @@ _EVAL_DTYPES = {"f32": np.float32, "f64": np.float64,
                 "i32": np.int32, "i64": np.int64}
 
 
+def _trunc_div(a, b):
+    """TF's integer Div truncates toward zero (C semantics; verified vs
+    TF 2.21: Div(-7,2) = -3) — numpy's // floors.  Pure integer math so
+    int64 beyond f64 precision stays exact."""
+    q = np.floor_divide(a, b)
+    r = a - q * b
+    return q + ((r != 0) & ((a < 0) != (b < 0)))
+
+
 def _host_eval_steps(values, steps):
     """Evaluate HostEvalChain steps; each step computes in ITS dtype (the
     TF op's T attr) so float rounding matches the TF session exactly."""
@@ -294,9 +310,9 @@ def _host_eval_steps(values, steps):
         elif op == "mul":
             x = x * k
         elif op == "div":
-            x = x / k if x.dtype.kind == "f" else x // k
+            x = x / k if x.dtype.kind == "f" else _trunc_div(x, k)
         elif op == "rdiv":
-            x = k / x if x.dtype.kind == "f" else k // x
+            x = k / x if x.dtype.kind == "f" else _trunc_div(k, x)
         elif op == "floordiv":
             x = np.floor_divide(x, k)
         elif op == "mod":                   # TF FloorMod = python %

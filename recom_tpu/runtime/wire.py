@@ -488,6 +488,7 @@ def prepare_batch_wire(
     layout = wire_layout(compiled, bp, tuple(rowlens), host_bz)
     blob = np.zeros(layout.total_bytes, dtype=np.uint8)
     by_key = {(v.gid, v.name): v for v in layout.views}
+    _mark("prep.alloc")             # layout compute + blob zero-fill
 
     dense_v = layout.view_np(blob, by_key[(-1, "dense")])
     # raw arrays, no pre-coercion: copy_f32_multi's pointer helper
@@ -603,6 +604,12 @@ def prepare_batch_wire(
                 _mark("prep.weights")
 
     if redo:
+        if timers is not None:
+            # the busted-hint first pass's work was real wall time: flush
+            # its marks so the breakdown sums to the request's total (the
+            # redo pass adds its own on top)
+            for cls, dt in _marks.items():
+                timers.add(cls, dt)
         overrides = dict(_rowlen_overrides or {})
         overrides.update(redo)
         return prepare_batch_wire(

@@ -54,46 +54,10 @@ def _distinct_batches(model, bs: int, n: int, seed0: int):
     return [make_random_batch(model, bs, seed=seed0 + i) for i in range(n)]
 
 
-def _async_loop(eng, batches, confirm_every=8, windows=5):
-    """(median per-request s, window ms): prep + dispatch inline, one wait
-    per ``confirm_every`` requests (bench.py loop_windows protocol)."""
-    import jax
-    import numpy as np
-
-    per = max(1, len(batches) // windows)
-    samples = []
-    for w in range(windows):
-        use = batches[w * per : (w + 1) * per]
-        if not use:
-            break
-        backlog = []
-        t0 = time.perf_counter()
-        for b in use:
-            p = eng.prepare(b)
-            fn = eng._get_jitted(p.signature)
-            backlog.append(fn(eng.device_params, p.arrays)["output"])
-            if len(backlog) >= confirm_every:
-                jax.block_until_ready(backlog)
-                backlog = []
-        if backlog:
-            jax.block_until_ready(backlog)
-        samples.append((time.perf_counter() - t0) / len(use))
-    return float(np.median(samples)), [round(s * 1e3, 3) for s in samples]
-
-
-def _sync_loop(eng, batches):
-    """(median per-request s, all ms): one wait per request."""
-    import jax
-    import numpy as np
-
-    lats = []
-    for b in batches:
-        t0 = time.perf_counter()
-        p = eng.prepare(b)
-        fn = eng._get_jitted(p.signature)
-        jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
-        lats.append(time.perf_counter() - t0)
-    return float(np.median(lats)), [round(s * 1e3, 3) for s in lats]
+# Both protocols measure through the ONE shared loop implementation
+# (tools/serve_loops.py, also used by bench.py): confirm_every=8 is the
+# async serving loop, confirm_every=1 the strict synchronous loop.
+from recom_tpu.tools.serve_loops import loop_windows
 
 
 def _tf_cpu_cell(tfn, make_feed, batches, iters=3):
@@ -135,8 +99,14 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
         # (single-core string synthesis) doesn't dominate the sweep's wall
         # time; minimum 10 so windows stay meaningful
         n = max(10, min(n_inputs, (n_inputs * 512) // bs))
-        bats = _distinct_batches(model, bs, n + 2, seed0=10_000 + bs)
-        warm, bats = bats[:2], bats[2:]
+        n_sync = max(5, n // 2)
+        # async and sync loops get DISJOINT batch sets: the transport
+        # caches repeated (program, inputs) executions, so replaying the
+        # async loop's content through the sync loop would serve from
+        # cache and flatter the sync column
+        bats = _distinct_batches(model, bs, n + n_sync + 2,
+                                 seed0=10_000 + bs)
+        warm, bats, sync_bats = bats[:2], bats[2:n + 2], bats[n + 2:]
         t0 = time.perf_counter()
         for wb in warm:                 # compile + rowlen hints
             p = eng.prepare(wb)
@@ -146,8 +116,9 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
             jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
         compile_s = time.perf_counter() - t0
 
-        async_s, async_w = _async_loop(eng, bats)
-        sync_s, sync_w = _sync_loop(eng, bats[: max(5, len(bats) // 2)])
+        async_s, async_w, _ = loop_windows(eng, [], bats, confirm_every=8)
+        sync_s, _, sync_w = loop_windows(eng, [], sync_bats,
+                                         confirm_every=1, windows=1)
 
         row = {
             "model": model.name,
@@ -185,7 +156,11 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
     np_params = init_model_params(model)
     eng = Engine(model, EngineConfig(), params=np_params)
     for nw in workers:
-        bats = _distinct_batches(model, batch, n_inputs + 2, seed0=77_000)
+        # seed varies per arm: identical content across arms would be
+        # served from the transport's (program, inputs) execution cache
+        # after the first arm runs it
+        bats = _distinct_batches(model, batch, n_inputs + 2,
+                                 seed0=77_000 + nw * 7_919)
         with ServingPipeline(
             eng, prep_workers=nw, max_inflight=24, fetch_outputs=False
         ) as pipe:

@@ -1,0 +1,63 @@
+"""Shared single-threaded serving-loop measurement protocol.
+
+ONE implementation of the confirm-every-N backlog loop, used by both the
+headline bench (bench.py) and the AE sweep (tools/ae_sweep.py) so the two
+artifacts cannot drift apart protocol-wise (a prior round kept two nearly
+identical copies).
+
+Transport invariant (CLAUDE.md): the tunnel caches repeated
+(program, inputs) uploads AND executions, so every timed dispatch must
+carry batch content never dispatched before in this process.  Callers
+pass DISTINCT batches; each is served exactly once.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
+    """Single-threaded serving loop: prep + dispatch inline, confirming
+    the backlog every ``confirm_every`` requests (and at window end) with
+    one wait call.  ``confirm_every=1`` is the strict synchronous loop —
+    on THIS host often the fastest mode, because the tunnel client
+    busy-spins the single CPU core while async work is in flight
+    (measured: host prep inflates 4.4ms -> 40-60ms with transfers
+    outstanding).  Each of ``batches`` is served exactly once.  Returns
+    (median per-request s, window ms list, per-request ms list)."""
+    import jax
+
+    for sb in warm_batches:     # warm signatures + rowlen hints
+        p = eng.prepare(sb)
+        fn = eng._get_jitted(p.signature)
+        jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
+    per = max(1, len(batches) // windows)
+    samples = []
+    req_ms = []                 # per-request wall times across ALL windows
+    for w in range(windows):
+        use = batches[w * per: (w + 1) * per]
+        if not use:
+            break
+        backlog = []
+        t0 = time.perf_counter()
+        tprev = t0
+        for b in use:
+            p = eng.prepare(b)
+            fn = eng._get_jitted(p.signature)
+            backlog.append(fn(eng.device_params, p.arrays)["output"])
+            if len(backlog) >= confirm_every:
+                jax.block_until_ready(backlog)
+                backlog = []
+            tnow = time.perf_counter()
+            req_ms.append(round((tnow - tprev) * 1e3, 3))
+            tprev = tnow
+        if backlog:
+            jax.block_until_ready(backlog)
+        samples.append((time.perf_counter() - t0) / len(use))
+    return (
+        float(np.median(samples)),
+        [round(s * 1e3, 3) for s in samples],
+        req_ms,
+    )

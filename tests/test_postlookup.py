@@ -254,7 +254,7 @@ def test_mul_column_validation():
                           (HashBucket(10),), LookupSpec("t", Combiner.MEAN),
                           post=(PostPool("mul_column", other="nope"),)),
         ], TowerSpec(arch="mlp", top_mlp=(1,)))
-    with pytest.raises(ValueError, match="different embedding dim"):
+    with pytest.raises(ValueError, match="chain is width"):
         ModelSpec("bad2", tables, [
             FeatureColumn("a", FeatureSource("a", FeatureKind.STRING),
                           (HashBucket(10),), LookupSpec("t", Combiner.MEAN),

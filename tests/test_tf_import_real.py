@@ -669,3 +669,55 @@ def test_host_eval_fallback_serves_bit_exact_vs_real_tf():
     # ours: [dense, emb]; TF: [emb, dense]
     np.testing.assert_array_equal(got[:, 1:], want[:, :6], err_msg="emb")
     np.testing.assert_array_equal(got[:, :1], want[:, 6:], err_msg="dense")
+
+def test_host_eval_integer_div_truncates_like_tf():
+    """TF's integer Div truncates toward zero (Div(-7,2) = -3); numpy's
+    // floors (-4).  The HostEvalChain evaluator must use trunc division
+    or negative ids flip between valid and missing vs the TF session —
+    e.g. Div(-1,2): trunc 0 (a real row) vs floor -1 (pruned)."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        x = tf1.placeholder(tf.int64, [None], name="xi")
+        ids = tf.raw_ops.Div(x=x, y=tf.constant(2, tf.int64))
+        table = tf1.get_variable(
+            "emb", [8, 4], initializer=tf1.random_normal_initializer(seed=3)
+        )
+        n = tf.shape(ids)[0]
+        rows = tf.cast(tf.range(n), tf.int64)
+        sp = tf1.sparse.SparseTensor(
+            indices=tf.stack([rows, tf.zeros_like(rows)], axis=1),
+            values=ids,
+            dense_shape=tf.cast(tf.stack([n, 1]), tf.int64),
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, sp, combiner="mean"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="di")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feed_x = np.array([-7, -1, 0, 5, 9, -3, 14, 2], np.int64)
+            feed_d = np.arange(8, dtype=np.float32).reshape(8, 1)
+            want = sess.run(out, {x: feed_x, d: feed_d})
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    from recom_tpu.importers.tf_graph import import_params
+    from recom_tpu.ir.spec import HostEvalChain
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="divtrunc", strict=True
+    )
+    (col,) = model.embedding_columns
+    (he,) = [t for t in col.transforms if isinstance(t, HostEvalChain)]
+    assert he.steps[-1][0] == "div"
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(8,)),
+                 params=import_params(model, weights))
+    feed = {col.source.field: feed_x,
+            model.dense_columns[0].source.field: feed_d}
+    got = np.asarray(eng.predict(feed, return_concat=True)["concat"])
+    np.testing.assert_array_equal(got[:, 1:], want[:, :4], err_msg="emb")
+    np.testing.assert_array_equal(got[:, :1], want[:, 4:], err_msg="dense")
