@@ -109,7 +109,13 @@ class CompiledModel:
     # permutation: model-order emb concat[i] = grouped concat[emb_perm[i]]
     emb_perm: np.ndarray
     total_emb_dim: int
-    n_dense: int
+    n_dense: int               # total dense tower-input rows (sum of widths)
+    # one entry per dense row: (field, dim index | None).  None = width-1
+    # scalar feed [B]; an int j = dim j of a width-k vector feed [B, k]
+    # (TF numeric_column(shape=(k,))).
+    dense_rows: List[Tuple[str, Optional[int]]] = dataclasses.field(
+        default_factory=list
+    )
     # column name -> (group id, group index) for per-column output extraction
     column_slot: Dict[str, Tuple[int, int]] = dataclasses.field(default_factory=dict)
 
@@ -376,12 +382,22 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         perm[pos : pos + w] = np.arange(src, src + w, dtype=np.int32)
         pos += w
 
+    dense_rows: List[Tuple[str, Optional[int]]] = []
+    for c in model.dense_columns:
+        if c.source.width == 1:
+            dense_rows.append((c.source.field, None))
+        else:
+            dense_rows.extend(
+                (c.source.field, j) for j in range(c.source.width)
+            )
+
     return CompiledModel(
         model=model,
         config=config,
         groups=groups,
         emb_perm=perm,
         total_emb_dim=total_emb,
-        n_dense=len(model.dense_columns),
+        n_dense=len(dense_rows),
+        dense_rows=dense_rows,
         column_slot=column_slot,
     )

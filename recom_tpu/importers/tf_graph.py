@@ -154,6 +154,21 @@ def attr_bool(raw: Optional[bytes]) -> Optional[bool]:
     return None
 
 
+def attr_shape(raw: Optional[bytes]) -> Optional[List[int]]:
+    """AttrValue.shape (TensorShapeProto) -> dim sizes, -1 = unknown."""
+    if raw is None:
+        return None
+    d = pw.fields_dict(raw)
+    if 7 not in d:
+        return None
+    dims: List[int] = []
+    for f, _, v in pw.iter_fields(d[7][0]):
+        if f == 2:  # TensorShapeProto.dim
+            dd = pw.fields_dict(v)
+            dims.append(pw.to_signed64(dd.get(1, [0])[0]))
+    return dims
+
+
 def attr_tensor(raw: Optional[bytes]) -> Optional[np.ndarray]:
     """AttrValue.tensor -> numpy array (float32/int32/int64/string)."""
     if raw is None:
@@ -392,12 +407,22 @@ def import_tf_graphdef(
                 slots_complete = False
                 continue
             for ph in placeholders:
+                # numeric_column(shape=(k,)): a [None, k] placeholder is a
+                # width-k passthrough occupying k tower-input slots; a
+                # bare "width 1" import would silently drop k-1 dims
+                shp = attr_shape(ph.attr("shape")) or []
+                w = 1
+                if len(shp) == 2 and shp[1] > 1:
+                    w = int(shp[1])
                 columns.append(
                     FeatureColumn(
-                        ph.name, FeatureSource(ph.name, FeatureKind.DENSE_FLOAT)
+                        ph.name,
+                        FeatureSource(
+                            ph.name, FeatureKind.DENSE_FLOAT, width=w
+                        ),
                     )
                 )
-                col_widths.append(1)
+                col_widths.append(w)
             continue
 
         if len(table_nodes) > 1:

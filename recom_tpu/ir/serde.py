@@ -96,6 +96,7 @@ def model_to_dict(model: S.ModelSpec) -> Dict:
                         list(c.source.int_range)
                         if c.source.int_range else None
                     ),
+                    "width": c.source.width,
                 },
                 "transforms": [transform_to_dict(t) for t in c.transforms],
                 "lookup": None
@@ -145,6 +146,7 @@ def model_from_dict(d: Dict) -> S.ModelSpec:
             int_range=tuple(c["source"]["int_range"])
             if c["source"].get("int_range")
             else None,
+            width=c["source"].get("width", 1),
         )
         lookup = None
         if c["lookup"] is not None:

@@ -69,12 +69,20 @@ class FeatureSource:
     # match over the established range, pre_lookup_optimizer.cc:413-478).
     # Values outside the declared range are the caller's contract breach.
     int_range: Optional[Tuple[int, int]] = None
+    # For DENSE_FLOAT passthrough columns (no transforms, no lookup): the
+    # per-example vector width — TF numeric_column(shape=(k,)).  The feed
+    # is [B, k] (or [B] when 1) and the column occupies k consecutive
+    # tower-input slots.  Width > 1 on any other column kind is rejected
+    # by ModelSpec validation.
+    width: int = 1
 
     def __post_init__(self):
         if self.kind == FeatureKind.CROSS and not self.fields:
             raise ValueError("CROSS source requires fields")
         if self.fields is not None:
             object.__setattr__(self, "fields", tuple(self.fields))
+        if self.width < 1:
+            raise ValueError(f"source {self.field!r}: width must be >= 1")
 
     @property
     def is_ragged(self) -> bool:
@@ -493,6 +501,7 @@ class FeatureColumn:
             self.source.kind.value,
             str(self.source.delimiter),
             str(self.source.fields),
+            str(self.source.width),
         ]
         parts += [t.cache_key() for t in self.transforms]
         return "|".join(parts)
@@ -550,6 +559,12 @@ class ModelSpec:
                         f"dense passthrough column {col.name!r} cannot have "
                         "transforms"
                     )
+            if col.source.width != 1 and col.lookup is not None:
+                raise ValueError(
+                    f"column {col.name!r}: source width "
+                    f"{col.source.width} is only valid on dense "
+                    "passthrough columns"
+                )
             if col.post and self.tower.arch == "dlrm_dot":
                 raise ValueError(
                     f"column {col.name!r}: post-lookup ops change slot "
@@ -591,11 +606,16 @@ class ModelSpec:
         return [c for c in self.columns if c.lookup is None]
 
     @property
+    def dense_width(self) -> int:
+        """Total dense tower-input width (sum of passthrough widths)."""
+        return sum(c.source.width for c in self.dense_columns)
+
+    @property
     def output_dim(self) -> int:
         """Width of the concatenated feature matrix feeding the tower:
         dense passthroughs + each concat-visible embedding column's
         post-chain output width."""
-        d = len(self.dense_columns)
+        d = self.dense_width
         for c in self.embedding_columns:
             if c.in_concat:
                 d += column_out_width(self, c)

@@ -216,6 +216,10 @@ def make_random_batch(
                 out[field] = rng.integers(-1, num_range, size=batch).astype(
                     np.float32
                 )
+            elif col.source.width > 1:
+                out[field] = rng.integers(
+                    0, 100, size=(batch, col.source.width)
+                ).astype(np.float32)
             else:
                 out[field] = rng.integers(0, 100, size=batch).astype(np.float32)
         elif kind == FeatureKind.DENSE_INT:

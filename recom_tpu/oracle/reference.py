@@ -486,11 +486,18 @@ class OracleModel:
             some = next(iter(batch.values()))
             b = len(some)
             return np.zeros((b, 0), dtype=np.float32)
-        mat = np.stack(
-            [np.asarray(batch[c.source.field], dtype=np.float32) for c in cols],
-            axis=1,
-        )
-        return mat
+        blocks = []
+        for c in cols:
+            a = np.asarray(batch[c.source.field], dtype=np.float32)
+            if a.ndim == 1:
+                a = a[:, None]
+            if a.shape[1] != c.source.width:
+                raise ValueError(
+                    f"dense column {c.name!r}: feed width {a.shape[1]} != "
+                    f"declared width {c.source.width}"
+                )
+            blocks.append(a)
+        return np.concatenate(blocks, axis=1)
 
     def forward(self, batch: Dict) -> Dict[str, np.ndarray]:
         pooled = self.pooled_outputs(batch)

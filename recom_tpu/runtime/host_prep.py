@@ -282,10 +282,16 @@ def prepare_batch(
             )[:batch_size]
         return out
 
-    # dense tower features, column-major: each row is one contiguous copy
-    dense = stack_cols(
-        [c.source.field for c in model.dense_columns], compiled.n_dense
-    )
+    # dense tower features, column-major: each row is one contiguous copy;
+    # width-k vector feeds [B, k] contribute k rows (dense_rows plan)
+    dense = np.zeros((compiled.n_dense, bp), dtype=np.float32)
+    _f32_feeds: Dict[str, np.ndarray] = {}
+    for i, (f, j) in enumerate(compiled.dense_rows):
+        a = _f32_feeds.get(f)
+        if a is None:
+            a = np.asarray(batch[f], dtype=np.float32)
+            _f32_feeds[f] = a
+        dense[i, :batch_size] = (a if j is None else a[:, j])[:batch_size]
 
     memo: Dict = {} if config.dedup_subcolumns else None
     group_arrays: List[Dict[str, np.ndarray]] = []

@@ -336,10 +336,11 @@ def _plan(compiled: CompiledModel) -> List[_GroupPlan]:
         compiled._prep_plan = plans
         # plan-static model facts the per-request loop must not recompute
         # (dense_columns is a filtering property: ~0.15ms/request at 1000
-        # columns)
-        compiled._dense_fields = [
-            c.source.field for c in compiled.model.dense_columns
-        ]
+        # columns).  dense_rows: (field, dim|None) per staged row; the
+        # all-scalar flag keeps the common case on the zero-copy path.
+        compiled._dense_all_scalar = all(
+            j is None for _, j in compiled.dense_rows
+        )
     return plans
 
 
@@ -495,9 +496,24 @@ def prepare_batch_wire(
     # validates dtype/contiguity zero-copy and falls back to a coercing
     # fill per column only when needed (pre-coercing here would pay the
     # ascontiguousarray walk TWICE per request)
-    native_ops.copy_f32_multi(
-        [batch[f] for f in compiled._dense_fields], dense_v, bs,
-    )
+    if compiled._dense_all_scalar:
+        rows = [batch[f] for f, _ in compiled.dense_rows]
+    else:
+        # width-k vector feeds [B, k]: transpose once per field so each
+        # staged row is a contiguous f32 view the native sweep accepts
+        rows, _tposed = [], {}
+        for f, j in compiled.dense_rows:
+            if j is None:
+                rows.append(batch[f])
+                continue
+            t = _tposed.get(f)
+            if t is None:
+                t = np.ascontiguousarray(
+                    np.asarray(batch[f], np.float32).T
+                )
+                _tposed[f] = t
+            rows.append(t[j])
+    native_ops.copy_f32_multi(rows, dense_v, bs)
     _mark("prep.dense")
 
     redo: Dict[int, int] = {}

@@ -120,7 +120,14 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
     def forward(feed):
         embs = [column_embedding(c, feed) for c in emb_cols]
         dense = (
-            tf.stack([feed[f] for f in dense_fields], axis=1)
+            tf.concat(
+                [
+                    tf.reshape(feed[c.source.field],
+                               [-1, c.source.width])
+                    for c in model.dense_columns
+                ],
+                axis=1,
+            )
             if dense_fields
             else tf.zeros([tf.shape(embs[0])[0], 0])
         )

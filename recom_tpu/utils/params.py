@@ -51,7 +51,7 @@ def tower_input_dim(model: ModelSpec) -> int:
     from recom_tpu.ir.spec import column_out_width
 
     tower = model.tower
-    n_dense = len(model.dense_columns)
+    n_dense = model.dense_width
     emb_dims = [
         column_out_width(model, c)
         for c in model.embedding_columns
@@ -88,7 +88,7 @@ def init_model_params(model: ModelSpec) -> Dict:
         params["tower"]["bottom"] = init_mlp(
             tower.init_seed,
             f"{model.name}/bottom",
-            len(model.dense_columns),
+            model.dense_width,
             tuple(tower.bottom_mlp),
         )
     params["tower"]["top"] = init_mlp(

@@ -323,3 +323,40 @@ def test_benchmark_warmup_zero_and_numeric_table_names():
         np.testing.assert_array_equal(
             eng_n.predict(bb)["output"], eng2.predict(bb)["output"]
         )
+
+
+def test_width_k_dense_passthrough():
+    """numeric_column(shape=(k,)) analogue: a width-3 dense source feeds
+    3 consecutive tower-input slots; oracle/engine/serde/random-batch all
+    agree, and width > 1 is rejected on non-dense columns."""
+    from recom_tpu.ir import serde
+    from recom_tpu.ir.spec import HashBucket
+    from recom_tpu.models import make_random_batch as mrb
+
+    tables = {"t": TableSpec("t", 16, 4)}
+    model = ModelSpec("widek", tables, [
+        FeatureColumn("v", FeatureSource("v", FeatureKind.DENSE_FLOAT,
+                                         width=3)),
+        FeatureColumn("s", FeatureSource("s", FeatureKind.DENSE_FLOAT)),
+        FeatureColumn("h", FeatureSource("h", FeatureKind.STRING),
+                      (HashBucket(16),), LookupSpec("t", Combiner.MEAN)),
+    ], TowerSpec(arch="mlp", top_mlp=(8, 1)))
+    assert model.dense_width == 4
+    assert model.output_dim == 4 + 4
+
+    m2 = serde.model_from_dict(serde.model_to_dict(model))
+    assert m2.dense_columns[0].source.width == 3
+
+    batch = mrb(model, 8, seed=3)
+    assert batch["v"].shape == (8, 3)
+    eng = Engine(model, CFG)
+    out = eng.predict(batch, return_concat=True)
+    ref = OracleModel(model).forward(batch)
+    np.testing.assert_array_equal(np.asarray(out["concat"]), ref["concat"])
+
+    with pytest.raises(ValueError, match="width"):
+        ModelSpec("bad", tables, [
+            FeatureColumn("h", FeatureSource("h", FeatureKind.STRING,
+                                             width=2),
+                          (HashBucket(16),), LookupSpec("t", Combiner.MEAN)),
+        ], TowerSpec(arch="mlp", top_mlp=(1,)))

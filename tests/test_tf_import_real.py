@@ -721,3 +721,61 @@ def test_host_eval_integer_div_truncates_like_tf():
     got = np.asarray(eng.predict(feed, return_concat=True)["concat"])
     np.testing.assert_array_equal(got[:, 1:], want[:, :4], err_msg="emb")
     np.testing.assert_array_equal(got[:, :1], want[:, 4:], err_msg="dense")
+
+
+def test_import_width_k_numeric_column():
+    """numeric_column(shape=(3,)) must import as a width-3 dense
+    passthrough (TF's [None, 3] placeholder) — a bare width-1 import
+    would silently drop 2 of the 3 dims under the strict contract."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        fc = tf1.feature_column
+        dv = tf1.placeholder(tf.float32, [None, 3], name="dv")
+        ih = tf1.placeholder(tf.int64, [None], name="ih")
+        cols = [
+            fc.numeric_column("dv", shape=(3,)),
+            fc.embedding_column(
+                fc.categorical_column_with_hash_bucket(
+                    "ih", 32, dtype=tf.int64
+                ),
+                dimension=4, combiner="mean",
+            ),
+        ]
+        out = tf1.feature_column.input_layer(
+            {"dv": dv, "ih": tf.reshape(ih, [-1, 1])}, cols
+        )
+        out = tf.identity(out, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(9)
+            feed = {
+                dv: rng.standard_normal((12, 3)).astype(np.float32),
+                ih: rng.integers(0, 10**9, 12),
+            }
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="widek", strict=True
+    )
+    (dcol,) = model.dense_columns
+    assert dcol.source.width == 3
+    assert model.dense_width == 3
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(12,)),
+                 params=import_params(model, weights))
+    got = np.asarray(
+        eng.predict(
+            {dcol.source.field: feed[dv],
+             model.embedding_columns[0].source.field: feed[ih]},
+            return_concat=True,
+        )["concat"]
+    )
+    # TF orders alphabetically: [dv(3), ih emb(4)]; ours: [dense, emb]
+    np.testing.assert_array_equal(got[:, :3], want[:, :3], err_msg="dense")
+    np.testing.assert_array_equal(got[:, 3:], want[:, 3:], err_msg="emb")
