@@ -34,7 +34,16 @@ from recom_tpu.ir.spec import (
     Transform,
 )
 
-_COMBINER_CODE = {Combiner.SUM: 0, Combiner.MEAN: 1, Combiner.SQRTN: 2}
+_COMBINER_CODE = {
+    Combiner.SUM: 0,
+    Combiner.MEAN: 1,
+    Combiner.SQRTN: 2,
+    # SOFTMAX pools as a plain weighted SUM on device: the softmax of the
+    # scores happens on HOST at weight-staging time (softmax_scores,
+    # shared with the oracle) so no transcendental runs on the compute
+    # path and the bit-exactness contract holds.
+    Combiner.SOFTMAX: 0,
+}
 
 
 @dataclasses.dataclass
@@ -230,7 +239,11 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         # weighted columns always take the ragged layout (ids + weights
         # arrays): TF's weighted_categorical_column applies to single-value
         # features too, and the non-ragged fast path has no weights plane
-        ragged = col.source.is_ragged or col.lookup.weight_field is not None
+        ragged = (
+            col.source.is_ragged
+            or col.lookup.weight_field is not None
+            or col.lookup.combiner == Combiner.SOFTMAX
+        )
         # Pallas one-hot megakernel eligibility: dense (L=1) unweighted
         # columns with small vocab — grouped by vocab so the kernel sees a
         # uniform [C, V, d] table stack
@@ -281,6 +294,11 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         g.members.append(m)
         members_by_col[col.name] = (m, g)
         if col.lookup.weight_field:
+            g.has_weights = True
+        if col.lookup.combiner == Combiner.SOFTMAX:
+            # even score-less softmax needs a materialized weight plane:
+            # uniform scores soften to 1/n, which the mask-only device
+            # path cannot express
             g.has_weights = True
 
     groups = list(group_map.values())

@@ -465,7 +465,14 @@ def import_tf_graphdef(
             combiner = Combiner.MEAN
         elif "SegmentSum" in ops and "Mul" in ops:
             weighted = True
-            if "Sqrt" in ops or "Square" in ops or "Pow" in ops:
+            if "SparseSoftmax" in ops:
+                # tf.sparse.softmax on the weight SparseTensor before the
+                # weighted sum — the reference's SparseSoftmax +
+                # SequenceMask pattern (post_lookup_optimizer.cc:311-478);
+                # the engine re-applies the rowwise masked softmax to the
+                # RAW score feed at weight-staging time
+                combiner = Combiner.SOFTMAX
+            elif "Sqrt" in ops or "Square" in ops or "Pow" in ops:
                 combiner = Combiner.SQRTN
             elif "DivNoNan" in ops or "RealDiv" in ops or "Div" in ops:
                 combiner = Combiner.MEAN
@@ -695,14 +702,29 @@ def _match_categorical_chain(
         # id values enter the sparse machinery at SparseFillEmptyRows
         # (indices, VALUES, shape, default) or SparseToDense
         # (indices, shape, VALUES, default).
-        entry = None
-        if "SparseFillEmptyRows" in ops:
-            entry = ops["SparseFillEmptyRows"].inputs[1]
-        elif "SparseToDense" in ops:
-            entry = ops["SparseToDense"].inputs[2]
-        steps = he_ph = None
-        if entry is not None:
-            steps, he_ph = _compile_host_eval(gi, entry)
+        # candidate id-value entries: a weighted slot carries TWO sparse
+        # planes (ids AND weights, each with its own SparseFillEmptyRows)
+        # — probe every one and keep the first whose value path yields
+        # integer ids
+        entries = [x.inputs[1] for x in sub
+                   if x.op == "SparseFillEmptyRows" and len(x.inputs) > 1]
+        entries += [x.inputs[2] for x in sub
+                    if x.op == "SparseToDense" and len(x.inputs) > 2]
+        steps = he_ph = src = None
+        for entry in entries:
+            st, ph_ = _compile_host_eval(gi, entry)
+            if st is not None and st[-1][2] in ("i32", "i64"):
+                steps, he_ph = st, ph_
+                break
+        if steps is None:
+            for entry in entries:
+                s_ = _trace_value_source(gi, entry)
+                if (
+                    s_ is not None and s_.op == "Placeholder"
+                    and attr_type(s_.attr("dtype")) in (DT_INT32, DT_INT64)
+                ):
+                    src = s_
+                    break
         if steps is not None and steps[-1][2] in ("i32", "i64"):
             anchor_kind = "hosteval"
             transforms = (HostEvalChain(steps),) + range_tf
@@ -718,10 +740,25 @@ def _match_categorical_chain(
                 f"{[s[0] for s in steps]} (served bit-exact on host)"
             )
         elif (
+            src is not None and src.op == "Placeholder"
+            and attr_type(src.attr("dtype")) in (DT_INT32, DT_INT64)
+        ):
+            # raw integer ids fed straight into the lookup machinery
+            # (categorical_column_with_identity / hand-built id feeds):
+            # safe under strict because the value path is VERIFIED to
+            # reach the placeholder through value-preserving ops only —
+            # nothing is dropped.  Bounds behavior comes from the
+            # extracted range transforms (the prune-invalid idiom) plus
+            # the engine's canonicalize clamp contract.
+            anchor_kind = "identity"
+            transforms = range_tf
+            main_ph = src
+            kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
+        elif (
             allow_identity_ids
             and _ph_dtype(placeholders) in (DT_INT32, DT_INT64)
         ):
-            # categorical_column_with_identity: raw integer ids
+            # indicator/OneHot path (no sparse entry to trace from)
             from recom_tpu.ir.spec import NumToId
 
             anchor_kind = "identity"
@@ -1737,6 +1774,7 @@ _SLOT_OPS_BY_ANCHOR = {
 }
 _SLOT_OPS_WEIGHTED = frozenset({
     "SegmentSum", "DivNoNan", "RealDiv", "Div", "Sqrt", "Square", "Pow",
+    "SparseSoftmax",
 })
 _SLOT_OPS_INDICATOR = frozenset({"OneHot"})
 # Ops a HostEvalChain can absorb (the MatchExpr vocabulary).  Allowed in

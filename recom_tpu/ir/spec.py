@@ -99,6 +99,16 @@ class Combiner(enum.Enum):
     SUM = "sum"
     MEAN = "mean"
     SQRTN = "sqrtn"
+    # Softmax-weighted pooling: the weight feed (scores) is softmaxed per
+    # row over the VALID positions, then row = sum(softmax(w)_i * emb_i).
+    # This is the reference's sequence-domain SparseSoftmax + SequenceMask
+    # + MatMul pattern (post_lookup_optimizer.cc:311-478) as a first-class
+    # combiner: the [B, C, L] canonical layout makes the mask implicit,
+    # the softmax runs on HOST over the staged weights (shared with the
+    # oracle — bit-exact), and the device pools with the plain SUM path
+    # (no device transcendentals).  TF expression: tf.sparse.softmax on
+    # the weight SparseTensor + embedding_lookup_sparse(combiner="sum").
+    SOFTMAX = "softmax"
 
 
 # ---------------------------------------------------------------------------

@@ -334,6 +334,34 @@ def _host_eval_steps(values, steps):
     return x
 
 
+def softmax_scores(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Rowwise masked softmax over the last axis; valid = ids >= 0.
+
+    THE one implementation shared by the oracle and the host-prep staging
+    paths (Combiner.SOFTMAX transforms the staged weights on host; the
+    device then pools with the plain SUM path).  The row-sum is an
+    explicit left-to-right loop so the bucket-padded engine layout
+    [Bp, L_rung] and the oracle's exact-length layout [B, L_max] agree
+    BITWISE: trailing pad positions contribute exp=0.0, and x + 0.0f is
+    exact, so extra padding never perturbs the sum.  Empty rows -> all
+    zeros (the masked-softmax convention of the reference's SequenceMask
+    pattern, post_lookup_optimizer.cc:311-478)."""
+    valid = ids >= 0
+    w = np.where(valid, np.asarray(w, np.float32), np.float32(-np.inf))
+    m = np.max(w, axis=-1, keepdims=True)          # -inf on empty rows
+    m = np.where(np.isfinite(m), m, np.float32(0.0)).astype(np.float32)
+    e = np.where(
+        valid, np.exp((w - m).astype(np.float32)), np.float32(0.0)
+    ).astype(np.float32)
+    s = np.zeros(e.shape[:-1], np.float32)
+    for l in range(e.shape[-1]):
+        s = s + e[..., l]
+    s_safe = np.where(s > 0, s, np.float32(1.0))
+    return np.where(
+        valid & (s > 0)[..., None], e / s_safe[..., None], np.float32(0.0)
+    ).astype(np.float32)
+
+
 def pool_lookup(
     sp: SparseFeature, table: np.ndarray, combiner: Combiner
 ) -> np.ndarray:
@@ -359,15 +387,28 @@ def pool_lookup(
         return out
     emb = table[ids]  # [nnz, d] float32
     w = weights if weights is not None else np.ones(ids.shape[0], dtype=np.float32)
+
+    counts = np.bincount(row_ids, minlength=b)
+    nonempty = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(row_ids.shape[0]) - starts[row_ids]
+
+    if combiner == Combiner.SOFTMAX:
+        # softmax the scores per row over the valid positions (through
+        # the SAME padded-layout function the engine's host prep uses),
+        # then pool as a plain weighted SUM
+        lmax = int(counts.max())
+        ids_p = np.full((b, lmax), -1, dtype=np.int64)
+        w_p = np.zeros((b, lmax), dtype=np.float32)
+        ids_p[row_ids, pos] = ids
+        w_p[row_ids, pos] = w
+        w = softmax_scores(ids_p, w_p)[row_ids, pos]
+
     weighted = emb * w[:, None]
 
     # Strictly left-to-right per-row float32 accumulation (the order TF's CPU
     # SparseSegmentSum/embedding_lookup_sparse kernels use).  Vectorized by
     # accumulating over in-row position l: all rows' l-th entries at once.
-    counts = np.bincount(row_ids, minlength=b)
-    nonempty = counts > 0
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    pos = np.arange(row_ids.shape[0]) - starts[row_ids]
     acc = np.zeros((b, d), dtype=np.float32)
     wsum = np.zeros(b, dtype=np.float32)
     w2sum = np.zeros(b, dtype=np.float32)

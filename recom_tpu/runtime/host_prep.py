@@ -32,10 +32,12 @@ import numpy as np
 from recom_tpu.compiler.buckets import pick_bucket
 from recom_tpu.compiler.lowering import CompiledModel, LookupGroup
 from recom_tpu.ir import spec as spec_mod
+from recom_tpu.ir.spec import Combiner
 from recom_tpu.oracle.reference import (
     SparseFeature,
     apply_transform,
     materialize_source,
+    softmax_scores,
 )
 
 
@@ -451,6 +453,11 @@ def prepare_batch(
                 for i in range(len(host_members)):
                     w = slow_w.get(i)
                     weights[i] = w if w is not None else (ids[i] >= 0)
+                for i, m in enumerate(host_members):
+                    if m.combiner == Combiner.SOFTMAX:
+                        # scores -> rowwise masked softmax ON HOST; the
+                        # device then pools this member as a weighted SUM
+                        weights[i] = softmax_scores(ids[i], weights[i])
             arrs["host_ids"] = ids
             if weights is not None:
                 arrs["weights"] = weights

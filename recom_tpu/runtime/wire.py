@@ -36,6 +36,8 @@ import numpy as np
 
 from recom_tpu.compiler.buckets import pick_bucket
 from recom_tpu.compiler.lowering import CompiledModel, LookupGroup
+from recom_tpu.ir.spec import Combiner
+from recom_tpu.oracle.reference import softmax_scores
 from recom_tpu.runtime.host_prep import (
     PreparedBatch,
     _is_string_array,
@@ -617,6 +619,11 @@ def prepare_batch_wire(
                 for i in range(n_host):
                     if i not in slow_i:
                         weights_v[i] = ids_v[i] >= 0
+                for i in range(n_host):
+                    if host_members[i].combiner is Combiner.SOFTMAX:
+                        # scores -> rowwise masked softmax ON HOST; the
+                        # device pools this member as a weighted SUM
+                        weights_v[i] = softmax_scores(ids_v[i], weights_v[i])
                 _mark("prep.weights")
 
     if redo:

@@ -64,7 +64,7 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
     def column_embedding(col, feed):
         kind = col.source.kind
         t = tables[col.lookup.table]
-        comb = _COMB[col.lookup.combiner]
+        comb = _COMB.get(col.lookup.combiner)
         if kind == FeatureKind.DENSE_FLOAT:
             (bz,) = col.transforms
             assert isinstance(bz, Bucketize), "tf baseline: Bucketize only"
@@ -98,6 +98,20 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
                 tf.strings.to_hash_bucket_fast(sp.values, hb.num_buckets),
                 sp.dense_shape,
             )
+            if col.lookup.combiner == Combiner.SOFTMAX:
+                # the reference's SparseSoftmax pattern: rowwise softmax
+                # of the scores, then weighted sum.  The delimited wire
+                # format carries no aligned score list, so the baseline
+                # uses uniform scores (softmax -> 1/n).
+                ones = tf.sparse.SparseTensor(
+                    ids.indices,
+                    tf.ones_like(tf.cast(ids.values, tf.float32)),
+                    ids.dense_shape,
+                )
+                return tf.nn.safe_embedding_lookup_sparse(
+                    t, ids, sparse_weights=tf.sparse.softmax(ones),
+                    combiner="sum", default_id=None,
+                )
             return tf.nn.safe_embedding_lookup_sparse(
                 t, ids, combiner=comb, default_id=None
             )

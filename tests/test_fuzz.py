@@ -47,7 +47,7 @@ def random_model(rng: np.random.Generator, n_cols: int):
         vocab = int(rng.choice([rng.integers(8, 200), rng.integers(500, 3000)]))
         tname = f"t{i}"
         tables[tname] = TableSpec(tname, vocab, dim, init_seed=i)
-        comb = Combiner(list(Combiner)[int(rng.integers(0, 3))])
+        comb = Combiner(list(Combiner)[int(rng.integers(0, len(Combiner)))])
         if kind == "bucketize":
             bounds = sorted(rng.uniform(-50, 50, int(rng.integers(1, vocab))))
             col = FeatureColumn(

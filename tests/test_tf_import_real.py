@@ -377,12 +377,14 @@ def test_import_vocab_weighted_and_tower_vs_real_tf():
     )
 
 
-def test_strict_mode_rejects_unrecognized_chain():
+def test_identity_categorical_imports_strict_and_bitexact():
+    """categorical_column_with_identity (ids used raw, no hash/bucketize/
+    vocab) imports under STRICT mode — safe because the id value path is
+    verified to reach the placeholder through value-preserving ops only —
+    and serves bit-exact vs the TF session."""
     tf1 = tf.compat.v1
     g = tf.Graph()
     with g.as_default():
-        # a column idiom the importer does not know: identity categorical
-        # (ids used raw, no hash/bucketize/vocab)
         fc = tf1.feature_column
         a = tf1.placeholder(tf.int64, [None], name="a")
         b = tf1.placeholder(tf.int64, [None], name="b")
@@ -396,6 +398,59 @@ def test_strict_mode_rejects_unrecognized_chain():
             {"a": tf.reshape(a, [-1, 1]), "b": tf.reshape(b, [-1, 1])},
             cols)
         out = tf.identity(out, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(12)
+            feed = {a: rng.integers(0, 100, 16), b: rng.integers(0, 100, 16)}
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"])
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="ident", strict=True
+    )
+    assert len(model.embedding_columns) == 2
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+                 params=import_params(model, weights))
+    cols_by_field = {c.source.field: c for c in model.embedding_columns}
+    out2 = eng.predict(
+        {f: feed[ph] for f, ph in
+         zip(sorted(cols_by_field), [a, b])},
+        return_pooled=True,
+    )["pooled"]
+    # TF input_layer orders alphabetically: [a(4), b(4)]
+    for i, f in enumerate(sorted(cols_by_field)):
+        np.testing.assert_array_equal(
+            out2[cols_by_field[f].name], want[:, 4 * i: 4 * i + 4],
+            err_msg=f,
+        )
+
+
+def test_strict_mode_rejects_unrecognized_chain():
+    """A chain with NON-const-operand compute (x*x) cannot compile to a
+    host evaluator and must raise under strict."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    B = 8
+    with g.as_default():
+        x = tf1.placeholder(tf.int64, [None], name="x")
+        ids = x * x                    # Mul with a non-const operand
+        table = tf1.get_variable(
+            "emb", [64, 4], initializer=tf1.random_normal_initializer(seed=1)
+        )
+        n = tf.shape(ids)[0]
+        rows = tf.cast(tf.range(n), tf.int64)
+        sp = tf1.sparse.SparseTensor(
+            indices=tf.stack([rows, tf.zeros_like(rows)], axis=1),
+            values=ids,
+            dense_shape=tf.cast(tf.stack([n, 1]), tf.int64),
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, sp, combiner="mean"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="d")
+        out = tf.concat([pooled, d], axis=1, name="out")
         with tf1.Session(graph=g) as sess:
             sess.run(tf1.global_variables_initializer())
             frozen = tf1.graph_util.convert_variables_to_constants(
@@ -779,3 +834,119 @@ def test_import_width_k_numeric_column():
     # TF orders alphabetically: [dv(3), ih emb(4)]; ours: [dense, emb]
     np.testing.assert_array_equal(got[:, :3], want[:, :3], err_msg="dense")
     np.testing.assert_array_equal(got[:, 3:], want[:, 3:], err_msg="emb")
+
+
+def test_import_sparse_softmax_weighted_column():
+    """tf.sparse.softmax on the weight SparseTensor + weighted sum — the
+    reference's SparseSoftmax + SequenceMask pattern
+    (post_lookup_optimizer.cc:311-478) — imports as Combiner.SOFTMAX and
+    serves bit-exact vs the TF session (one id per row; the ragged
+    softmax MATH is ground-truthed against TF in
+    test_softmax_combiner_matches_tf_sparse_softmax)."""
+    from recom_tpu.ir.spec import Combiner
+
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    B = 16
+    rng = np.random.default_rng(4)
+    id_vals = rng.integers(0, 24, B)
+    score_vals = (rng.standard_normal(B) * 2).astype(np.float32)
+
+    with g.as_default():
+        ids_ph = tf1.placeholder(tf.int64, [None], name="idsv")
+        sc_ph = tf1.placeholder(tf.float32, [None], name="scv")
+        table = tf1.get_variable(
+            "emb", [24, 4], initializer=tf1.random_normal_initializer(seed=8)
+        )
+        n = tf.shape(ids_ph)[0]
+        rows = tf.cast(tf.range(n), tf.int64)
+        idx = tf.stack([rows, tf.zeros_like(rows)], axis=1)
+        shp = tf.cast(tf.stack([n, 1]), tf.int64)
+        sp_ids = tf1.sparse.SparseTensor(idx, ids_ph, shp)
+        sp_w = tf1.sparse.SparseTensor(idx, sc_ph, shp)
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, sp_ids, sparse_weights=tf.sparse.softmax(sp_w),
+            combiner="sum",
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="di")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feed_d = np.arange(B, dtype=np.float32).reshape(B, 1)
+            want = sess.run(
+                out, {ids_ph: id_vals, sc_ph: score_vals, d: feed_d}
+            )
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="smx", strict=True
+    )
+    (col,) = model.embedding_columns
+    assert col.lookup.combiner == Combiner.SOFTMAX
+    assert col.lookup.weight_field is not None
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(B,)),
+                 params=import_params(model, weights))
+    feed = {col.source.field: id_vals,
+            col.lookup.weight_field: score_vals,
+            model.dense_columns[0].source.field: feed_d}
+    got = np.asarray(eng.predict(feed, return_concat=True)["concat"])
+    # softmax over a single valid position is exactly 1.0 on both sides
+    np.testing.assert_array_equal(got[:, 1:], want[:, :4], err_msg="emb")
+    np.testing.assert_array_equal(got[:, :1], want[:, 4:], err_msg="dense")
+
+
+def test_softmax_combiner_matches_tf_sparse_softmax():
+    """Ragged softmax pooling vs TF ground truth: ids/scores as ragged
+    lists on a hand-built ModelSpec vs tf.sparse.softmax +
+    safe_embedding_lookup_sparse(combiner='sum').  Within ~1 ulp (numpy
+    exp vs Eigen exp); the oracle/engine pair itself is bit-exact
+    (tests/test_engine.py::test_weighted_lookup_bitexact_all_combiners)."""
+    from recom_tpu.ir.spec import (
+        Combiner, FeatureColumn, FeatureKind, FeatureSource, LookupSpec,
+        ModelSpec, NumToId, TableSpec, TowerSpec,
+    )
+
+    B, L, V, D = 32, 6, 40, 8
+    rng = np.random.default_rng(11)
+    lens = rng.integers(1, L + 1, B)
+    ids_list = [list(rng.integers(0, V, int(n))) for n in lens]
+    w_list = [list((rng.standard_normal(int(n)) * 2).astype(np.float32))
+              for n in lens]
+    table_np = rng.standard_normal((V, D)).astype(np.float32)
+
+    rows, cols, iv, wv = [], [], [], []
+    for i, (idr, wr) in enumerate(zip(ids_list, w_list)):
+        for j, (a, w) in enumerate(zip(idr, wr)):
+            rows.append(i); cols.append(j); iv.append(a); wv.append(w)
+    idx = np.stack([rows, cols], axis=1).astype(np.int64)
+    sp_ids = tf.sparse.SparseTensor(idx, np.asarray(iv, np.int64), [B, L])
+    sp_w = tf.sparse.SparseTensor(idx, np.asarray(wv, np.float32), [B, L])
+    want = tf.nn.safe_embedding_lookup_sparse(
+        tf.constant(table_np), sp_ids,
+        sparse_weights=tf.sparse.softmax(sp_w), combiner="sum",
+    ).numpy()
+
+    model = ModelSpec(
+        "smxgt", {"t": TableSpec("t", V, D)},
+        [FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.INT_LIST), (NumToId(V),),
+            LookupSpec("t", Combiner.SOFTMAX, weight_field="w"),
+        )],
+        TowerSpec(arch="mlp", top_mlp=(), final_activation=None),
+    )
+    from recom_tpu.utils.params import init_model_params
+
+    params = init_model_params(model)
+    params["tables"]["t"] = table_np
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(B,)),
+                 params=params)
+    got = np.asarray(
+        eng.predict({"x": ids_list, "w": w_list}, return_pooled=True)
+        ["pooled"]["c"]
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-7)
