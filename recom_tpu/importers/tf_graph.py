@@ -725,6 +725,25 @@ def _match_categorical_chain(
                 ):
                     src = s_
                     break
+                if (
+                    s_ is not None and s_.op == "StringToNumber"
+                    and ragged
+                    and attr_type(s_.attr("out_type")) in (DT_INT32, DT_INT64)
+                    and s_.inputs
+                ):
+                    # delimited int-list idiom: split(string) ->
+                    # StringToNumber(int) -> raw ids.  INT_LIST with the
+                    # split's delimiter parses the pieces as decimal ints
+                    # — the same observable semantics.  Float out_types
+                    # are NOT admitted (an f32 round-trip perturbs ids
+                    # past 2^24, which a silent import must not do).
+                    s2 = _trace_value_source(gi, s_.inputs[0])
+                    if (
+                        s2 is not None and s2.op == "Placeholder"
+                        and attr_type(s2.attr("dtype")) == DT_STRING
+                    ):
+                        src = s2
+                        break
         if steps is not None and steps[-1][2] in ("i32", "i64"):
             anchor_kind = "hosteval"
             transforms = (HostEvalChain(steps),) + range_tf
@@ -739,10 +758,9 @@ def _match_categorical_chain(
                 "anchor-less chain: id path compiled to a host evaluator "
                 f"{[s[0] for s in steps]} (served bit-exact on host)"
             )
-        elif (
-            src is not None and src.op == "Placeholder"
-            and attr_type(src.attr("dtype")) in (DT_INT32, DT_INT64)
-        ):
+        elif src is not None:
+            # (dtype/idiom validity was established by the probe loop
+            # that set ``src``)
             # raw integer ids fed straight into the lookup machinery
             # (categorical_column_with_identity / hand-built id feeds):
             # safe under strict because the value path is VERIFIED to
@@ -1770,7 +1788,7 @@ _SLOT_OPS_BY_ANCHOR = {
         "LookupTableImport", "InitializeTable",
         "StringToHashBucketFast", "AsString",  # OOV bucket hashing
     }),
-    "identity": frozenset(),
+    "identity": frozenset({"StringToNumber"}),   # delimited int-list parse
 }
 _SLOT_OPS_WEIGHTED = frozenset({
     "SegmentSum", "DivNoNan", "RealDiv", "Div", "Sqrt", "Square", "Pow",

@@ -950,3 +950,62 @@ def test_softmax_combiner_matches_tf_sparse_softmax():
         ["pooled"]["c"]
     )
     np.testing.assert_allclose(got, want, rtol=3e-6, atol=3e-7)
+
+
+def test_import_delimited_int_list_identity():
+    """Sparse int ids via the delimited wire format: split(';') ->
+    StringToNumber(int64) -> raw-id lookup imports under strict as an
+    INT_LIST identity chain and serves bit-exact vs the TF session."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        s = tf1.placeholder(tf.string, [None], name="sl")
+        sp = tf1.string_split(s, ";")
+        ids = tf1.sparse.SparseTensor(
+            sp.indices,
+            tf.strings.to_number(sp.values, out_type=tf.int64),
+            sp.dense_shape,
+        )
+        table = tf1.get_variable(
+            "emb", [40, 4], initializer=tf1.random_normal_initializer(seed=6)
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, ids, combiner="mean"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="dd")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(3)
+            rows = [
+                ";".join(str(v) for v in rng.integers(0, 40,
+                                                      rng.integers(1, 6)))
+                for _ in range(12)
+            ]
+            feed_d = np.arange(12, dtype=np.float32).reshape(12, 1)
+            want = sess.run(out, {s: np.asarray(rows), d: feed_d})
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    from recom_tpu.importers.tf_graph import import_params
+    from recom_tpu.ir.spec import FeatureKind
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="dil", strict=True
+    )
+    (col,) = model.embedding_columns
+    assert col.source.kind == FeatureKind.INT_LIST
+    assert col.source.delimiter == ";"
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(12,)),
+                 params=import_params(model, weights))
+    got = np.asarray(
+        eng.predict(
+            {col.source.field: np.asarray(rows, dtype="S"),
+             model.dense_columns[0].source.field: feed_d},
+            return_concat=True,
+        )["concat"]
+    )
+    np.testing.assert_array_equal(got[:, 1:], want[:, :4], err_msg="emb")
+    np.testing.assert_array_equal(got[:, :1], want[:, 4:], err_msg="dense")
