@@ -470,7 +470,24 @@ def import_tf_graphdef(
                 # weighted sum — the reference's SparseSoftmax +
                 # SequenceMask pattern (post_lookup_optimizer.cc:311-478);
                 # the engine re-applies the rowwise masked softmax to the
-                # RAW score feed at weight-staging time
+                # RAW score feed at weight-staging time.  sum and mean
+                # both map here (softmaxed weights sum to ~1, so the mean
+                # divisor is a ~1 ulp rounding difference); sqrtn does NOT
+                # (sqrt of the sum of SQUARED softmaxed weights is a real
+                # divisor) — refuse rather than silently drop it.
+                if "Sqrt" in ops or "Square" in ops or "Pow" in ops:
+                    msg = (
+                        f"column feeding {n.name}: SparseSoftmax weights "
+                        "combined with a sqrtn divisor have no engine "
+                        "combiner"
+                    )
+                    if strict:
+                        raise ValueError(
+                            msg + " — refusing to change semantics "
+                            "silently; pass strict=False to import with "
+                            "softmax-sum semantics (warned)"
+                        )
+                    warnings.append(msg + "; imported as softmax-sum")
                 combiner = Combiner.SOFTMAX
             elif "Sqrt" in ops or "Square" in ops or "Pow" in ops:
                 combiner = Combiner.SQRTN
@@ -557,7 +574,9 @@ def import_tf_graphdef(
             kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
 
         # --- weighted column: the weight feed is the float placeholder
-        # that is NOT the id feature ------------------------------------
+        # that is NOT the id feature, or (ragged) a second delimited
+        # string whose split -> StringToNumber(float) feeds the weight
+        # sparse plane ---------------------------------------------------
         weight_field = None
         if weighted:
             cands = [
@@ -568,11 +587,15 @@ def import_tf_graphdef(
             if len(cands) == 1:
                 weight_field = cands[0].name
             else:
-                warnings.append(
-                    f"column feeding {n.name}: weighted idiom detected "
-                    f"but {len(cands)} float placeholder candidates; "
-                    "weights NOT imported"
+                weight_field = _delimited_weight_plane(
+                    gi, sub, main_ph, delimiter, warnings
                 )
+                if weight_field is None:
+                    warnings.append(
+                        f"column feeding {n.name}: weighted idiom detected "
+                        f"but {len(cands)} float placeholder candidates and "
+                        "no delimited weight plane; weights NOT imported"
+                    )
 
         field = (
             main_ph.name if main_ph is not None
@@ -1736,6 +1759,67 @@ def _compile_host_eval(gi: GraphIndex, name: str):
                 continue
         return None, None
     return None, None
+
+
+def _delimited_weight_plane(
+    gi: GraphIndex, sub, main_ph, id_delim, warnings: List[str]
+) -> Optional[str]:
+    """Weight feed shipped as a second delimited string: find a sparse
+    plane in the slot whose values are StringToNumber(float) of a
+    StringSplit of a STRING placeholder other than the id feature.  The
+    engine parses the weight strings with the ID field's delimiter (one
+    wire convention per column), so a mismatched split delimiter bails."""
+    for x in sub:
+        if x.op != "SparseFillEmptyRows" or len(x.inputs) < 2:
+            continue
+        stop = _trace_value_source(gi, x.inputs[1])
+        if (
+            stop is not None and stop.op == "SparseSoftmax"
+            and len(stop.inputs) > 1
+        ):
+            # the softmax rewrites the scores in-graph; the engine
+            # re-applies it from the RAW feed (Combiner.SOFTMAX), so
+            # trace on through the op's values input
+            stop = _trace_value_source(gi, stop.inputs[1])
+        if stop is None or stop.op != "StringToNumber" or not stop.inputs:
+            continue
+        ot = attr_type(stop.attr("out_type"))
+        if ot not in (DT_FLOAT, DT_DOUBLE, None):   # absent attr = f32
+            continue
+        src = _trace_value_source(gi, stop.inputs[0])
+        if (
+            src is None or src.op != "Placeholder"
+            or attr_type(src.attr("dtype")) != DT_STRING
+            or (main_ph is not None and src.name == main_ph.name)
+        ):
+            continue
+        # the split between the placeholder and the parse must use the
+        # id chain's delimiter
+        w_delim = None
+        node = gi.node(stop.inputs[0])
+        seen: Set[str] = set()
+        while node is not None and node.name not in seen:
+            seen.add(node.name)
+            if node.op in ("StringSplit", "StringSplitV2"):
+                w_delim = (
+                    _const_string(gi, node.inputs[1])
+                    if len(node.inputs) > 1 else None
+                ) or ";"
+                break
+            if node.op not in _VALUE_TRAVERSAL or not node.inputs:
+                break
+            node = gi.node(node.inputs[_VALUE_TRAVERSAL[node.op]])
+        if w_delim is not None and id_delim is not None and (
+            w_delim != id_delim
+        ):
+            warnings.append(
+                f"weight plane {src.name}: split delimiter {w_delim!r} "
+                f"differs from the id feed's {id_delim!r}; weights NOT "
+                "imported (one delimiter per column on the wire)"
+            )
+            continue
+        return src.name
+    return None
 
 
 def _trace_value_source(gi: GraphIndex, name: str) -> Optional[Node]:

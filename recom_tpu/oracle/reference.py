@@ -186,6 +186,26 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
         weights = None
         if weight_field is not None:
             wrows = batch[weight_field]
+            if (
+                col.source.delimiter is not None
+                and len(wrows)
+                and isinstance(
+                    wrows[0], (str, bytes, np.str_, np.bytes_)
+                )
+            ):
+                # delimited weight wire format: the weight feed rides the
+                # SAME one-joined-string-per-example convention (and the
+                # same delimiter) as the id feed — the importer's
+                # split -> StringToNumber(float) weight-plane idiom
+                delim = col.source.delimiter
+                parsed: List[List[float]] = []
+                for s in wrows:
+                    if isinstance(s, (bytes, np.bytes_)):
+                        s = s.decode()
+                    parsed.append(
+                        [float(x) for x in s.split(delim)] if s else []
+                    )
+                wrows = parsed
             # validate PER-ROW lengths, not just the flattened total —
             # [[a,b],[]] vs weights [[0.5],[0.7]] both flatten to length 2
             # but would silently misassign 0.7 across rows

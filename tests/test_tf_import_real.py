@@ -1009,3 +1009,82 @@ def test_import_delimited_int_list_identity():
     )
     np.testing.assert_array_equal(got[:, 1:], want[:, :4], err_msg="emb")
     np.testing.assert_array_equal(got[:, :1], want[:, 4:], err_msg="dense")
+
+
+def test_import_ragged_softmax_sequence_pattern():
+    """The COMPLETE reference sequence pattern from a frozen graph:
+    delimited int ids + a second delimited float-score feed,
+    tf.sparse.softmax over the scores, weighted sum — imports strict as
+    INT_LIST + Combiner.SOFTMAX with the score string as weight_field,
+    and serves within ~1 ulp of the TF session."""
+    from recom_tpu.ir.spec import Combiner, FeatureKind
+
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    B = 20
+    rng = np.random.default_rng(21)
+    lens = rng.integers(1, 7, B)
+    id_rows = [list(rng.integers(0, 30, int(n))) for n in lens]
+    w_rows = [
+        [round(float(x), 3) for x in rng.standard_normal(int(n)) * 2]
+        for n in lens
+    ]
+    id_strs = np.asarray([";".join(str(v) for v in r) for r in id_rows])
+    w_strs = np.asarray([";".join(repr(v) for v in r) for r in w_rows])
+
+    with g.as_default():
+        si = tf1.placeholder(tf.string, [None], name="seq_ids")
+        sw = tf1.placeholder(tf.string, [None], name="seq_scores")
+        spi = tf1.string_split(si, ";")
+        spw = tf1.string_split(sw, ";")
+        ids = tf1.sparse.SparseTensor(
+            spi.indices,
+            tf.strings.to_number(spi.values, out_type=tf.int64),
+            spi.dense_shape,
+        )
+        scores = tf1.sparse.SparseTensor(
+            spw.indices,
+            tf.strings.to_number(spw.values, out_type=tf.float32),
+            spw.dense_shape,
+        )
+        table = tf1.get_variable(
+            "emb", [30, 6], initializer=tf1.random_normal_initializer(seed=5)
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, ids, sparse_weights=tf.sparse.softmax(scores),
+            combiner="sum",
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="dx")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feed_d = np.arange(B, dtype=np.float32).reshape(B, 1)
+            want = sess.run(out, {si: id_strs, sw: w_strs, d: feed_d})
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="ragsmx", strict=True
+    )
+    (col,) = model.embedding_columns
+    assert col.source.kind == FeatureKind.INT_LIST
+    assert col.lookup.combiner == Combiner.SOFTMAX
+    assert col.lookup.weight_field is not None
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(B,)),
+                 params=import_params(model, weights))
+    got = np.asarray(
+        eng.predict(
+            {col.source.field: np.asarray(id_strs, dtype="S"),
+             col.lookup.weight_field: np.asarray(w_strs, dtype="S"),
+             model.dense_columns[0].source.field: feed_d},
+            return_concat=True,
+        )["concat"]
+    )
+    np.testing.assert_allclose(
+        got[:, 1:], want[:, :6], rtol=3e-6, atol=3e-7, err_msg="emb"
+    )
+    np.testing.assert_array_equal(got[:, :1], want[:, 6:], err_msg="dense")
