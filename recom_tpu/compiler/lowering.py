@@ -191,8 +191,10 @@ def _split_host_device(col: FeatureColumn):
         and _pointwise_suffix_ok(col.transforms[1:])
         # weighted columns take the ragged host layout end to end (ids +
         # weights planes); a device-bucketize member in a ragged group
-        # has no host weights plane to ride
+        # has no host weights plane to ride.  Same for SOFTMAX: its host
+        # softmax writes the weights plane, which bucketize members lack
         and col.lookup.weight_field is None
+        and col.lookup.combiner != Combiner.SOFTMAX
     ):
         return col.transforms[0], col.transforms[1:], ()
     return None, (), col.transforms

@@ -63,8 +63,29 @@ from recom_tpu.ir.spec import (
 )
 
 
-def _has_hosteval(transforms) -> bool:
-    return any(isinstance(t, HostEvalChain) for t in transforms)
+# HostEvalChain step op -> TF op names it absorbs.  Residue may allow
+# ONLY these (per actual chain content): a blanket MatchExpr whitelist
+# would let strict mode silently drop arithmetic on value paths the
+# chain did NOT absorb (e.g. a Floor on an un-imported weight feed).
+_STEP_TF_OPS = {
+    "mul": ("Mul",), "add": ("Add", "AddV2"),
+    "sub": ("Sub",), "rsub": ("Sub",),
+    "div": ("Div", "RealDiv"), "rdiv": ("Div", "RealDiv"),
+    "floordiv": ("FloorDiv",), "mod": ("FloorMod",),
+    "minimum": ("Minimum",), "maximum": ("Maximum",),
+    "floor": ("Floor",), "ceil": ("Ceil",), "round": ("Round",),
+    "cast": ("Cast",),
+}
+
+
+def _hosteval_ops(transforms) -> frozenset:
+    """TF op names absorbed by the chain's HostEvalChain steps."""
+    out: set = set()
+    for t in transforms:
+        if isinstance(t, HostEvalChain):
+            for op, _, _ in t.steps:
+                out.update(_STEP_TF_OPS.get(op, ()))
+    return frozenset(out)
 
 DT_FLOAT, DT_DOUBLE, DT_INT32, DT_STRING, DT_INT64 = 1, 2, 3, 7, 9
 
@@ -546,7 +567,7 @@ def import_tf_graphdef(
             # mean the slot computes something this import can't model
             residue = _slot_residue(
                 set(x.op for x in sub) - post_ops, anchor_kind,
-                weighted=weighted, hosteval=_has_hosteval(transforms),
+                weighted=weighted, hosteval=_hosteval_ops(transforms),
             )
             if residue:
                 msg = (
@@ -591,11 +612,21 @@ def import_tf_graphdef(
                     gi, sub, main_ph, delimiter, warnings
                 )
                 if weight_field is None:
-                    warnings.append(
+                    msg = (
                         f"column feeding {n.name}: weighted idiom detected "
                         f"but {len(cands)} float placeholder candidates and "
-                        "no delimited weight plane; weights NOT imported"
+                        "no delimited weight plane"
                     )
+                    if strict:
+                        # dropping the weights changes pooling semantics
+                        # (for SOFTMAX it silently becomes uniform-score
+                        # 1/n pooling) — the strict contract refuses
+                        raise ValueError(
+                            msg + " — refusing to import with weights "
+                            "dropped; pass strict=False to import "
+                            "unweighted (warned)"
+                        )
+                    warnings.append(msg + "; weights NOT imported")
 
         field = (
             main_ph.name if main_ph is not None
@@ -733,11 +764,11 @@ def _match_categorical_chain(
                    if x.op == "SparseFillEmptyRows" and len(x.inputs) > 1]
         entries += [x.inputs[2] for x in sub
                     if x.op == "SparseToDense" and len(x.inputs) > 2]
-        steps = he_ph = src = None
+        steps = he_ph = src = id_entry = None
         for entry in entries:
             st, ph_ = _compile_host_eval(gi, entry)
             if st is not None and st[-1][2] in ("i32", "i64"):
-                steps, he_ph = st, ph_
+                steps, he_ph, id_entry = st, ph_, entry
                 break
         if steps is None:
             for entry in entries:
@@ -746,7 +777,7 @@ def _match_categorical_chain(
                     s_ is not None and s_.op == "Placeholder"
                     and attr_type(s_.attr("dtype")) in (DT_INT32, DT_INT64)
                 ):
-                    src = s_
+                    src, id_entry = s_, entry
                     break
                 if (
                     s_ is not None and s_.op == "StringToNumber"
@@ -765,18 +796,27 @@ def _match_categorical_chain(
                         s2 is not None and s2.op == "Placeholder"
                         and attr_type(s2.attr("dtype")) == DT_STRING
                     ):
-                        src = s2
+                        src, id_entry = s2, entry
                         break
         if steps is not None and steps[-1][2] in ("i32", "i64"):
             anchor_kind = "hosteval"
             transforms = (HostEvalChain(steps),) + range_tf
             main_ph = he_ph
-            if ragged:
+            # raggedness comes from the ID path itself (NOT slot-wide op
+            # presence: a StringSplit elsewhere in the cone may belong to
+            # the WEIGHT plane, and declaring the int id feed INT_LIST
+            # with its delimiter would crash serving)
+            he_dt = attr_type(he_ph.attr("dtype"))
+            if he_dt == DT_STRING:
                 kind = FeatureKind.INT_LIST
-            elif attr_type(he_ph.attr("dtype")) in (DT_FLOAT, DT_DOUBLE):
+                ragged = True
+                delimiter = _split_delim_on_path(gi, id_entry) or delimiter
+            elif he_dt in (DT_FLOAT, DT_DOUBLE):
                 kind = FeatureKind.DENSE_FLOAT
+                ragged, delimiter = False, None
             else:
                 kind = FeatureKind.DENSE_INT
+                ragged, delimiter = False, None
             warnings.append(
                 "anchor-less chain: id path compiled to a host evaluator "
                 f"{[s[0] for s in steps]} (served bit-exact on host)"
@@ -794,7 +834,15 @@ def _match_categorical_chain(
             anchor_kind = "identity"
             transforms = range_tf
             main_ph = src
-            kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
+            if attr_type(src.attr("dtype")) == DT_STRING:
+                # the split -> StringToNumber(int) idiom: delimiter read
+                # from the ID path's own split
+                kind = FeatureKind.INT_LIST
+                ragged = True
+                delimiter = _split_delim_on_path(gi, id_entry) or delimiter
+            else:
+                kind = FeatureKind.DENSE_INT
+                ragged, delimiter = False, None
         elif (
             allow_identity_ids
             and _ph_dtype(placeholders) in (DT_INT32, DT_INT64)
@@ -1000,7 +1048,7 @@ def _import_mul_slot(
             matched
         )
         if _slot_residue(set(x.op for x in sub), anchor_kind,
-                         hosteval=_has_hosteval(transforms)):
+                         hosteval=_hosteval_ops(transforms)):
             return False
         cones.append((
             tnodes[0], combiner, transforms, kind, main_ph, ragged,
@@ -1123,7 +1171,7 @@ def _import_indicator(
     )
     residue = _slot_residue(
         set(x.op for x in sub), anchor_kind, indicator=True,
-        hosteval=_has_hosteval(transforms),
+        hosteval=_hosteval_ops(transforms),
     )
     if residue:
         return bail(
@@ -1761,6 +1809,27 @@ def _compile_host_eval(gi: GraphIndex, name: str):
     return None, None
 
 
+def _split_delim_on_path(gi: GraphIndex, name: str) -> Optional[str]:
+    """Delimiter of the first StringSplit on the value path from ``name``
+    back toward its source, or None when the path has no split."""
+    node = gi.node(name)
+    seen: Set[str] = set()
+    while node is not None and node.name not in seen:
+        seen.add(node.name)
+        if node.op in ("StringSplit", "StringSplitV2"):
+            return (
+                _const_string(gi, node.inputs[1])
+                if len(node.inputs) > 1 else None
+            ) or ";"
+        if node.op not in _VALUE_TRAVERSAL or not node.inputs:
+            return None
+        idx = _VALUE_TRAVERSAL[node.op]
+        if idx >= len(node.inputs):
+            return None
+        node = gi.node(node.inputs[idx])
+    return None
+
+
 def _delimited_weight_plane(
     gi: GraphIndex, sub, main_ph, id_delim, warnings: List[str]
 ) -> Optional[str]:
@@ -1768,7 +1837,12 @@ def _delimited_weight_plane(
     plane in the slot whose values are StringToNumber(float) of a
     StringSplit of a STRING placeholder other than the id feature.  The
     engine parses the weight strings with the ID field's delimiter (one
-    wire convention per column), so a mismatched split delimiter bails."""
+    wire convention per column): a mismatched split delimiter — or an id
+    feed that is not itself a delimited list — bails."""
+    if id_delim is None:
+        # a non-delimited id feed pairs 1:1 with SCALAR weights; a
+        # delimited multi-score plane cannot align with it
+        return None
     for x in sub:
         if x.op != "SparseFillEmptyRows" or len(x.inputs) < 2:
             continue
@@ -1795,23 +1869,8 @@ def _delimited_weight_plane(
             continue
         # the split between the placeholder and the parse must use the
         # id chain's delimiter
-        w_delim = None
-        node = gi.node(stop.inputs[0])
-        seen: Set[str] = set()
-        while node is not None and node.name not in seen:
-            seen.add(node.name)
-            if node.op in ("StringSplit", "StringSplitV2"):
-                w_delim = (
-                    _const_string(gi, node.inputs[1])
-                    if len(node.inputs) > 1 else None
-                ) or ";"
-                break
-            if node.op not in _VALUE_TRAVERSAL or not node.inputs:
-                break
-            node = gi.node(node.inputs[_VALUE_TRAVERSAL[node.op]])
-        if w_delim is not None and id_delim is not None and (
-            w_delim != id_delim
-        ):
+        w_delim = _split_delim_on_path(gi, stop.inputs[0])
+        if w_delim is not None and w_delim != id_delim:
             warnings.append(
                 f"weight plane {src.name}: split delimiter {w_delim!r} "
                 f"differs from the id feed's {id_delim!r}; weights NOT "
@@ -1879,19 +1938,12 @@ _SLOT_OPS_WEIGHTED = frozenset({
     "SparseSoftmax",
 })
 _SLOT_OPS_INDICATOR = frozenset({"OneHot"})
-# Ops a HostEvalChain can absorb (the MatchExpr vocabulary).  Allowed in
-# residue ONLY when the match actually produced a HostEvalChain — i.e.
-# _compile_host_eval verified the value path compiles; presence of these
-# ops elsewhere in such a slot is then covered by the same vocabulary.
-_SLOT_OPS_HOSTEVAL = (
-    frozenset(_HOSTEVAL_BINOPS) | frozenset(_HOSTEVAL_UNOPS)
-)
 
 
 def _slot_residue(
     ops_present: Set[str], anchor_kind: str,
     weighted: bool = False, indicator: bool = False,
-    hosteval: bool = False,
+    hosteval: frozenset = frozenset(),
 ) -> Set[str]:
     """Ops in the slot outside its idiom's measured vocabulary (empty for
     every real feature-column graph; non-empty = unmodeled computation)."""
@@ -1903,7 +1955,8 @@ def _slot_residue(
     if indicator:
         allowed = allowed | _SLOT_OPS_INDICATOR
     if hosteval:
-        allowed = allowed | _SLOT_OPS_HOSTEVAL
+        # only the TF ops the column's HostEvalChain actually absorbed
+        allowed = allowed | hosteval
     return set(ops_present) - allowed
 
 

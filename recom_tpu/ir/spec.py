@@ -575,6 +575,13 @@ class ModelSpec:
                     f"{col.source.width} is only valid on dense "
                     "passthrough columns"
                 )
+            if col.post and col.lookup is None:
+                # post lowering runs only for embedding columns; silently
+                # accepting a post chain here would silently drop it
+                raise ValueError(
+                    f"dense passthrough column {col.name!r} cannot carry "
+                    "post-lookup ops"
+                )
             if col.post and self.tower.arch == "dlrm_dot":
                 raise ValueError(
                     f"column {col.name!r}: post-lookup ops change slot "

@@ -198,12 +198,12 @@ def materialize_source(col: FeatureColumn, batch: Dict, weight_field: Optional[s
                 # same delimiter) as the id feed — the importer's
                 # split -> StringToNumber(float) weight-plane idiom
                 delim = col.source.delimiter
-                parsed: List[List[float]] = []
+                parsed: List = []
                 for s in wrows:
                     if isinstance(s, (bytes, np.bytes_)):
                         s = s.decode()
                     parsed.append(
-                        [float(x) for x in s.split(delim)] if s else []
+                        parse_f32_pieces(s.split(delim)) if s else []
                     )
                 wrows = parsed
             # validate PER-ROW lengths, not just the flattened total —
@@ -352,6 +352,48 @@ def _host_eval_steps(values, steps):
         else:
             raise ValueError(f"unknown host-eval op {op!r}")
     return x
+
+
+_libc_strtof = None
+
+
+def parse_f32_pieces(pieces) -> np.ndarray:
+    """Parse decimal strings to float32 with TF StringToNumber semantics
+    (single rounding, as by strtof).  numpy/python parse via float64 and
+    re-round — wrong ONLY when the f64 value lands exactly on an f32
+    midpoint (a crossing without a tie is impossible: the midpoint is
+    f64-representable and would itself be the nearest f64).  So:
+    vectorized f64 parse, then re-parse just the exact-tie stragglers
+    with libc strtof."""
+    d = np.asarray(pieces, dtype=np.float64)
+    f = d.astype(np.float32)
+    fd = f.astype(np.float64)
+    inexact = d != fd
+    if inexact.any():
+        toward = np.where(
+            d > fd,
+            np.nextafter(f, np.float32(np.inf)),
+            np.nextafter(f, np.float32(-np.inf)),
+        ).astype(np.float64)
+        tie = inexact & (np.abs(d - fd) == np.abs(toward - d))
+        if tie.any():
+            global _libc_strtof
+            if _libc_strtof is None:
+                import ctypes
+
+                lib = ctypes.CDLL(None)
+                lib.strtof.restype = ctypes.c_float
+                lib.strtof.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+                _libc_strtof = lib.strtof
+            idx = np.nonzero(tie)[0]
+            for i in idx:
+                s = pieces[i]
+                if isinstance(s, (bytes, np.bytes_)):
+                    b = bytes(s)
+                else:
+                    b = str(s).encode()
+                f[i] = np.float32(_libc_strtof(b, None))
+    return f
 
 
 def softmax_scores(ids: np.ndarray, w: np.ndarray) -> np.ndarray:

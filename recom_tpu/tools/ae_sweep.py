@@ -35,6 +35,8 @@ import argparse
 import json
 import time
 
+import numpy as np
+
 
 def _make_model(name: str):
     from recom_tpu.models import make_model_e, make_model_f
@@ -117,8 +119,11 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
         compile_s = time.perf_counter() - t0
 
         async_s, async_w, _ = loop_windows(eng, [], bats, confirm_every=8)
-        sync_s, _, sync_w = loop_windows(eng, [], sync_bats,
-                                         confirm_every=1, windows=1)
+        _, _, sync_w = loop_windows(eng, [], sync_bats,
+                                    confirm_every=1, windows=1)
+        # per-request MEDIAN (one tunnel hiccup must not skew the cell;
+        # with windows=1 the window mean would fold stragglers in)
+        sync_s = float(np.median(sync_w)) / 1e3
 
         row = {
             "model": model.name,

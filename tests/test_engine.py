@@ -360,3 +360,27 @@ def test_width_k_dense_passthrough():
                                              width=2),
                           (HashBucket(16),), LookupSpec("t", Combiner.MEAN)),
         ], TowerSpec(arch="mlp", top_mlp=(1,)))
+
+
+def test_softmax_on_bucketize_column_bitexact():
+    """Regression (round-3 review finding 1): Combiner.SOFTMAX on a
+    DENSE_FLOAT Bucketize column must take the host chain — the device-
+    bucketize path has no weights plane for the host softmax to write,
+    which broke bit-exactness and crashed bz-only groups."""
+    from recom_tpu.ir.spec import Bucketize, HashBucket
+
+    tables = {"t": TableSpec("t", 12, 4), "u": TableSpec("u", 16, 4)}
+    for cols in (
+        [FeatureColumn("b", FeatureSource("f", FeatureKind.DENSE_FLOAT),
+                       (Bucketize([0.0, 1.5, 3.0]),),
+                       LookupSpec("t", Combiner.SOFTMAX))],
+        [FeatureColumn("b", FeatureSource("f", FeatureKind.DENSE_FLOAT),
+                       (Bucketize([0.0, 1.5, 3.0]),),
+                       LookupSpec("t", Combiner.SOFTMAX)),
+         FeatureColumn("h", FeatureSource("h", FeatureKind.STRING),
+                       (HashBucket(16),), LookupSpec("u", Combiner.MEAN))],
+    ):
+        m = ModelSpec("sbz", dict(tables), list(cols),
+                      TowerSpec(arch="mlp", top_mlp=(),
+                                final_activation=None))
+        assert_pooled_bitexact(m, make_random_batch(m, 16, seed=2))

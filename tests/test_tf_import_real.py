@@ -1088,3 +1088,51 @@ def test_import_ragged_softmax_sequence_pattern():
         got[:, 1:], want[:, :6], rtol=3e-6, atol=3e-7, err_msg="emb"
     )
     np.testing.assert_array_equal(got[:, :1], want[:, 6:], err_msg="dense")
+
+
+def test_strict_refuses_unalignable_delimited_weights():
+    """Regression (round-3 review findings 2+3): scalar int ids with a
+    DELIMITED weight feed cannot align (and must not flip the id feed to
+    INT_LIST because the weight plane's StringSplit is in the cone) —
+    strict refuses instead of importing with weights dropped."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        xi = tf1.placeholder(tf.int64, [None], name="xid")
+        sw = tf1.placeholder(tf.string, [None], name="xw")
+        spw = tf1.string_split(sw, ";")
+        scores = tf1.sparse.SparseTensor(
+            spw.indices,
+            tf.strings.to_number(spw.values, out_type=tf.float32),
+            spw.dense_shape,
+        )
+        table = tf1.get_variable(
+            "emb", [16, 4], initializer=tf1.random_normal_initializer(seed=7)
+        )
+        n = tf.shape(xi)[0]
+        rows = tf.cast(tf.range(n), tf.int64)
+        sp_ids = tf1.sparse.SparseTensor(
+            tf.stack([rows, tf.zeros_like(rows)], axis=1), xi,
+            tf.cast(tf.stack([n, 1]), tf.int64),
+        )
+        # slice the score plane to one per row so TF accepts the shapes
+        w1 = tf.sparse.slice(scores, [0, 0], [tf.shape(xi, tf.int64)[0], 1])
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, sp_ids, sparse_weights=w1, combiner="sum"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="dq")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    data = frozen.SerializeToString()
+    with pytest.raises(ValueError):
+        import_tf_graphdef(data, name="mis", strict=True)
+    model, _ = import_tf_graphdef(data, name="mislax", strict=False)
+    (col,) = model.embedding_columns
+    # the id feed must stay a scalar-int feed, not become INT_LIST via
+    # the weight plane's split
+    from recom_tpu.ir.spec import FeatureKind
+    assert col.source.kind == FeatureKind.DENSE_INT

@@ -50,6 +50,7 @@ def make_kitchen_sink():
         "t_str": TableSpec("t_str", 5000, 8),
         "t_sp": TableSpec("t_sp", 5000, 8),
         "t_w": TableSpec("t_w", 120, 8),
+        "t_sm": TableSpec("t_sm", 64, 8),
         "t_big": TableSpec("t_big", 1 << 20, 16),
     }
     cols = [
@@ -69,12 +70,18 @@ def make_kitchen_sink():
         FeatureColumn("w", FeatureSource("w", FeatureKind.INT_LIST),
                       (NumToId(120, default_id=0),),
                       LookupSpec("t_w", Combiner.MEAN, weight_field="w_wt")),
+        FeatureColumn("sm", FeatureSource("sm", FeatureKind.INT_LIST),
+                      (NumToId(64, default_id=0),),
+                      LookupSpec("t_sm", Combiner.SOFTMAX,
+                                 weight_field="sm_wt")),
         FeatureColumn("big", FeatureSource("big", FeatureKind.STRING_LIST,
                                            delimiter=";"),
                       (HashBucket(1 << 20),),
                       LookupSpec("t_big", Combiner.SQRTN)),
         FeatureColumn("d0", FeatureSource("d0", FeatureKind.DENSE_FLOAT)),
         FeatureColumn("d1", FeatureSource("d1", FeatureKind.DENSE_FLOAT)),
+        FeatureColumn("dv", FeatureSource("dv", FeatureKind.DENSE_FLOAT,
+                                          width=3)),
     ]
     tower = TowerSpec(arch="mlp", bottom_mlp=(4,), top_mlp=(16, 1),
                       final_activation="sigmoid")
