@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -541,6 +542,75 @@ void BucketizeColAffine1(const float* x, const float* b, int32_t k,
 }
 
 #ifdef RECOM_AVX512
+// Small-k flag-2 kernel: when the whole padded boundary row fits one zmm
+// (k < 16, kmax <= 16), both fix-up probes become vpermps lane selects
+// (~3 cycles) instead of vpgatherdps (~20+) — measured ~2x on model E's
+// 880 x 10-boundary columns.  The masked load fault-suppresses lanes
+// past kmax (AVX-512 guarantee) and pads them +inf; lanes >= kmax are
+// never selected (e <= k < kmax) so their content is immaterial anyway.
+template <typename T, bool kLut>
+void BucketizeColAffine1SimdSmall(const float* x, const float* b, int32_t k,
+                                  int64_t kmax, float b0, float inv_d,
+                                  const int32_t* lut, int64_t batch, T* o) {
+  const __m512 vb0 = _mm512_set1_ps(b0);
+  const __m512 vinv = _mm512_set1_ps(inv_d);
+  const __m512 vone = _mm512_set1_ps(1.0f);
+  const __m512 vfk = _mm512_set1_ps(static_cast<float>(k));
+  const __m512i vk = _mm512_set1_epi32(k);
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i vone_i = _mm512_set1_epi32(1);
+  // the row is +inf-padded out to kmax: with kmax >= 16 the first 16
+  // entries are plainly loadable; shorter rows use a fault-suppressed
+  // masked load padded +inf
+  const __m512 vinf = _mm512_set1_ps(std::numeric_limits<float>::infinity());
+  const __m512 vb =
+      kmax >= 16
+          ? _mm512_loadu_ps(b)
+          : _mm512_mask_loadu_ps(
+                vinf,
+                static_cast<__mmask16>(
+                    (1u << static_cast<unsigned>(kmax)) - 1u),
+                b);
+  int64_t i = 0;
+  for (; i + 16 <= batch; i += 16) {
+    const __m512 v = _mm512_loadu_ps(x + i);
+    const __mmask16 nan_m = _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
+    const __mmask16 below_m = _mm512_cmp_ps_mask(v, vb0, _CMP_LT_OQ);
+    const __m512 g =
+        _mm512_fmadd_ps(_mm512_sub_ps(v, vb0), vinv, vone);
+    const __mmask16 hi_m = _mm512_cmp_ps_mask(g, vfk, _CMP_GE_OQ);
+    __m512i e = _mm512_cvttps_epi32(g);
+    e = _mm512_mask_mov_epi32(e, hi_m, vk);
+    e = _mm512_min_epi32(_mm512_max_epi32(e, vone_i), vk);
+    // fix-up 1: e += (e < k) & (b[e] <= v)
+    const __m512 be = _mm512_permutexvar_ps(e, vb);
+    const __mmask16 lt_k = _mm512_cmplt_epi32_mask(e, vk);
+    const __mmask16 inc =
+        _mm512_mask_cmp_ps_mask(lt_k, be, v, _CMP_LE_OQ);
+    e = _mm512_mask_add_epi32(e, inc, e, vone_i);
+    // fix-up 2: e -= (b[e-1] > v)   (e >= 1 here)
+    const __m512i em1 = _mm512_sub_epi32(e, vone_i);
+    const __m512 bem1 = _mm512_permutexvar_ps(em1, vb);
+    const __mmask16 dec = _mm512_cmp_ps_mask(bem1, v, _CMP_GT_OQ);
+    e = _mm512_mask_sub_epi32(e, dec, e, vone_i);
+    e = _mm512_mask_mov_epi32(e, below_m, vzero);
+    e = _mm512_mask_mov_epi32(e, nan_m, vk);
+    if (kLut) e = _mm512_i32gather_epi32(e, lut, 4);
+    if (sizeof(T) == 1) {
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(o + i),
+                       _mm512_cvtepi32_epi8(e));
+    } else if (sizeof(T) == 2) {
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(o + i),
+                          _mm512_cvtepi32_epi16(e));
+    } else {
+      _mm512_storeu_si512(reinterpret_cast<void*>(o + i), e);
+    }
+  }
+  if (i < batch)
+    BucketizeColAffine1<T, kLut>(x + i, b, k, b0, inv_d, lut, batch - i,
+                                 o + i);
+}
+
 // 16-lane AVX-512 flag-2 kernel: same math as BucketizeColAffine1 (affine
 // guess exact to +-1 at every probe), lane masks instead of branches, two
 // vgatherdps fix-up probes.  Semantics identical to the scalar version —
@@ -629,7 +699,14 @@ void BucketizeCol(const float* x, const float* b, int32_t k, int64_t kmax,
                   int64_t batch, T* o) {
   if (aff == 2 && k > 0) {             // guess exact to +-1: branchless
 #ifdef RECOM_AVX512
-    if (lut)
+    if (k < 16) {                      // boundary row's head fits one zmm
+      if (lut)
+        BucketizeColAffine1SimdSmall<T, true>(x, b, k, kmax, b0, inv_d,
+                                              lut, batch, o);
+      else
+        BucketizeColAffine1SimdSmall<T, false>(x, b, k, kmax, b0, inv_d,
+                                               nullptr, batch, o);
+    } else if (lut)
       BucketizeColAffine1Simd<T, true>(x, b, k, b0, inv_d, lut, batch, o);
     else
       BucketizeColAffine1Simd<T, false>(x, b, k, b0, inv_d, nullptr, batch,
