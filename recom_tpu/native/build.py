@@ -138,8 +138,8 @@ def _declare(lib: ctypes.CDLL):
     lib.rt_bucketize_multi.restype = None
     lib.rt_bucketize_multi.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p,
-        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
-        c.c_int64, c.c_int64,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+        c.c_void_p, c.c_int64, c.c_int64,
     ]
     lib.rt_hash_int_multi_out.restype = None
     lib.rt_hash_int_multi_out.argtypes = [

@@ -611,6 +611,65 @@ void BucketizeColAffine1SimdSmall(const float* x, const float* b, int32_t k,
                                  o + i);
 }
 
+// Flag-3 kernel: boundaries proven EXACTLY b0 + i*step in float32 (plan
+// detection, runtime/wire.py), so both fix-up probes compute the
+// boundary value with one FMA each — NO memory probes at all.  This is
+// the model-E shape (uniform integer grids, 100 boundaries/column):
+// measured ~2x over the gather kernel at 880 columns x batch 512.
+template <typename T, bool kLut>
+void BucketizeColAffineExactSimd(const float* x, const float* b, int32_t k,
+                                 float b0, float inv_d, float step,
+                                 const int32_t* lut, int64_t batch, T* o) {
+  const __m512 vb0 = _mm512_set1_ps(b0);
+  const __m512 vinv = _mm512_set1_ps(inv_d);
+  const __m512 vstep = _mm512_set1_ps(step);
+  const __m512 vone = _mm512_set1_ps(1.0f);
+  const __m512 vfk = _mm512_set1_ps(static_cast<float>(k));
+  const __m512i vk = _mm512_set1_epi32(k);
+  const __m512i vzero = _mm512_setzero_si512();
+  const __m512i vone_i = _mm512_set1_epi32(1);
+  int64_t i = 0;
+  for (; i + 16 <= batch; i += 16) {
+    const __m512 v = _mm512_loadu_ps(x + i);
+    const __mmask16 nan_m = _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
+    const __mmask16 below_m = _mm512_cmp_ps_mask(v, vb0, _CMP_LT_OQ);
+    const __m512 g =
+        _mm512_fmadd_ps(_mm512_sub_ps(v, vb0), vinv, vone);
+    const __mmask16 hi_m = _mm512_cmp_ps_mask(g, vfk, _CMP_GE_OQ);
+    __m512i e = _mm512_cvttps_epi32(g);
+    e = _mm512_mask_mov_epi32(e, hi_m, vk);
+    e = _mm512_min_epi32(_mm512_max_epi32(e, vone_i), vk);
+    // fix-up 1: e += (e < k) & (b[e] <= v), with b[e] = fma(e, step, b0)
+    const __m512 be =
+        _mm512_fmadd_ps(_mm512_cvtepi32_ps(e), vstep, vb0);
+    const __mmask16 lt_k = _mm512_cmplt_epi32_mask(e, vk);
+    const __mmask16 inc =
+        _mm512_mask_cmp_ps_mask(lt_k, be, v, _CMP_LE_OQ);
+    e = _mm512_mask_add_epi32(e, inc, e, vone_i);
+    // fix-up 2: e -= (b[e-1] > v)
+    const __m512i em1 = _mm512_sub_epi32(e, vone_i);
+    const __m512 bem1 =
+        _mm512_fmadd_ps(_mm512_cvtepi32_ps(em1), vstep, vb0);
+    const __mmask16 dec = _mm512_cmp_ps_mask(bem1, v, _CMP_GT_OQ);
+    e = _mm512_mask_sub_epi32(e, dec, e, vone_i);
+    e = _mm512_mask_mov_epi32(e, below_m, vzero);
+    e = _mm512_mask_mov_epi32(e, nan_m, vk);
+    if (kLut) e = _mm512_i32gather_epi32(e, lut, 4);
+    if (sizeof(T) == 1) {
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(o + i),
+                       _mm512_cvtepi32_epi8(e));
+    } else if (sizeof(T) == 2) {
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(o + i),
+                          _mm512_cvtepi32_epi16(e));
+    } else {
+      _mm512_storeu_si512(reinterpret_cast<void*>(o + i), e);
+    }
+  }
+  if (i < batch)
+    BucketizeColAffine1<T, kLut>(x + i, b, k, b0, inv_d, lut, batch - i,
+                                 o + i);
+}
+
 // 16-lane AVX-512 flag-2 kernel: same math as BucketizeColAffine1 (affine
 // guess exact to +-1 at every probe), lane masks instead of branches, two
 // vgatherdps fix-up probes.  Semantics identical to the scalar version —
@@ -695,9 +754,23 @@ void BucketizeColSearch(const float* x, const float* b, int32_t k,
 
 template <typename T>
 void BucketizeCol(const float* x, const float* b, int32_t k, int64_t kmax,
-                  float b0, float inv_d, uint8_t aff, const int32_t* lut,
-                  int64_t batch, T* o) {
-  if (aff == 2 && k > 0) {             // guess exact to +-1: branchless
+                  float b0, float inv_d, float step, uint8_t aff,
+                  const int32_t* lut, int64_t batch, T* o) {
+  if (aff == 3 && k > 0) {             // exact-affine boundaries: no probes
+#ifdef RECOM_AVX512
+    if (lut)
+      BucketizeColAffineExactSimd<T, true>(x, b, k, b0, inv_d, step, lut,
+                                           batch, o);
+    else
+      BucketizeColAffineExactSimd<T, false>(x, b, k, b0, inv_d, step,
+                                            nullptr, batch, o);
+#else
+    if (lut)
+      BucketizeColAffine1<T, true>(x, b, k, b0, inv_d, lut, batch, o);
+    else
+      BucketizeColAffine1<T, false>(x, b, k, b0, inv_d, nullptr, batch, o);
+#endif
+  } else if (aff == 2 && k > 0) {      // guess exact to +-1: branchless
 #ifdef RECOM_AVX512
     if (k < 16) {                      // boundary row's head fits one zmm
       if (lut)
@@ -735,27 +808,31 @@ void BucketizeCol(const float* x, const float* b, int32_t k, int64_t kmax,
 
 void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
                         const int32_t* counts, const float* inv_ds,
-                        const uint8_t* affine, const int32_t** luts,
-                        int64_t n_cols, int64_t batch, uint8_t* out,
-                        int64_t stride, int64_t elem) {
+                        const float* steps, const uint8_t* affine,
+                        const int32_t** luts, int64_t n_cols, int64_t batch,
+                        uint8_t* out, int64_t stride, int64_t elem) {
   ParallelColumns(n_cols, 64, [=](int64_t c) {
     const float* x = xs[c];
     const float* b = bounds32 + c * kmax;
     const int32_t k = counts[c];
+    const float step = steps ? steps[c] : 0.0f;
     const int32_t* lut = luts ? luts[c] : nullptr;
     uint8_t* o = out + c * stride * elem;
     switch (elem) {
       case 1:
-        BucketizeCol<int8_t>(x, b, k, kmax, b[0], inv_ds[c], affine[c],
-                             lut, batch, reinterpret_cast<int8_t*>(o));
+        BucketizeCol<int8_t>(x, b, k, kmax, b[0], inv_ds[c], step,
+                             affine[c], lut, batch,
+                             reinterpret_cast<int8_t*>(o));
         break;
       case 2:
-        BucketizeCol<int16_t>(x, b, k, kmax, b[0], inv_ds[c], affine[c],
-                              lut, batch, reinterpret_cast<int16_t*>(o));
+        BucketizeCol<int16_t>(x, b, k, kmax, b[0], inv_ds[c], step,
+                              affine[c], lut, batch,
+                              reinterpret_cast<int16_t*>(o));
         break;
       default:
-        BucketizeCol<int32_t>(x, b, k, kmax, b[0], inv_ds[c], affine[c],
-                              lut, batch, reinterpret_cast<int32_t*>(o));
+        BucketizeCol<int32_t>(x, b, k, kmax, b[0], inv_ds[c], step,
+                              affine[c], lut, batch,
+                              reinterpret_cast<int32_t*>(o));
     }
   });
 }

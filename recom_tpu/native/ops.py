@@ -280,6 +280,7 @@ def bucketize_multi(
     luts: Optional[List[Optional[np.ndarray]]],
     out: np.ndarray,
     batch: int,
+    steps: Optional[np.ndarray] = None,
 ) -> None:
     """TF Bucketize (+ optional fused post-bucketize LUT) for a column
     group, written into out[:, :batch] (out: [n_cols, Bp] int view).
@@ -308,7 +309,9 @@ def bucketize_multi(
     ptrs, keep = _in_ptrs(arrays, _PTR_F32, np.float32, batch)
     lib.rt_bucketize_multi(
         ptrs.ctypes.data, bounds32.ctypes.data, bounds32.shape[1],
-        counts.ctypes.data, inv_ds.ctypes.data, affine.ctypes.data,
+        counts.ctypes.data, inv_ds.ctypes.data,
+        steps.ctypes.data if steps is not None else 0,
+        affine.ctypes.data,
         lut_ptrs.ctypes.data if lut_ptrs is not None else 0,
         len(arrays), batch, out.ctypes.data,
         out.strides[0] // out.itemsize, out.itemsize,

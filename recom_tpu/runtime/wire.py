@@ -174,6 +174,7 @@ class _GroupPlan:
     bz_bounds32: Optional[np.ndarray]      # [n_bz, kmax] ceil32, +inf pad
     bz_counts: Optional[np.ndarray]        # [n_bz] int32
     bz_inv_ds: Optional[np.ndarray]        # [n_bz] f32 affine guess slope
+    bz_steps: Optional[np.ndarray]         # [n_bz] f32 exact boundary step
     bz_affine: Optional[np.ndarray]        # [n_bz] uint8 guess-valid flag
     bz_luts: Optional[List[Optional[np.ndarray]]]
     bz_lut_ptrs: Optional[np.ndarray]      # int64 ptr array over bz_luts
@@ -207,7 +208,7 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
             m.column.source.field for m in g.members[: g.n_bucketize]
         ]
         bz_bounds = bz_counts = bz_luts = bz_lut_ptrs = None
-        bz_inv_ds = bz_affine = None
+        bz_inv_ds = bz_steps = bz_affine = None
         if g.n_bucketize:
             from recom_tpu.native.ops import ceil32
 
@@ -222,6 +223,7 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
                 (g.n_bucketize, kmax), np.inf, dtype=np.float32
             )
             bz_inv_ds = np.zeros(g.n_bucketize, np.float32)
+            bz_steps = np.zeros(g.n_bucketize, np.float32)
             bz_affine = np.zeros(g.n_bucketize, np.uint8)
             for i, m in enumerate(g.members[: g.n_bucketize]):
                 b64 = np.asarray(m.device_bucketize.boundaries, np.float64)
@@ -251,6 +253,29 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
                 if err == 0:
                     bz_inv_ds[i] = inv_d
                     bz_affine[i] = 2
+                    # flag 3: boundaries proven EXACTLY b0 + j*step in
+                    # f32 (uniform integer grids, the model-E shape) —
+                    # the kernel then computes both fix-up probe values
+                    # with one FMA each, no boundary-array reads.  The
+                    # FMA equals RN32(exact j*step + b0); requiring the
+                    # f64-computed values to be f32-representable AND
+                    # equal to b32 makes that single rounding exact
+                    # (an f64 value within 1 ulp64 of an f32-exact
+                    # number rounds to it).
+                    d64 = (float(b32[-1]) - float(b32[0])) / (k - 1)
+                    d32 = np.float32(d64)
+                    if np.float64(d32) == d64:
+                        vals = (
+                            np.float64(b32[0])
+                            + np.arange(k, dtype=np.float64) * d64
+                        )
+                        v32 = vals.astype(np.float32)
+                        if (
+                            np.all(v32.astype(np.float64) == vals)
+                            and np.array_equal(v32, b32)
+                        ):
+                            bz_steps[i] = d32
+                            bz_affine[i] = 3
                 elif err <= 4:
                     bz_inv_ds[i] = inv_d
                     bz_affine[i] = 1
@@ -297,7 +322,7 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
         p = _GroupPlan(
             gid=g.gid, ragged=g.ragged, n_bz=g.n_bucketize,
             bz_fields=bz_fields, bz_bounds32=bz_bounds, bz_counts=bz_counts,
-            bz_inv_ds=bz_inv_ds, bz_affine=bz_affine,
+            bz_inv_ds=bz_inv_ds, bz_steps=bz_steps, bz_affine=bz_affine,
             bz_luts=bz_luts, bz_lut_ptrs=bz_lut_ptrs,
             n_int=len(ints),
             int_fields=[m.column.source.field for _, m in ints],
@@ -530,6 +555,7 @@ def prepare_batch_wire(
                 native_ops.bucketize_multi(
                     cols, p.bz_bounds32, p.bz_counts, p.bz_inv_ds,
                     p.bz_affine, p.bz_lut_ptrs, p.bz_luts, out, bs,
+                    steps=p.bz_steps,
                 )
             else:
                 out = layout.view_np(blob, by_key[(p.gid, "raw_bz")])
