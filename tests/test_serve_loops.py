@@ -1,0 +1,57 @@
+"""Protocol tests for the shared serving loop (tools/serve_loops)."""
+
+import numpy as np
+
+
+class FakeEngine:
+    """Counts prepares/dispatches; fabricates signatures."""
+
+    def __init__(self):
+        self.prepared = []
+        self.executed = []
+        self.device_params = {}
+
+    def prepare(self, b):
+        self.prepared.append(b)
+
+        class P:
+            signature = ("sig",)
+            arrays = b
+
+        return P()
+
+    def _get_jitted(self, sig):
+        def fn(params, arrays):
+            self.executed.append(arrays)
+            return {"output": np.zeros(1)}
+
+        return fn
+
+
+def test_loop_windows_serves_each_batch_exactly_once():
+    from recom_tpu.tools.serve_loops import loop_windows
+
+    eng = FakeEngine()
+    warm = ["w0", "w1"]
+    bats = [f"b{i}" for i in range(23)]
+    med, win_ms, req_ms = loop_windows(eng, warm, bats, confirm_every=4,
+                                       windows=5)
+    # warm batches execute but are NOT timed; each timed batch exactly once
+    assert eng.executed[:2] == warm
+    served = eng.executed[2:]
+    # windows=5 over 23 -> per=4, 5 windows x 4 = 20 served, tail dropped
+    assert served == bats[:20]
+    assert len(served) == len(set(served))
+    assert len(win_ms) == 5 and len(req_ms) == 20
+    assert med > 0
+
+
+def test_loop_windows_sync_mode_returns_per_request_latencies():
+    from recom_tpu.tools.serve_loops import loop_windows
+
+    eng = FakeEngine()
+    bats = [f"s{i}" for i in range(7)]
+    med, win_ms, req_ms = loop_windows(eng, [], bats, confirm_every=1,
+                                       windows=1)
+    assert eng.executed == bats
+    assert len(req_ms) == 7 and len(win_ms) == 1
