@@ -55,3 +55,25 @@ def test_loop_windows_sync_mode_returns_per_request_latencies():
                                        windows=1)
     assert eng.executed == bats
     assert len(req_ms) == 7 and len(win_ms) == 1
+
+
+def test_serde_roundtrip_kitchen_sink_with_new_column_types():
+    """The full serde round-trip covers SOFTMAX combiners and width-k
+    dense sources (via the wire kitchen-sink model) and reproduces the
+    oracle bitwise."""
+    import numpy as np
+
+    from recom_tpu.ir.serde import model_from_dict, model_to_dict
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.oracle import OracleModel
+    from recom_tpu.utils.params import init_model_params
+    from tests.test_wire import make_kitchen_sink
+
+    model = make_kitchen_sink()
+    rt = model_from_dict(model_to_dict(model))
+    assert rt.spec_hash() == model.spec_hash()
+    params = init_model_params(model)
+    batch = make_random_batch(model, 9, seed=4)
+    a = OracleModel(model, params=params).forward(batch)
+    b = OracleModel(rt, params=params).forward(batch)
+    np.testing.assert_array_equal(a["concat"], b["concat"])
