@@ -358,3 +358,50 @@ def test_a2a_overflow_policy_recompute_warn_raise():
     )
     with pytest.raises(RuntimeError, match="overflow"):
         eng_r.predict(b)
+
+
+@needs_8
+def test_sharded_softmax_combiner_bitexact():
+    """Combiner.SOFTMAX on a row-sharded (a2a) group: the host softmaxes
+    the staged scores, the sharded path pools them as a weighted SUM —
+    bit-exact vs the oracle."""
+    from recom_tpu.ir.spec import (
+        FeatureColumn, FeatureKind, FeatureSource, LookupSpec, ModelSpec,
+        NumToId, TableSpec, TowerSpec,
+    )
+
+    V = 4096
+    m = ModelSpec(
+        "shsmx",
+        {"big": TableSpec("big", V, 4), "small": TableSpec("small", 32, 4)},
+        [
+            FeatureColumn(
+                "sm", FeatureSource("sm", FeatureKind.INT_LIST),
+                (NumToId(V),),
+                LookupSpec("big", Combiner.SOFTMAX, weight_field="w"),
+            ),
+            FeatureColumn(
+                "pl", FeatureSource("pl", FeatureKind.INT_LIST),
+                (NumToId(32),), LookupSpec("small", Combiner.MEAN),
+            ),
+        ],
+        TowerSpec(arch="mlp", top_mlp=(), final_activation=None),
+    )
+    rng = np.random.default_rng(6)
+    lens = rng.integers(0, 6, 24)
+    batch = {
+        "sm": [list(rng.integers(-1, V, int(n))) for n in lens],
+        "pl": [list(rng.integers(0, 32, 3)) for _ in lens],
+    }
+    batch["w"] = [list((rng.standard_normal(len(r)) * 2).astype(np.float32))
+                  for r in batch["sm"]]
+    cfg = EngineConfig(
+        mesh_shape=(2, 4), shard_rows_above=2048, use_pallas=False,
+        batch_buckets=(24,), shard_comm="all_to_all",
+    )
+    eng = Engine(m, cfg)
+    assert eng._sharded_gids
+    out = eng.predict(batch, return_pooled=True)
+    ref = OracleModel(m).forward(batch)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
