@@ -256,6 +256,33 @@ def main():
                          "prints one JSON artifact and exits")
     args = ap.parse_args()
 
+    # Watchdog: the tunnel transport can stall indefinitely mid-RPC
+    # (observed: backend init / first table upload hung >30 min while
+    # tiny probes succeeded).  A silent hang wastes the whole driver
+    # budget and records nothing; abort with a diagnostic instead.
+    # RECOM_TPU_BENCH_WATCHDOG_S=0 disables.
+    import os as _os
+    import threading as _threading
+
+    _deadline = float(_os.environ.get("RECOM_TPU_BENCH_WATCHDOG_S", 3600))
+    if _deadline > 0:
+        def _watchdog():
+            print(
+                json.dumps({
+                    "error": "bench watchdog expired",
+                    "deadline_s": _deadline,
+                    "hint": "TPU tunnel stalled (init/upload/compile); "
+                            "tiny-RPC probes may still succeed — "
+                            "transport, not framework",
+                }),
+                file=sys.stderr, flush=True,
+            )
+            _os._exit(7)
+
+        _t = _threading.Timer(_deadline, _watchdog)
+        _t.daemon = True
+        _t.start()
+
     import jax
 
     from recom_tpu import Engine, EngineConfig
