@@ -13,7 +13,12 @@ Covered column shapes (everything in models E/F/micro/criteo):
   DENSE_INT   + [HashBucket]          -> as_string + to_hash_bucket_fast
   STRING      + [HashBucket]          -> to_hash_bucket_fast
   STRING_LIST (delimited) + [HashBucket] -> StringSplit + hash + sparse pool
+  INT_LIST + [NumToId]                -> identity sparse ids + sparse pool
   dense passthrough columns           -> tower input
+Weighted lookups (LookupSpec.weight_field) feed the aligned ragged score
+list as sparse_weights; Combiner.SOFTMAX applies tf.sparse.softmax to the
+scores first (the reference's SparseSoftmax + SequenceMask pattern,
+post_lookup_optimizer.cc:311-478).
 Unsupported transforms raise (the bench falls back to the oracle baseline).
 """
 
@@ -34,6 +39,7 @@ from recom_tpu.ir.spec import (
     FeatureKind,
     HashBucket,
     ModelSpec,
+    NumToId,
 )
 
 _COMB = {Combiner.SUM: "sum", Combiner.MEAN: "mean", Combiner.SQRTN: "sqrtn"}
@@ -87,35 +93,63 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
                 return tf.where(missing[:, None], tf.zeros_like(emb), emb)
             ids = tf.strings.to_hash_bucket_fast(x, hb.num_buckets)
             return tf.nn.embedding_lookup(t, ids)
-        if kind == FeatureKind.STRING_LIST:
-            (hb,) = col.transforms
-            assert isinstance(hb, HashBucket)
-            sp = tf.strings.split(
-                feed[col.source.field], sep=col.source.delimiter
-            ).to_sparse()
-            ids = tf.sparse.SparseTensor(
-                sp.indices,
-                tf.strings.to_hash_bucket_fast(sp.values, hb.num_buckets),
-                sp.dense_shape,
+        if kind in (FeatureKind.STRING_LIST, FeatureKind.INT_LIST):
+            if kind == FeatureKind.STRING_LIST:
+                (hb,) = col.transforms
+                assert isinstance(hb, HashBucket)
+                x = feed[col.source.field]
+                sp = (
+                    x.to_sparse()   # pre-split ragged rows
+                    if isinstance(x, tf.RaggedTensor)
+                    else tf.strings.split(
+                        x, sep=col.source.delimiter
+                    ).to_sparse()
+                )
+                ids = tf.sparse.SparseTensor(
+                    sp.indices,
+                    tf.strings.to_hash_bucket_fast(sp.values, hb.num_buckets),
+                    sp.dense_shape,
+                )
+            else:
+                # identity ids (categorical_column_with_identity)
+                (nti,) = col.transforms
+                assert isinstance(nti, NumToId)
+                ids = feed[col.source.field].to_sparse()
+            return sparse_pool(col, ids, t, comb, feed)
+        raise NotImplementedError(f"tf baseline: column kind {kind}")
+
+    def sparse_pool(col, ids, t, comb, feed):
+        """safe_embedding_lookup_sparse with the model's weighting scheme.
+        The weight feed is the aligned ragged score list — both the split's
+        sparse indices and the ragged flat values are row-major, so they
+        line up position-for-position."""
+        wf = col.lookup.weight_field
+        weights = None
+        if wf is not None:
+            wr = feed[wf]
+            weights = tf.sparse.SparseTensor(
+                ids.indices,
+                tf.cast(wr.flat_values, tf.float32),
+                ids.dense_shape,
             )
-            if col.lookup.combiner == Combiner.SOFTMAX:
-                # the reference's SparseSoftmax pattern: rowwise softmax
-                # of the scores, then weighted sum.  The delimited wire
-                # format carries no aligned score list, so the baseline
-                # uses uniform scores (softmax -> 1/n).
-                ones = tf.sparse.SparseTensor(
+        if col.lookup.combiner == Combiner.SOFTMAX:
+            # the reference's SparseSoftmax + SequenceMask pattern: rowwise
+            # softmax of the scores over the valid positions, then a
+            # weighted sum.  No score feed -> uniform scores (softmax ->
+            # 1/n), matching the engine's ones default.
+            if weights is None:
+                weights = tf.sparse.SparseTensor(
                     ids.indices,
                     tf.ones_like(tf.cast(ids.values, tf.float32)),
                     ids.dense_shape,
                 )
-                return tf.nn.safe_embedding_lookup_sparse(
-                    t, ids, sparse_weights=tf.sparse.softmax(ones),
-                    combiner="sum", default_id=None,
-                )
             return tf.nn.safe_embedding_lookup_sparse(
-                t, ids, combiner=comb, default_id=None
+                t, ids, sparse_weights=tf.sparse.softmax(weights),
+                combiner="sum", default_id=None,
             )
-        raise NotImplementedError(f"tf baseline: column kind {kind}")
+        return tf.nn.safe_embedding_lookup_sparse(
+            t, ids, sparse_weights=weights, combiner=comb, default_id=None
+        )
 
     def mlp(layers, x, act, final_act):
         for i, (w, b) in enumerate(layers):
@@ -175,6 +209,13 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
         feed = {}
         for col in model.columns:
             f = col.source.field
+            wf = col.lookup.weight_field if col.lookup else None
+            if wf is not None and wf not in feed and wf in batch:
+                # aligned ragged score list (FLOAT_LIST weight plane)
+                feed[wf] = tf.ragged.constant(
+                    [list(map(float, r)) for r in batch[wf]],
+                    dtype=tf.float32, row_splits_dtype=tf.int64,
+                )
             if f in feed or f not in batch:
                 continue
             kind = col.source.kind
@@ -184,8 +225,29 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
                 )
             elif kind == FeatureKind.DENSE_INT:
                 feed[f] = tf.constant(np.asarray(batch[f], np.int64))
+            elif kind == FeatureKind.INT_LIST:
+                feed[f] = tf.ragged.constant(
+                    [list(map(int, r)) for r in batch[f]],
+                    dtype=tf.int64, row_splits_dtype=tf.int64,
+                )
             elif kind in (FeatureKind.STRING, FeatureKind.STRING_LIST):
-                arr = np.asarray(batch[f])
+                rows = batch[f]
+                if kind == FeatureKind.STRING_LIST and (
+                    len(rows) and isinstance(rows[0], (list, np.ndarray))
+                ):
+                    # pre-split ragged rows (no delimiter wire format)
+                    feed[f] = tf.ragged.constant(
+                        [
+                            [
+                                s.decode() if isinstance(s, bytes) else str(s)
+                                for s in r
+                            ]
+                            for r in rows
+                        ],
+                        dtype=tf.string, row_splits_dtype=tf.int64,
+                    )
+                    continue
+                arr = np.asarray(rows)
                 if arr.dtype.kind == "S":
                     arr = arr.astype("U")
                 feed[f] = tf.constant(arr)

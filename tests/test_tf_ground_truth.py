@@ -258,3 +258,58 @@ def test_random_model_output_matches_tf_baseline(seed):
                                  batch_buckets=(32,)), params=params)
     got = eng.predict(batch)["output"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_weighted_and_softmax_model_matches_tf_baseline():
+    """Weighted + softmax-scored + identity-id columns through the REAL TF
+    baseline graph: tf_baseline feeds the aligned ragged score list as
+    sparse_weights (tf.sparse.softmax for Combiner.SOFTMAX — the
+    reference's SparseSoftmax + SequenceMask pattern,
+    post_lookup_optimizer.cc:311-478), so the engine's full forward must
+    match TF, not a uniform-score approximation."""
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.tools.tf_baseline import build_tf_baseline
+    from recom_tpu.utils.params import init_model_params
+
+    m = ModelSpec(
+        "tfw",
+        {
+            "t1": TableSpec("t1", 50, 8),
+            "t2": TableSpec("t2", 64, 8),
+            "t3": TableSpec("t3", 40, 8),
+        },
+        [
+            FeatureColumn(
+                "c_sm",
+                FeatureSource("s_sm", FeatureKind.STRING_LIST, delimiter=","),
+                (HashBucket(50),),
+                LookupSpec("t1", Combiner.SOFTMAX, weight_field="w_sm"),
+            ),
+            FeatureColumn(
+                "c_wmean",
+                FeatureSource("s_wm", FeatureKind.STRING_LIST, delimiter=","),
+                (HashBucket(64),),
+                LookupSpec("t2", Combiner.MEAN, weight_field="w_wm"),
+            ),
+            FeatureColumn(
+                "c_int",
+                FeatureSource("xi", FeatureKind.INT_LIST),
+                (NumToId(40),),
+                LookupSpec("t3", Combiner.SUM),
+            ),
+        ],
+        TowerSpec(arch="mlp", top_mlp=(16, 1)),
+    )
+    params = init_model_params(m)
+    # num_range=40 keeps identity ids inside NumToId's valid range (the TF
+    # identity column does not clamp; out-of-range is the caller's breach)
+    batch = make_random_batch(m, 24, seed=7, num_range=40)
+
+    fn, make_feed = build_tf_baseline(m, params)
+    want = fn(make_feed(batch)).numpy()
+
+    eng = Engine(m, EngineConfig(use_pallas=False, interpret=True,
+                                 batch_buckets=(24,)), params=params)
+    got = eng.predict(batch)["output"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
