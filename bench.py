@@ -283,7 +283,38 @@ def main():
         _t.daemon = True
         _t.start()
 
+    # Separate, much shorter deadline for BACKEND INIT alone: a healthy
+    # tunnel answers jax.devices() in seconds; an outage hangs it
+    # indefinitely (observed mid-round-3: >360s with no error).  Failing
+    # fast here preserves the driver's budget for a retry instead of
+    # burning the full watchdog hour.  RECOM_TPU_INIT_WATCHDOG_S=0 disables.
+    _init_deadline = float(
+        _os.environ.get("RECOM_TPU_INIT_WATCHDOG_S", 900)
+    )
+    _init_done = _threading.Event()
+    if _init_deadline > 0:
+        def _init_watchdog():
+            if _init_done.is_set():
+                return
+            print(
+                json.dumps({
+                    "error": "backend init watchdog expired",
+                    "deadline_s": _init_deadline,
+                    "hint": "jax.devices() never returned — TPU tunnel "
+                            "down; retry when the tunnel recovers",
+                }),
+                file=sys.stderr, flush=True,
+            )
+            _os._exit(7)
+
+        _ti = _threading.Timer(_init_deadline, _init_watchdog)
+        _ti.daemon = True
+        _ti.start()
+
     import jax
+
+    jax.devices()                       # force backend init under the timer
+    _init_done.set()
 
     from recom_tpu import Engine, EngineConfig
     from recom_tpu.models import make_random_batch
