@@ -377,7 +377,7 @@ def import_tf_graphdef(
         # post-lookup column compute detected FIRST: its consumed nodes
         # (a projection MatMul's frozen W const) must not be mistaken for
         # embedding tables, and the residue check below admits its ops
-        post, post_ops, post_nodes = _detect_post(gi, inp)
+        post, post_ops, post_nodes, post_frontier = _detect_post(gi, inp)
         table_nodes = [
             x for x in sub
             if x.op in ("VariableV2", "VarHandleOp", "Const")
@@ -517,6 +517,27 @@ def import_tf_graphdef(
             else:
                 combiner = Combiner.SUM
 
+        # --- pooled-path verification: the value path from the slot's
+        # post-peeled frontier back to the pooling/lookup op must be pure
+        # plumbing.  Compute here is modeled by NEITHER the combiner NOR
+        # the PostPool chain and would be silently dropped — op-presence
+        # residue cannot catch it because Mul/Add/Sum legitimately appear
+        # pre-lookup (the pooled analogue of _trace_value_source's
+        # pre-anchor check) -------------------------------------------------
+        bad = _verify_pooled_path(gi, post_frontier, weighted)
+        if bad is not None:
+            msg = (
+                f"column feeding {n.name}: pooled-output path carries "
+                f"unmodeled compute ({bad.op} {bad.name}) between the "
+                "lookup and the concat"
+            )
+            if strict:
+                raise ValueError(
+                    msg + " — refusing to change semantics silently; pass "
+                    "strict=False to import without it (warned)"
+                )
+            warnings.append(msg + "; imported WITHOUT it")
+
         transforms: tuple = ()
         ragged = "StringSplit" in ops or "StringSplitV2" in ops
         delimiter = None
@@ -551,9 +572,13 @@ def import_tf_graphdef(
                     FeatureSource(cname, FeatureKind.CROSS, fields=fields),
                     (CrossHash(nb, hk if hk is not None else 0xDECAFCAFFE),),
                     LookupSpec(tname, combiner),
+                    post=post,
                 )
             )
-            col_widths.append(dim)
+            w = dim
+            for p in post or ():
+                w = p.out_width(w)
+            col_widths.append(w)
             continue
         matched = _match_categorical_chain(
             gi, ops, sub, placeholders, warnings, strict=strict
@@ -897,20 +922,24 @@ def _detect_post(gi: GraphIndex, inp: str):
     """Post-lookup column compute at the slot tail: Sum/Mean over the
     embedding dim (the reference's BatchColReduction, cuda_emitter.cc:
     1180-1244), Softmax over the embedding dim (the SparseSoftmax
-    pattern, post_lookup_optimizer.cc:311-478, in the pooled domain), or
+    pattern, post_lookup_optimizer.cc:311-478, in the pooled domain),
     a frozen MatMul projection (the push-MatMul-under-sparse rewrite,
     post_lookup_optimizer.cc:227-309 — sum/mean pooling is linear, so the
-    projection commutes with it).  Ops peel tail-first into a chain.
+    projection commutes with it), or elementwise affine with a frozen
+    const operand (Mul/Add/Sub by a scalar or per-dim vector —
+    PostPool("affine")).  Ops peel tail-first into a chain.
     Returns (post tuple, ops the post chain accounts for, node NAMES the
     chain consumes — e.g. a MatMul's frozen W const, which must not be
-    mistaken for an embedding table by slot analysis)."""
+    mistaken for an embedding table by slot analysis, and the FRONTIER
+    tensor name left after peeling, whose path back to the pooling op the
+    caller verifies with _verify_pooled_path)."""
     from recom_tpu.ir.spec import PostPool
 
     chain: list = []                    # built tail-first, reversed below
     accounted: set = set()
     node_names: set = set()
     cur = inp
-    for _ in range(4):                  # bounded peel
+    for _ in range(6):                  # bounded peel
         red = _resolve_through(
             gi, cur, ("Identity", "Reshape", "ExpandDims", "Squeeze")
         )
@@ -960,8 +989,43 @@ def _detect_post(gi: GraphIndex, inp: str):
             node_names.add(wnode.name)
             cur = red.inputs[0]
             continue
+        if red.op in ("Mul", "Add", "AddV2", "Sub") and len(red.inputs) >= 2:
+            # elementwise affine with a frozen const operand on the pooled
+            # [B, d] output.  Two pooled lookups multiplied (both operands
+            # non-Const) is the mul-slot idiom, handled by the caller —
+            # the const requirement keeps the two patterns disjoint.
+            cnode = _resolve_through(gi, red.inputs[1])
+            cv, xin, const_left = None, None, False
+            if cnode is not None and cnode.op == "Const":
+                cv, xin = attr_tensor(cnode.attr("value")), red.inputs[0]
+            else:
+                cnode = _resolve_through(gi, red.inputs[0])
+                if cnode is not None and cnode.op == "Const":
+                    cv, xin = attr_tensor(cnode.attr("value")), red.inputs[1]
+                    const_left = True
+            if cv is None or np.asarray(cv).ndim > 1:
+                break
+            c = tuple(
+                float(v) for v in
+                np.atleast_1d(np.asarray(cv, np.float32))
+            )
+            if red.op == "Mul":
+                chain.append(PostPool("affine", scale=c))
+            elif red.op in ("Add", "AddV2"):
+                chain.append(PostPool("affine", bias=c))
+            elif not const_left:        # Sub(x, c): x + (-c), bit-equal
+                chain.append(PostPool(
+                    "affine", bias=tuple(-v for v in c)
+                ))
+            else:                       # Sub(c, x): x*(-1) + c, bit-equal
+                chain.append(PostPool("affine", scale=(-1.0,), bias=c))
+            accounted.add(red.op)
+            node_names.add(red.name)
+            node_names.add(cnode.name)
+            cur = xin
+            continue
         break
-    return tuple(reversed(chain)), accounted, node_names
+    return tuple(reversed(chain)), accounted, node_names, cur
 
 
 def _register_table(tnode, tables, weights, warnings, checkpoint):
@@ -1049,6 +1113,12 @@ def _import_mul_slot(
         )
         if _slot_residue(set(x.op for x in sub), anchor_kind,
                          hosteval=_hosteval_ops(transforms)):
+            return False
+        # the operand must BE a pooled lookup output (through plumbing):
+        # compute between the pooling op and the Mul (an inner Mul by a
+        # const, a Sum reduction, ...) has no expression in mul_column's
+        # RAW-pooled-operand contract and must not import silently
+        if _verify_pooled_path(gi, operand) is not None:
             return False
         cones.append((
             tnodes[0], combiner, transforms, kind, main_ph, ragged,
@@ -1795,14 +1865,17 @@ def _compile_host_eval(gi: GraphIndex, name: str):
             continue
         if n.op in _HOSTEVAL_BINOPS and dt is not None and len(n.inputs) >= 2:
             op_r, op_l = _HOSTEVAL_BINOPS[n.op]
+            # keep the RAW const (int for i32/i64 steps): float() here
+            # would corrupt int64 constants above 2^53 before
+            # HostEvalChain's dtype-aware coercion ever sees them
             c = _const_scalar(gi, n.inputs[1])
             if c is not None:
-                steps_rev.append((op_r, float(c), dt))
+                steps_rev.append((op_r, c, dt))
                 n = gi.node(n.inputs[0])
                 continue
             c = _const_scalar(gi, n.inputs[0])
             if c is not None and op_l is not None:
-                steps_rev.append((op_l, float(c), dt))
+                steps_rev.append((op_l, c, dt))
                 n = gi.node(n.inputs[1])
                 continue
         return None, None
@@ -1879,6 +1952,52 @@ def _delimited_weight_plane(
             continue
         return src.name
     return None
+
+
+_POOLED_PASS = ("Identity", "Reshape", "ExpandDims", "Squeeze")
+_POOLED_TERMINALS = frozenset({
+    "SparseSegmentSum", "SparseSegmentMean", "SparseSegmentSqrtN",
+    "SparseSegmentSumWithNumSegments", "SparseSegmentMeanWithNumSegments",
+    "SparseSegmentSqrtNWithNumSegments", "GatherV2", "GatherNd", "OneHot",
+})
+_POOLED_TERMINALS_WEIGHTED = _POOLED_TERMINALS | frozenset({
+    # the weighted embedding_lookup_sparse expansion's own tail ops
+    "SegmentSum", "DivNoNan", "RealDiv", "Div",
+})
+
+
+def _verify_pooled_path(gi: GraphIndex, name: str, weighted: bool = False):
+    """Walk the POOLED value path from a slot's (post-peeled) frontier back
+    to the lookup/pooling op through value-preserving plumbing only.
+    Returns None when the path is clean, else the first computing node on
+    it: compute between the pooled lookup and the concat is modeled by
+    neither the combiner nor the PostPool chain and would be silently
+    dropped.  This is the pooled-path analogue of _trace_value_source's
+    pre-anchor check (the reference's RETURN_IF_FALSE discipline leaves
+    such graphs untouched rather than mis-emitting them,
+    fc_optimizer_base.h:202-257)."""
+    term = _POOLED_TERMINALS_WEIGHTED if weighted else _POOLED_TERMINALS
+    n = gi.node(name)
+    seen: Set[str] = set()
+    while n is not None:
+        if n.name in seen:
+            return n
+        seen.add(n.name)
+        if n.op in term:
+            return None
+        if n.op in _POOLED_PASS and n.inputs:
+            n = gi.node(n.inputs[0])
+            continue
+        if n.op in ("Select", "SelectV2") and len(n.inputs) >= 3:
+            # safe_embedding empty-row patch-up: where(is_empty, zeros,
+            # pooled) — the value branch is input 2; tolerate the swapped
+            # form by accepting either branch reaching the pooling op
+            for idx in (2, 1):
+                if _verify_pooled_path(gi, n.inputs[idx], weighted) is None:
+                    return None
+            return n
+        return n
+    return None      # dangling reference: nothing provably dropped
 
 
 def _trace_value_source(gi: GraphIndex, name: str) -> Optional[Node]:

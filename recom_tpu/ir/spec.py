@@ -322,15 +322,23 @@ class HostEvalChain(Transform):
     steps: tuple of (op, const, dtype) applied left-to-right; dtype in
     {"f32", "f64", "i32", "i64"} is the TF op's T attr — each step casts
     its input to that dtype before computing, reproducing TF's per-op
-    dtype semantics exactly."""
+    dtype semantics exactly.  Integer-dtype step constants stay Python
+    ints (an int64 const above 2^53 would be corrupted by a float()
+    round-trip, breaking the bit-exact-with-TF contract)."""
 
     steps: Tuple[Tuple[str, Optional[float], str], ...]
 
     def __init__(self, steps):
+        def coerce(c, dt):
+            if c is None:
+                return None
+            if str(dt) in ("i32", "i64"):
+                return int(c)
+            return float(c)
+
         object.__setattr__(
             self, "steps",
-            tuple((str(op), None if c is None else float(c), str(dt))
-                  for op, c, dt in steps),
+            tuple((str(op), coerce(c, dt), str(dt)) for op, c, dt in steps),
         )
 
     @property

@@ -33,13 +33,16 @@ def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
         p = eng.prepare(sb)
         fn = eng._get_jitted(p.signature)
         jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
-    per = max(1, len(batches) // windows)
+    # near-equal window boundaries covering EVERY batch (a floor-division
+    # per-window count silently dropped the len % windows tail, so the
+    # artifact reported more distinct inputs than were ever dispatched)
+    bounds = np.linspace(0, len(batches), windows + 1).round().astype(int)
     samples = []
     req_ms = []                 # per-request wall times across ALL windows
     for w in range(windows):
-        use = batches[w * per: (w + 1) * per]
+        use = batches[bounds[w]: bounds[w + 1]]
         if not use:
-            break
+            continue
         backlog = []
         t0 = time.perf_counter()
         tprev = t0

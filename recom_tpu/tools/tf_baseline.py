@@ -206,12 +206,42 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
     def make_feed(batch: Dict):
         import tensorflow as tf
 
+        def _item_counts(rows, delimiter):
+            """Per-row item counts of an id feed, or None when they cannot
+            be derived (whitespace-split wire strings)."""
+            counts = []
+            for r in rows:
+                if isinstance(r, (bytes, np.bytes_)):
+                    r = r.decode()
+                if isinstance(r, str):
+                    if delimiter is None:
+                        return None
+                    counts.append(r.count(delimiter) + 1 if r else 0)
+                else:
+                    counts.append(len(r))
+            return counts
+
         feed = {}
         for col in model.columns:
             f = col.source.field
             wf = col.lookup.weight_field if col.lookup else None
             if wf is not None and wf not in feed and wf in batch:
-                # aligned ragged score list (FLOAT_LIST weight plane)
+                # aligned ragged score list (FLOAT_LIST weight plane).
+                # Validate PER-ROW lengths against the id feed — sparse_pool
+                # pairs ids.indices with the flattened scores, so equal
+                # totals with mismatched rows would silently misassign
+                # scores across rows (the oracle's materialize_source
+                # raises on this; the ground-truth baseline must too).
+                wl = [len(r) for r in batch[wf]]
+                il = _item_counts(batch.get(f, []), col.source.delimiter)
+                if il is not None and il != wl:
+                    bad = next(
+                        i for i, (a, b) in enumerate(zip(il, wl)) if a != b
+                    )
+                    raise ValueError(
+                        f"weight field {wf!r} row {bad} has {wl[bad]} "
+                        f"scores for {il[bad]} ids in {f!r}"
+                    )
                 feed[wf] = tf.ragged.constant(
                     [list(map(float, r)) for r in batch[wf]],
                     dtype=tf.float32, row_splits_dtype=tf.int64,

@@ -145,9 +145,13 @@ def main():
     args = ap.parse_args()
 
     n_dev = args.mesh[0] * args.mesh[1]
-    os.environ.setdefault(
-        "XLA_FLAGS", f"--xla_force_host_platform_device_count={n_dev}"
-    )
+    # APPEND to any pre-set XLA_FLAGS (setdefault would silently lose the
+    # device-count flag on hosts where the env already carries XLA_FLAGS,
+    # leaving 1 CPU device and failing the mesh arm at Trainer build)
+    flag = f"--xla_force_host_platform_device_count={n_dev}"
+    prior = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in prior:
+        os.environ["XLA_FLAGS"] = f"{prior} {flag}".strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -39,10 +39,11 @@ def test_loop_windows_serves_each_batch_exactly_once():
     # warm batches execute but are NOT timed; each timed batch exactly once
     assert eng.executed[:2] == warm
     served = eng.executed[2:]
-    # windows=5 over 23 -> per=4, 5 windows x 4 = 20 served, tail dropped
-    assert served == bats[:20]
+    # windows=5 over 23: EVERY batch served exactly once (near-equal
+    # windows of 4/5/4/5/5 — no floor-division tail drop)
+    assert served == bats
     assert len(served) == len(set(served))
-    assert len(win_ms) == 5 and len(req_ms) == 20
+    assert len(win_ms) == 5 and len(req_ms) == 23
     assert med > 0
 
 

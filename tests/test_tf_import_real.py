@@ -1136,3 +1136,176 @@ def test_strict_refuses_unalignable_delimited_weights():
     # the weight plane's split
     from recom_tpu.ir.spec import FeatureKind
     assert col.source.kind == FeatureKind.DENSE_INT
+
+
+def _hash_pool_slot(tf1, name, vocab=64, dim=4, seed=5):
+    """string-hash categorical -> safe_embedding pooled [B, dim]."""
+    s = tf1.placeholder(tf.string, [None], name=name)
+    vals = tf.strings.to_hash_bucket_fast(s, vocab)
+    n = tf.cast(tf.shape(vals)[0], tf.int64)
+    idx = tf.stack([tf.range(n), tf.zeros([n], tf.int64)], axis=1)
+    sp = tf.sparse.SparseTensor(idx, vals, tf.stack([n, 1]))
+    table = tf1.get_variable(
+        f"emb_{name}", [vocab, dim],
+        initializer=tf1.random_normal_initializer(seed=seed),
+    )
+    pooled = tf.nn.safe_embedding_lookup_sparse(
+        table, sp, combiner="mean", default_id=None
+    )
+    return s, pooled
+
+
+def test_pooled_affine_imports_as_postpool():
+    """Elementwise const arithmetic on the POOLED output (Mul/Add/Sub by a
+    frozen scalar or per-dim vector) — previously dropped SILENTLY even
+    under strict because op-presence residue admits Mul/Add — now imports
+    as PostPool('affine') and reproduces the TF session to f32
+    elementwise exactness."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        s, pooled = _hash_pool_slot(tf1, "sa")
+        bias = tf.constant([0.5, -1.25, 2.0, 0.0], tf.float32)
+        col_a = pooled * 2.5 + bias          # Mul then AddV2
+        s2, pooled2 = _hash_pool_slot(tf1, "sb", seed=9)
+        col_b = 3.0 - pooled2                # Sub with the const on the left
+        out = tf.concat([col_a, col_b], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(2)
+            feed = {
+                s: np.asarray(["a%d" % v for v in rng.integers(0, 10**6, 12)]),
+                s2: np.asarray(["b%d" % v for v in rng.integers(0, 10**6, 12)]),
+            }
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="aff", strict=True
+    )
+    cols = model.embedding_columns
+    assert len(cols) == 2
+    by_field = {c.source.field: c for c in cols}
+    a, b = by_field["sa"], by_field["sb"]
+    assert [p.op for p in a.post] == ["affine", "affine"]
+    assert a.post[0].scale == (2.5,) and a.post[1].bias == (0.5, -1.25, 2.0, 0.0)
+    assert [p.op for p in b.post] == ["affine"]
+    assert b.post[0].scale == (-1.0,) and b.post[0].bias == (3.0,)
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+                 params=import_params(model, weights))
+    got = eng.predict({"sa": feed[s], "sb": feed[s2]}, return_concat=True)
+    np.testing.assert_allclose(got["concat"], want, rtol=0, atol=1e-6)
+
+
+def test_strict_rejects_nonconst_compute_on_pooled_path():
+    """Mul of the pooled output by ANOTHER TENSOR (not a frozen const, not
+    a second pooled lookup) cannot be expressed; strict must raise instead
+    of dropping it (the pooled-path analogue of the pre-anchor check)."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        s, pooled = _hash_pool_slot(tf1, "sa")
+        gate = tf1.placeholder(tf.float32, [None, 1], name="gate")
+        scaled = pooled * gate               # non-const operand
+        d = tf1.placeholder(tf.float32, [None, 1], name="dn")
+        out = tf.concat([scaled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    data = frozen.SerializeToString()
+    with pytest.raises(ValueError, match="pooled-output path"):
+        import_tf_graphdef(data, name="gate", strict=True)
+    model, _ = import_tf_graphdef(data, name="gatelax", strict=False)
+    assert any("pooled-output path" in w for w in model.import_warnings)
+
+
+def test_strict_rejects_mul_slot_with_inner_compute():
+    """Mul(pooled_A, Mul(pooled_B, 2.0)): mul_column's contract multiplies
+    by B's RAW pooled output, so the inner x2 has no expression — the
+    mul-slot import must refuse (strict raises via the multi-table guard)
+    instead of silently dropping the scale."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        sa, pooled_a = _hash_pool_slot(tf1, "sa")
+        sb, pooled_b = _hash_pool_slot(tf1, "sb", seed=9)
+        prod = pooled_a * (pooled_b * 2.0)
+        d = tf1.placeholder(tf.float32, [None, 1], name="dn")
+        out = tf.concat([prod, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    with pytest.raises(ValueError, match="tables converge"):
+        import_tf_graphdef(frozen.SerializeToString(), name="imul",
+                           strict=True)
+
+
+def test_hosteval_int64_consts_stay_exact():
+    """FloorMod by an int64 const above 2^53: the step const must survive
+    import/serde as a Python int — a float() round-trip corrupts it and
+    changes ids (engine vs the TF session that ran the same ops)."""
+    BIG = (1 << 53) + 1
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        x = tf1.placeholder(tf.int64, [None], name="x")
+        ids = tf.math.floormod(tf.math.floormod(x, np.int64(BIG)),
+                               np.int64(64))
+        table = tf1.get_variable(
+            "emb", [64, 4], initializer=tf1.random_normal_initializer(seed=1)
+        )
+        n = tf.shape(ids)[0]
+        rows = tf.cast(tf.range(n), tf.int64)
+        sp = tf1.sparse.SparseTensor(
+            tf.stack([rows, tf.zeros_like(rows)], axis=1), ids,
+            tf.cast(tf.stack([n, 1]), tf.int64),
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, sp, combiner="sum"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="dn")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            # BIG itself: TF gives BIG % BIG = 0; a const rounded to 2^53
+            # would give 1 — ids differ, embeddings differ
+            xs = np.asarray([BIG, BIG - 1, 5, (1 << 60) + 7], np.int64)
+            dv = np.zeros((4, 1), np.float32)
+            want = sess.run(out, {x: xs, d: dv})
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="bigmod", strict=True
+    )
+    (col,) = model.embedding_columns
+    from recom_tpu.ir.spec import HostEvalChain
+
+    (he,) = [t for t in col.transforms if isinstance(t, HostEvalChain)]
+    consts = [c for _, c, _ in he.steps if c is not None]
+    assert BIG in consts and all(isinstance(c, int) for c in consts)
+
+    # serde round-trip must not launder the int either
+    from recom_tpu.ir.serde import model_from_dict, model_to_dict
+
+    m2 = model_from_dict(model_to_dict(model))
+    (col2,) = m2.embedding_columns
+    (he2,) = [t for t in col2.transforms if isinstance(t, HostEvalChain)]
+    assert he2.steps == he.steps
+
+    from recom_tpu.importers.tf_graph import import_params
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(4,)),
+                 params=import_params(model, weights))
+    got = eng.predict({"x": xs, "dn": dv}, return_concat=True)
+    # engine concat orders the dense block first; TF's graph put it last
+    np.testing.assert_array_equal(got["concat"][:, 1:], want[:, :4])
+    np.testing.assert_array_equal(got["concat"][:, 0], want[:, 4])
