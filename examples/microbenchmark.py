@@ -45,7 +45,15 @@ def main():
         np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
     print(f"bit-exact vs oracle: {args.columns} columns OK")
 
-    stats = eng.benchmark(batch, iters=args.runs)
+    # distinct content per timed dispatch: the tunnel transport caches
+    # repeated (program, inputs) executions (CLAUDE.md bench invariant)
+    stats = eng.benchmark(
+        [batch] + [
+            make_random_batch(model, args.batch, seed=1 + i)
+            for i in range(args.runs)
+        ],
+        iters=args.runs,
+    )
     print(
         f"{args.columns} columns, batch {args.batch}: "
         f"{stats['latency_ms']:.3f} ms avg over {args.runs} runs "

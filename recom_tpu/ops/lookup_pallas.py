@@ -66,6 +66,17 @@ def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_div(total: int, pref: int) -> int:
+    """Largest divisor of ``total`` that is <= ``pref`` — batch buckets and
+    column counts are not guaranteed multiples of the preferred tile (e.g.
+    EngineConfig(batch_buckets=(200,)) is legal), and a bare modulo assert
+    here would surface as an unexplained trace-time AssertionError."""
+    t = min(pref, total)
+    while total % t:
+        t -= 1
+    return t
+
+
 def _pick_tile(total: int, pref: int, quantum: int) -> int:
     """Largest multiple of ``quantum`` that divides ``total`` and is <=
     ``pref`` (v_pad is always a multiple of the 128-lane quantum, but not
@@ -139,10 +150,9 @@ def _onehot_bucketize_impl(
 ):
     c_pad, v_pad, d = table3.shape
     b = raw_t.shape[1]
-    bt = min(bt, b)
-    ct = min(ct, c_pad)
+    bt = _pick_div(b, bt)
+    ct = _pick_div(c_pad, ct)
     vt = _pick_tile(v_pad, vt, 128)
-    assert b % bt == 0 and c_pad % ct == 0 and v_pad % vt == 0
     grid = (c_pad // ct, b // bt, v_pad // vt)
 
     return pl.pallas_call(
@@ -255,10 +265,9 @@ def _onehot_lookup_impl(
     """Returns gathered-and-masked rows [C_pad, B, d] (missing ids -> 0)."""
     c_pad, v_pad, d = table3.shape
     b = ids_t.shape[1]
-    bt = min(bt, b)
-    ct = min(ct, c_pad)
+    bt = _pick_div(b, bt)
+    ct = _pick_div(c_pad, ct)
     vt = _pick_tile(v_pad, vt, 128)
-    assert b % bt == 0 and c_pad % ct == 0 and v_pad % vt == 0
     grid = (c_pad // ct, b // bt, v_pad // vt)
 
     return pl.pallas_call(

@@ -123,11 +123,17 @@ def load_checkpoint(path: str) -> Tuple[ModelSpec, Dict]:
     npz = np.load(os.path.join(path, "params.npz"))
     params: Dict = {"tables": {}, "tower": {}}
     for key in npz.files:
-        parts = key.split("/")
-        if parts[0] == "tables":
-            params["tables"][parts[1]] = npz[key]
+        kind, rest = key.split("/", 1)
+        if kind == "tables":
+            # imported TF table names routinely contain '/' (variable
+            # scopes) — the WHOLE remainder is the name, not rest.split()[0]
+            params["tables"][rest] = npz[key]
         else:
-            _, tk, idx, wb = parts
+            # "tower/<key>/<layer idx>/<w|b>"; parse the two trailing
+            # components from the right so a '/' in the tower key (never
+            # produced by our writer, but cheap to tolerate) cannot
+            # misalign the unpack
+            tk, idx, wb = rest.rsplit("/", 2)
             layers = params["tower"].setdefault(tk, [])
             while len(layers) <= int(idx):
                 layers.append({})

@@ -826,24 +826,41 @@ class Engine:
 
     # ------------------------------------------------------------------
     def benchmark(
-        self, batch: Dict, iters: int = 100, warmup: int = 10
+        self, batch, iters: int = 100, warmup: int = 10
     ) -> Dict[str, float]:
         """Steady-state latency over pre-prepared inputs (device time only;
         mirrors the reference protocol: warm-up then N timed iterations,
-        AE/build_and_run.py:57-71)."""
-        prepared = self.prepare(batch)
-        fn = self._get_jitted(prepared.signature)
-        arrays = self.shard_batch_arrays(prepared.arrays)
-        out = fn(self.device_params, arrays)   # compile + placement
+        AE/build_and_run.py:57-71).
+
+        ``batch`` may be a LIST of batches: timed dispatches then rotate
+        over distinct prepared inputs (warmed on the first, timed on the
+        rest).  On transport-cached remote devices (the tunnel) repeated
+        (program, inputs) executions are served from cache and read
+        impossibly fast — pass >= ``iters`` distinct batches there
+        (CLAUDE.md bench invariant); a single batch is representative only
+        on locally-attached devices."""
+        batches = batch if isinstance(batch, (list, tuple)) else [batch]
+        sig = None
+        prepped = []
+        b0 = None
+        for bt in batches:
+            p = self.prepare(bt)
+            if sig is None:
+                sig, b0 = p.signature, p.batch_size
+            if p.signature == sig:
+                prepped.append(self.shard_batch_arrays(p.arrays))
+        fn = self._get_jitted(sig)
+        out = fn(self.device_params, prepped[0])   # compile + placement
         for _ in range(warmup):
-            out = fn(self.device_params, arrays)
+            out = fn(self.device_params, prepped[0])
         jax.block_until_ready(out)
+        timed = prepped[1:] if len(prepped) > 1 else prepped
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(self.device_params, arrays)
+        for i in range(iters):
+            out = fn(self.device_params, timed[i % len(timed)])
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         return {
             "latency_ms": dt * 1e3,
-            "examples_per_s": prepared.batch_size / dt,
+            "examples_per_s": b0 / dt,
         }

@@ -142,6 +142,7 @@ class ServingPipeline:
                 continue
             for dev_out, fut, prepared, _ in batch_items:
                 try:
+                    dev_out = self._resolve_overflow(dev_out, prepared)
                     if self.fetch_outputs:
                         out = np.asarray(dev_out["output"])[
                             : prepared.batch_size
@@ -156,6 +157,60 @@ class ServingPipeline:
                     self._inflight.release()
             if shutdown:
                 return
+
+    def _resolve_overflow(self, dev_out, prepared):
+        """Apply EngineConfig.a2a_overflow_policy on the pipeline path —
+        the same contract Engine.predict_prepared enforces (executor.py):
+        'recompute' re-runs the step through the provably-lossless
+        full-capacity exchange, 'raise' fails the request, 'warn' serves
+        the lossy output.  Single-device engines skip entirely (no
+        overflow output, no D2H)."""
+        eng = self.engine
+        if not getattr(eng, "_sharded_gids", None) or (
+            "a2a_overflow" not in dev_out
+        ):
+            return dev_out
+        ov = int(dev_out["a2a_overflow"])
+        if not ov:
+            return dev_out
+        with self._stats_lock:
+            self.stats["a2a_overflow"] = (
+                self.stats.get("a2a_overflow", 0) + ov
+            )
+        eng.stats["a2a_overflow"] = eng.stats.get("a2a_overflow", 0) + ov
+        policy = eng.config.a2a_overflow_policy
+        if policy == "raise":
+            raise RuntimeError(
+                f"all-to-all capacity overflow: {ov} ids dropped "
+                "(raise EngineConfig.a2a_capacity_factor or set "
+                "shard_comm='psum')"
+            )
+        if policy == "recompute":
+            import jax
+
+            with self._stats_lock:
+                self.stats["a2a_recomputes"] = (
+                    self.stats.get("a2a_recomputes", 0) + 1
+                )
+            eng.stats["a2a_recomputes"] = (
+                eng.stats.get("a2a_recomputes", 0) + 1
+            )
+            eng.log.warning(
+                f"all-to-all overflow ({ov} ids): recomputing via "
+                "lossless full-capacity exchange"
+            )
+            fn = eng._get_jitted(prepared.signature, lossless_comm=True)
+            arrays = eng.shard_batch_arrays(prepared.arrays)
+            with self._dispatch_lock:
+                out2 = fn(eng.device_params, arrays)
+            jax.block_until_ready(out2["output"])
+            return out2
+        eng.log.warning(
+            f"all-to-all capacity overflow: {ov} ids dropped this "
+            "request (raise EngineConfig.a2a_capacity_factor or set "
+            "shard_comm='psum')"
+        )
+        return dev_out
 
     def _retry_or_fail(self, fut, work, exc):
         if work["attempt"] < self.retries and not self._closed:

@@ -180,7 +180,10 @@ class _GroupPlan:
     bz_lut_ptrs: Optional[np.ndarray]      # int64 ptr array over bz_luts
     # host members occupy CONTIGUOUS class ranges (lowering._host_class
     # sort order): ints [0, n_int), strs [n_int, n_int+n_str), delimited
-    # fast [0, n_fast) in ragged groups, generic chains at the tail.
+    # fast [fast_lo, fast_lo + n_fast) in ragged groups (class-0/1 members
+    # forced ragged — e.g. softmax-weighted scalar hashes — sort BEFORE
+    # the class-2 run, so fast_lo is NOT always 0), generic chains at the
+    # tail.
     n_int: int
     int_fields: List[str]
     int_buckets: Optional[np.ndarray]      # int64
@@ -190,6 +193,7 @@ class _GroupPlan:
     str_fields: List[str]
     str_buckets: Optional[np.ndarray]
     n_fast: int
+    fast_lo: int                           # first host index of the run
     fast_fields: List[str]
     fast_delims: List[bytes]
     fast_delims_np: Optional[np.ndarray]   # uint8
@@ -339,6 +343,9 @@ def _build_plan(compiled: CompiledModel) -> List[_GroupPlan]:
                 [m.host_chain[0].num_buckets for _, m in strs], np.int64
             ) if strs else None,
             n_fast=len(fasts),
+            # class-2 members form a contiguous run AFTER any (ragged-
+            # forced) class-0/1 members in the sorted host order
+            fast_lo=fasts[0][0] if fasts else 0,
             fast_fields=[m.column.source.field for _, m in fasts],
             fast_delims=[
                 m.column.source.delimiter.encode() for _, m in fasts
@@ -469,10 +476,10 @@ def prepare_batch_wire(
             arrs.append(a)
         if not ok and p.n_fast:
             # wire-format surprise (e.g. pre-split lists): route the fast
-            # members (host indices [0, n_fast)) through the oracle chain
-            # path for this request
+            # members (host indices [fast_lo, fast_lo + n_fast)) through
+            # the oracle chain path for this request
             g_members = g.members[p.n_bz :]
-            for i in range(p.n_fast):
+            for i in range(p.fast_lo, p.fast_lo + p.n_fast):
                 sp = host_ids_for_member(g_members[i], batch, memo)
                 if sp.values is not None and len(sp.row_ids):
                     c = np.bincount(sp.row_ids, minlength=sp.batch).max()
@@ -614,10 +621,12 @@ def prepare_batch_wire(
                 weights_v = layout.view_np(blob, by_key[(p.gid, "weights")])
             arrs = fast_arrs[p.gid]
             if arrs:
-                # fast delimited members are host indices [0, n_fast)
+                # fast delimited members are host indices
+                # [fast_lo, fast_lo + n_fast) — ragged-forced class-0/1
+                # members sort before them and are packed via p.rest
                 maxp = native_ops.split_hash_multi_out(
                     arrs, p.fast_delims_np, p.fast_buckets, rl,
-                    ids_v[: p.n_fast], bs,
+                    ids_v[p.fast_lo : p.fast_lo + p.n_fast], bs,
                 )
                 _mark("prep.split")
                 needed = pick_bucket(

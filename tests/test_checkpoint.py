@@ -5,7 +5,8 @@ from recom_tpu.ir.serde import model_from_json, model_to_json
 from recom_tpu.ir.intervals import IntervalSet
 from recom_tpu.ir.spec import (
     Combiner, FeatureColumn, FeatureKind, FeatureSource, FilterRange,
-    LookupSpec, ModelSpec, SelectRange, TableSpec, TowerSpec, VocabLookup,
+    HashBucket, LookupSpec, ModelSpec, SelectRange, TableSpec, TowerSpec,
+    VocabLookup,
 )
 from recom_tpu.models import make_random_batch
 from recom_tpu.models.synthetic import make_dlrm_model
@@ -63,3 +64,52 @@ def test_export_params_slices_back():
     exported = export_params(eng)
     for t, arr in np_params["tables"].items():
         np.testing.assert_array_equal(exported["tables"][t], arr)
+
+
+def test_npz_fallback_handles_slash_in_table_name(tmp_path):
+    """Round-3 runtime review, finding 3: imported TF table names carry
+    '/' (variable scopes).  The npz fallback's key parse must keep the
+    WHOLE remainder as the table name — a bare split('/') loaded
+    'tables/scope/emb' as tables['scope'] and then KeyError'd (or silently
+    mis-mapped) at engine build."""
+    import os
+
+    m = ModelSpec(
+        "slash",
+        {"scope/emb": TableSpec("scope/emb", 32, 4)},
+        [FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.DENSE_INT),
+            (HashBucket(32),),
+            LookupSpec("scope/emb", Combiner.MEAN),
+        )],
+        TowerSpec(arch="mlp", bottom_mlp=(), top_mlp=(4, 1),
+                  final_activation=None),
+    )
+    eng = Engine(m, CFG)
+    b = make_random_batch(m, 8, seed=4)
+    out1 = eng.predict(b)
+
+    path = str(tmp_path / "ck_slash")
+    # force the npz fallback regardless of whether orbax is importable
+    import recom_tpu.runtime.checkpoint as ck
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model_spec.json"), "w") as f:
+        f.write(model_to_json(eng.model))
+    params = export_params(eng)
+    flat = {}
+    for t, arr in params["tables"].items():
+        flat[f"tables/{t}"] = arr
+    for key, layers in params["tower"].items():
+        for i, l in enumerate(layers):
+            flat[f"tower/{key}/{i}/w"] = l["w"]
+            flat[f"tower/{key}/{i}/b"] = l["b"]
+    np.savez(os.path.join(path, "params.npz"), **flat)
+
+    m2, params2 = load_checkpoint(path)
+    assert "scope/emb" in params2["tables"]
+    np.testing.assert_array_equal(
+        params2["tables"]["scope/emb"], params["tables"]["scope/emb"]
+    )
+    eng2 = Engine(m2, CFG, params=params2)
+    np.testing.assert_array_equal(eng2.predict(b)["output"], out1["output"])

@@ -405,3 +405,44 @@ def test_sharded_softmax_combiner_bitexact():
     ref = OracleModel(m).forward(batch)
     for c, r in ref["pooled"].items():
         np.testing.assert_array_equal(out["pooled"][c], r, err_msg=c)
+
+
+@needs_8
+def test_serving_pipeline_applies_a2a_overflow_policy():
+    """Round-3 runtime review, finding 2: the pipeline path must enforce
+    a2a_overflow_policy exactly like Engine.predict_prepared — recompute
+    re-runs the step through the lossless full-capacity exchange, raise
+    fails the request's Future — instead of silently resolving Futures
+    with the lossy output."""
+    from recom_tpu.runtime.server import ServingPipeline
+
+    m = make_dlrm_model(0, 0, 0, 0, 1, 2, [4], [8], name="povf",
+                        large_rows=4096)
+    base = dict(
+        mesh_shape=(2, 4), shard_rows_above=2048, use_pallas=False,
+        batch_buckets=(32,), shard_comm="all_to_all",
+        a2a_capacity_factor=0.01,
+    )
+    b = make_random_batch(m, 32, seed=3, max_list_len=16)
+    from recom_tpu.utils.params import init_model_params
+
+    params = init_model_params(m)
+
+    eng = Engine(m, EngineConfig(**base), params=params)  # recompute
+    assert eng._sharded_gids
+    want = eng.predict(b)["output"]          # lossless via recompute
+    pre = eng.stats.get("a2a_recomputes", 0)
+    with ServingPipeline(eng, prep_workers=1, max_inflight=1) as pipe:
+        got = pipe.submit(b).result()
+        assert pipe.stats.get("a2a_recomputes", 0) >= 1
+    assert eng.stats.get("a2a_recomputes", 0) > pre
+    np.testing.assert_array_equal(got, want)
+
+    eng_r = Engine(
+        m, EngineConfig(a2a_overflow_policy="raise", **base), params=params
+    )
+    with ServingPipeline(eng_r, prep_workers=1, max_inflight=1,
+                         retries=0) as pipe:
+        fut = pipe.submit(b)
+        with pytest.raises(RuntimeError, match="overflow"):
+            fut.result()

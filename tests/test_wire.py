@@ -204,3 +204,38 @@ def test_empty_prepared_wire_compiles():
     fn = eng._get_jitted(p.signature)
     out = fn(eng.device_params, p.arrays)
     assert np.asarray(out["output"]).shape[0] == 32
+
+
+def test_wire_fast_run_offset_with_ragged_forced_hash_members():
+    """Regression (round-3 runtime review, finding 1): a softmax-weighted
+    scalar hash column (host class 0, forced into a RAGGED group) sorts
+    BEFORE the delimited split members (class 2) in the host order, so the
+    fast split-hash run starts at fast_lo > 0.  The packer used to write
+    split ids into rows [0, n_fast), i.e. the hash member's rows —
+    breaking the wire == structured bit-identical invariant."""
+    tables = {
+        "t_a": TableSpec("t_a", 40, 8),
+        "t_b": TableSpec("t_b", 5000, 8),
+    }
+    cols = [
+        FeatureColumn("hsm", FeatureSource("hsm", FeatureKind.DENSE_INT),
+                      (HashBucket(40),),
+                      LookupSpec("t_a", Combiner.SOFTMAX)),
+        FeatureColumn("spl", FeatureSource("spl", FeatureKind.STRING_LIST,
+                                           delimiter=";"),
+                      (HashBucket(5000),), LookupSpec("t_b", Combiner.SUM)),
+    ]
+    model = ModelSpec(
+        "fastlo", tables, cols,
+        TowerSpec(arch="mlp", bottom_mlp=(), top_mlp=(8, 1),
+                  final_activation=None),
+    )
+    batch = make_random_batch(model, 19, seed=23)
+    params = init_model_params(model)
+
+    ref = Engine(model, EngineConfig(wire_pack=False),
+                 params=params).predict(batch, return_pooled=True)
+    out = Engine(model, EngineConfig(wire_pack=True),
+                 params=params).predict(batch, return_pooled=True)
+    for k in ref["pooled"]:
+        np.testing.assert_array_equal(out["pooled"][k], ref["pooled"][k])
