@@ -3,7 +3,8 @@
 The TPU-native replacement for the reference's per-column CUDA codegen
 (cuda_emitter.cc EmitFCCode emits one __device__ struct per column and one
 thread block per column).  Instead of 1000 tiny programs we build a handful
-of *lookup groups*: columns sharing (embedding_dim, raggedness) are stacked —
+of *lookup groups*: columns sharing (embedding_dim, raggedness, and — for
+one-hot-megakernel-eligible columns — the 128-padded vocab) are stacked —
 their tables concatenated row-wise into one array with per-column row
 offsets, their ids packed into one [B, C, L] tensor — so the whole model
 executes as a few large batched gathers/matmuls that XLA can tile onto the
@@ -233,8 +234,11 @@ def _host_class(m: GroupMember) -> int:
 
 
 def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
-    # --- group columns by (dim, ragged) --------------------------------
-    group_map: Dict[Tuple[int, bool], LookupGroup] = {}
+    # --- group columns by (dim, ragged, pallas_vocab) — the third key
+    # part keeps the one-hot megakernel's uniform-[C, V, d] table-stack
+    # assumption: pallas-eligible columns must not merge with gather-path
+    # columns of the same (dim, ragged) ----------------------------------
+    group_map: Dict[Tuple[int, bool, Optional[int]], LookupGroup] = {}
     members_by_col: Dict[str, Tuple[GroupMember, LookupGroup]] = {}
     for col in model.embedding_columns:
         tspec = model.tables[col.lookup.table]

@@ -177,22 +177,31 @@ def canonicalize_lookup(
         vocab = model.tables[col.lookup.table].vocab_size
         r = chain_out_range(col)
         if not r.is_empty() and r.max() >= vocab:
-            if r.is_all():
-                # unconstrained int source: runtime range check applies
-                continue
+            unconstrained = r.is_all()
             msg = (
-                f"column {col.name!r}: transform chain can produce id "
-                f"{r.max()} >= table vocab {vocab}"
+                f"column {col.name!r}: transform chain "
+                + ("is unconstrained (no Map transform or declared "
+                   "int_range bounds it)"
+                   if unconstrained else
+                   f"can produce id {r.max()}")
+                + f" >= table vocab {vocab}"
             )
             if strict:
+                # unconstrained chains are exactly the ones most likely to
+                # exceed the vocab; strict mode must fail the build for
+                # them too, not only for finitely-overlarge ranges
                 raise ValueError(
                     msg + " (strict_id_ranges=True fails the build; the "
                     "default serves with runtime clamp/mask)"
                 )
-            _log.warning(
-                msg + "; serving with runtime clamp/mask semantics"
-            )
-            range_warnings += 1
+            if not unconstrained:
+                # finite-but-overlarge ranges are a declared contract
+                # breach — warn; the unconstrained case is the NORMAL
+                # shape for identity columns (runtime clamp always on)
+                _log.warning(
+                    msg + "; serving with runtime clamp/mask semantics"
+                )
+                range_warnings += 1
             continue
         if not r.is_empty() and r.min() >= 0:
             always_valid += 1
@@ -200,23 +209,6 @@ def canonicalize_lookup(
         "columns_provably_valid": always_valid,
         "range_warnings": range_warnings,
     }
-
-
-def column_always_valid(model: ModelSpec, col: FeatureColumn) -> bool:
-    """True if the chain proves every produced id is in [0, vocab) and the
-    source always yields a value (non-ragged, no filters) — lets lowering
-    skip masks for the column's group."""
-    r = chain_out_range(col)
-    vocab = model.tables[col.lookup.table].vocab_size
-    if r.is_empty() or r.is_all():
-        return False
-    if r.min() < 0 or r.max() >= vocab:
-        return False
-    if col.source.is_ragged:
-        return False
-    if any(t.kind == "gather" for t in col.transforms):
-        return False
-    return True
 
 
 # ---------------------------------------------------------------------------

@@ -28,20 +28,13 @@ def _dump(model: ModelSpec, config: EngineConfig, stage: str):
         return
     os.makedirs(config.dump_ir_dir, exist_ok=True)
     path = os.path.join(config.dump_ir_dir, f"{model.name}_{stage}.json")
-    doc = {
-        "columns": [
-            {
-                "name": c.name,
-                "source": [c.source.field, c.source.kind.value],
-                "transforms": [t.cache_key() for t in c.transforms],
-                "lookup": repr(c.lookup),
-            }
-            for c in model.columns
-        ],
-        "tables": {k: repr(v) for k, v in model.tables.items()},
-    }
+    # serde's full serialization (post chains, in_concat, weight fields,
+    # int_range, ...) — a hand-rolled subset made dumps of post-bearing
+    # models indistinguishable from post-free ones
+    from recom_tpu.ir.serde import model_to_dict
+
     with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+        json.dump(model_to_dict(model), f, indent=1)
 
 
 def run_passes(

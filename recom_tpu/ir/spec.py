@@ -181,6 +181,19 @@ class NumToId(Transform):
     num_ids: int
     default_id: Optional[int] = None
 
+    def __post_init__(self):
+        # TF's identity column requires default_value in [0, num_buckets);
+        # admitting an out-of-range default would also make out_range's
+        # [0, num_ids) claim unsound and let simplify_pre_lookup drop a
+        # downstream Select that still had work to do
+        if self.default_id is not None and not (
+            0 <= self.default_id < self.num_ids
+        ):
+            raise ValueError(
+                f"NumToId: default_id {self.default_id} outside "
+                f"[0, {self.num_ids})"
+            )
+
     @property
     def kind(self) -> str:
         return "map" if self.default_id is not None else "keep"
@@ -219,8 +232,11 @@ class VocabLookup(Transform):
         return rng
 
     def cache_key(self) -> str:
+        # repr keeps the entry TYPE in the key: an int vocab (1, 2) and a
+        # string vocab ("1", "2") have different semantics (the oracle's
+        # dict lookup misses across types) and must not share a memo slot
         h = hashlib.md5(
-            json.dumps([str(v) for v in self.vocab]).encode()
+            json.dumps([repr(v) for v in self.vocab]).encode()
         ).hexdigest()
         return f"VocabLookup:{h}:{self.num_oov}:{self.default}"
 
@@ -583,13 +599,8 @@ class ModelSpec:
                     f"{col.source.width} is only valid on dense "
                     "passthrough columns"
                 )
-            if col.post and col.lookup is None:
-                # post lowering runs only for embedding columns; silently
-                # accepting a post chain here would silently drop it
-                raise ValueError(
-                    f"dense passthrough column {col.name!r} cannot carry "
-                    "post-lookup ops"
-                )
+            # (post without a lookup is unrepresentable: FeatureColumn's
+            # constructor raises "post-lookup ops need a lookup")
             if col.post and self.tower.arch == "dlrm_dot":
                 raise ValueError(
                     f"column {col.name!r}: post-lookup ops change slot "
@@ -656,5 +667,12 @@ class ModelSpec:
         for c in self.columns:
             h.update(c.chain_key().encode())
             h.update(repr(c.lookup).encode())
+            # post chains / hidden columns / declared ranges all change the
+            # lowered program (concat widths, slot membership, which
+            # transforms simplify away) and must change the hash
+            for p in c.post:
+                h.update(p.cache_key().encode())
+            h.update(repr(c.in_concat).encode())
+            h.update(repr(c.source.int_range).encode())
         h.update(repr(self.tower).encode())
         return h.hexdigest()[:16]

@@ -8,11 +8,12 @@ configuration:
 
   * init(): jax.distributed bootstrap
   * global_mesh(): a ("data", "model") mesh over all processes' devices
-  * table_for_mesh(): place a (striped) stacked table so each process
-    materializes only ITS shards — a 100GB table never exists in one host's
-    memory
-  * replicated() / data_sharded(): input placement helpers using
-    make_array_from_callback (each process services its addressable shards)
+  * from_global(): place a host array on the mesh under a PartitionSpec
+    via make_array_from_callback — each process materializes only ITS
+    addressable shards, so a 100GB striped table never exists whole in
+    one host's memory (pass the table with P("model") row sharding, or
+    P() replicated for small inputs)
+  * gather_to_host(): fully-addressable fetch of a sharded result
 
 Validated end-to-end by tools/multihost_demo.py, which runs the all-to-all
 and psum lookup paths over 2 OS processes x 4 virtual CPU devices and

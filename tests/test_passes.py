@@ -203,3 +203,95 @@ def test_declared_int_range_enables_pre_lookup_simplification():
     # no declared range: the same no-op filter cannot be proven -> kept
     tf_out, info = mk(None, (0, 80))
     assert any(isinstance(t, FilterRange) for t in tf_out)
+
+
+def test_numtoid_rejects_out_of_range_default():
+    """Round-3 compiler review: TF's identity column requires
+    default_value in [0, num_buckets); an out-of-range default would also
+    make NumToId.out_range's [0, num_ids) claim unsound and let
+    simplify_pre_lookup drop a downstream Select that still had work."""
+    with pytest.raises(ValueError, match="default_id"):
+        NumToId(10, default_id=99)
+    with pytest.raises(ValueError, match="default_id"):
+        NumToId(10, default_id=-1)
+    NumToId(10, default_id=9)           # boundary is valid
+
+
+def test_strict_id_ranges_rejects_unconstrained_chain():
+    """strict_id_ranges must fail the build for UNCONSTRAINED chains too
+    (previously the is_all() early-continue bypassed the strict raise for
+    exactly the chains most likely to exceed the vocab); the default mode
+    serves them silently with the always-on runtime clamp (the normal
+    identity-column shape — no warning spam)."""
+    tables = {"t": TableSpec("t", 10, 4)}
+    cols = [
+        FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.INT_LIST),
+            (NumToId(10),),             # keep-kind: no range established
+            LookupSpec("t", Combiner.SUM),
+        )
+    ]
+    model = ModelSpec("unc", tables, cols,
+                      TowerSpec(arch="mlp", top_mlp=(), final_activation=None))
+    out, info = passes.canonicalize_lookup(model)
+    assert info["range_warnings"] == 0   # unconstrained is not warn-worthy
+    with pytest.raises(ValueError, match="unconstrained"):
+        passes.canonicalize_lookup(model, strict=True)
+    # a DECLARED in-range source satisfies strict
+    cols2 = [
+        FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.INT_LIST,
+                               int_range=(0, 9)),
+            (NumToId(10),),
+            LookupSpec("t", Combiner.SUM),
+        )
+    ]
+    model2 = ModelSpec("dec", tables, cols2,
+                       TowerSpec(arch="mlp", top_mlp=(),
+                                 final_activation=None))
+    passes.canonicalize_lookup(model2, strict=True)
+
+
+def test_spec_hash_covers_post_in_concat_int_range():
+    """spec_hash is the compile-cache key: models lowering to different
+    programs must hash differently (post chains change concat widths,
+    in_concat changes slot membership, int_range changes which transforms
+    simplify away)."""
+    from recom_tpu.ir.spec import PostPool
+
+    def base(**kw):
+        col = FeatureColumn(
+            "c", FeatureSource("x", FeatureKind.INT_LIST,
+                               int_range=kw.get("int_range")),
+            (NumToId(10),),
+            LookupSpec("t", Combiner.SUM),
+            post=kw.get("post", ()),
+            in_concat=kw.get("in_concat", True),
+        )
+        extra = FeatureColumn(
+            "d", FeatureSource("y", FeatureKind.INT_LIST),
+            (NumToId(10),),
+            LookupSpec("t", Combiner.SUM),
+            post=(PostPool("mul_column", other="c"),),
+        )
+        return ModelSpec(
+            "hh", {"t": TableSpec("t", 10, 4)}, [col, extra],
+            TowerSpec(arch="mlp", top_mlp=(), final_activation=None),
+        )
+
+    h0 = base().spec_hash()
+    assert base(post=(PostPool("reduce_sum"),)).spec_hash() != h0
+    assert base(in_concat=False).spec_hash() != h0
+    assert base(int_range=(0, 9)).spec_hash() != h0
+    assert base().spec_hash() == h0      # stable for equal specs
+
+
+def test_vocab_cache_key_distinguishes_int_and_str_vocab():
+    """host_prep memoizes chain evaluation by cache_key: an int vocab
+    (1, 2) and a string vocab ("1", "2") have different semantics (the
+    oracle's dict lookup misses across types) and must not share a slot."""
+    from recom_tpu.ir.spec import VocabLookup
+
+    a = VocabLookup([1, 2], num_oov=1)
+    b = VocabLookup(["1", "2"], num_oov=1)
+    assert a.cache_key() != b.cache_key()
