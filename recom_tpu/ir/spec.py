@@ -154,12 +154,24 @@ class HashBucket(Transform):
 @dataclasses.dataclass(frozen=True)
 class Bucketize(Transform):
     """TF ``Bucketize``: output = #boundaries <= x  (upper_bound).  Runs on
-    device, vectorized over the whole bucketized-column group."""
+    device, vectorized over the whole bucketized-column group.
+
+    Boundaries are rounded to FLOAT32 at construction: TF's Bucketize op
+    stores them as proto ``list(float)`` (f32) and its kernel compares
+    against ``std::vector<float>``, so a non-f32-representable boundary
+    like 0.7 buckets by its f32 rounding in TF — keeping the spec in f64
+    would make the oracle diverge from TF for feed values between the two.
+    Imported graphs already carry f32 attr values; this makes hand-written
+    specs mean the same thing."""
 
     boundaries: Tuple[float, ...]
 
     def __init__(self, boundaries: Sequence[float]):
-        object.__setattr__(self, "boundaries", tuple(float(b) for b in boundaries))
+        object.__setattr__(
+            self,
+            "boundaries",
+            tuple(float(np.float32(b)) for b in boundaries),
+        )
         if list(self.boundaries) != sorted(set(self.boundaries)):
             raise ValueError("bucketize boundaries must be strictly increasing")
 

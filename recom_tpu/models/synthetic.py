@@ -249,6 +249,13 @@ def make_random_batch(
         if col.lookup is not None and col.lookup.weight_field:
             wf = col.lookup.weight_field
             if wf not in out:
+                if not col.source.is_ragged:
+                    # weighted SINGLE-VALUE column: one scalar weight per
+                    # example, flat [B] (the form oracle._scalar_weights
+                    # accepts)
+                    out[wf] = rng.random(batch).astype(np.float32)
+                    continue
+
                 def _n_items(row):
                     # delimiter-joined wire rows carry k items, not
                     # len(joined_bytes) characters

@@ -294,12 +294,31 @@ def throughput_under_sla(
     num_iterations: int = 50,
     worker_ladder=(1, 2, 4, 8, 16),
     prep_workers: int = 8,
+    batch_factory=None,
 ) -> Dict:
     """Reference benchmark_throughput analogue (recom_examples.patch:292-440):
     raise offered concurrency until p99 latency violates the SLA; report the
-    highest sustainable throughput and the knee point."""
+    highest sustainable throughput and the knee point.
+
+    ``batch_factory(k) -> batch`` supplies DISTINCT content for every
+    timed request (k is a global counter).  Without it, workers replay
+    ``batches`` round-robin — fine on locally-attached devices, but
+    transport-cached remote devices (the tunnel) serve repeated
+    (program, inputs) executions from cache and the p99/knee numbers
+    become fiction (CLAUDE.md bench invariant)."""
     results = []
     best = None
+    req_counter = [0]
+    counter_lock = threading.Lock()
+
+    def next_batch(idx: int):
+        if batch_factory is None:
+            return batches[idx % len(batches)]
+        with counter_lock:
+            k = req_counter[0]
+            req_counter[0] += 1
+        return batch_factory(k)
+
     for workers in worker_ladder:
         lat: List[float] = []
         lock = threading.Lock()
@@ -313,8 +332,8 @@ def throughput_under_sla(
                 pipe.submit(b).result()
 
             def worker(idx: int):
-                b = batches[idx % len(batches)]
                 for _ in range(num_iterations):
+                    b = next_batch(idx)     # built OUTSIDE the timed span
                     t0 = time.perf_counter()
                     pipe.submit(b).result()
                     dt = time.perf_counter() - t0

@@ -30,11 +30,24 @@ import numpy as np
 
 
 def auc(labels: np.ndarray, scores: np.ndarray) -> float:
-    """Mann-Whitney AUC (rank statistic, ties by order)."""
-    order = np.argsort(scores)
-    ranks = np.empty_like(order, dtype=np.float64)
-    ranks[order] = np.arange(1, len(scores) + 1)
-    pos = labels > 0.5
+    """Mann-Whitney AUC with MIDRANKS for ties.  Saturated float32
+    sigmoids tie many scores at exactly 0.0/1.0; assigning tied pos/neg
+    examples arbitrary distinct ranks (unstable argsort) shifts the rank
+    sum by up to the tied mass and corrupts the parity gate — midranks
+    are the standard tie treatment (ties count 0.5, per the U statistic).
+    All-tied scores then give exactly 0.5 (chance), as they should."""
+    scores = np.asarray(scores, np.float64)
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    s = scores[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0   # midrank, 1-based
+        i = j + 1
+    pos = np.asarray(labels) > 0.5
     n_pos, n_neg = int(pos.sum()), int((~pos).sum())
     if n_pos == 0 or n_neg == 0:
         return 0.5

@@ -211,8 +211,14 @@ def main():
             make_random_batch(model, args.batch_size, seed=1000 + i)
             for i in range(4)
         ]
+        # distinct content per timed request (the tunnel transport caches
+        # repeated (program, inputs) executions; a replayed batch pool
+        # reads impossibly fast — CLAUDE.md bench invariant)
         result = throughput_under_sla(
-            eng, batches, args.sla_ms, num_iterations=args.num_iterations
+            eng, batches, args.sla_ms, num_iterations=args.num_iterations,
+            batch_factory=lambda k: make_random_batch(
+                model, args.batch_size, seed=10_000 + k
+            ),
         )
         print(json.dumps(result, indent=1))
         return

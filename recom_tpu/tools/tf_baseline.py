@@ -16,10 +16,16 @@ Covered column shapes (everything in models E/F/micro/criteo):
   INT_LIST + [NumToId]                -> identity sparse ids + sparse pool
   dense passthrough columns           -> tower input
 Weighted lookups (LookupSpec.weight_field) feed the aligned ragged score
-list as sparse_weights; Combiner.SOFTMAX applies tf.sparse.softmax to the
-scores first (the reference's SparseSoftmax + SequenceMask pattern,
-post_lookup_optimizer.cc:311-478).
-Unsupported transforms raise (the bench falls back to the oracle baseline).
+list (or the flat [B] scalar-weight form) as sparse_weights;
+Combiner.SOFTMAX applies tf.sparse.softmax to the scores first (the
+reference's SparseSoftmax + SequenceMask pattern,
+post_lookup_optimizer.cc:311-478).  NumToId default_id maps out-of-range
+identity ids; PostPool chains (reduce/affine/softmax/mul_column/matmul)
+are computed in TF ops, with hidden (in_concat=False) operand columns
+pooled for mul_column.
+Unsupported transforms/activations raise (the bench falls back to the
+oracle baseline) — the ground truth must match or fail loudly, never
+silently compute different math.
 """
 
 from __future__ import annotations
@@ -63,14 +69,29 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
     }
 
     dense_fields = [c.source.field for c in model.dense_columns]
-    # hidden (in_concat=False) columns feed other columns' posts, not the
-    # concat; the baseline models E/F/criteo carry no post chains
     emb_cols = [c for c in model.embedding_columns if c.in_concat]
+    all_emb_cols = list(model.embedding_columns)  # incl. hidden operands
 
-    def column_embedding(col, feed):
+    def scalar_sparse(col, ids64, valid):
+        """[B] ids + validity mask -> SparseTensor [B, 1] (invalid entries
+        dropped: their rows become empty -> zeros, TF ignore_value
+        semantics); used for weighted scalar columns where the dense
+        embedding_lookup fast path cannot carry sparse_weights."""
+        n = tf.shape(ids64, out_type=tf.int64)[0]
+        rows = tf.boolean_mask(tf.range(n), valid)
+        sp = tf.sparse.SparseTensor(
+            tf.stack([rows, tf.zeros_like(rows)], axis=1),
+            tf.boolean_mask(ids64, valid),
+            tf.stack([n, tf.constant(1, tf.int64)]),
+        )
+        return sp, valid
+
+    def raw_pooled(col, feed):
+        """RAW pooled [B, d] for any embedding column (pre-post)."""
         kind = col.source.kind
         t = tables[col.lookup.table]
         comb = _COMB.get(col.lookup.combiner)
+        wf = col.lookup.weight_field
         if kind == FeatureKind.DENSE_FLOAT:
             (bz,) = col.transforms
             assert isinstance(bz, Bucketize), "tf baseline: Bucketize only"
@@ -79,20 +100,33 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
                 boundaries=[float(b) for b in bz.boundaries],
             )
             ids = tf.cast(ids, tf.int64)
-            return tf.nn.embedding_lookup(t, ids)
+            if wf is None:
+                return tf.nn.embedding_lookup(t, ids)
+            sp, valid = scalar_sparse(col, ids, tf.ones_like(ids) > 0)
+            return sparse_pool(
+                col, sp, t, comb,
+                weight_values=tf.boolean_mask(feed[wf], valid),
+            )
         if kind in (FeatureKind.DENSE_INT, FeatureKind.STRING):
             (hb,) = col.transforms
             assert isinstance(hb, HashBucket)
             x = feed[col.source.field]
             if kind == FeatureKind.DENSE_INT:
-                missing = tf.equal(x, -1)       # TF ignore_value semantics
+                valid = tf.not_equal(x, -1)     # TF ignore_value semantics
                 ids = tf.strings.to_hash_bucket_fast(
                     tf.strings.as_string(x), hb.num_buckets
                 )
+            else:
+                valid = tf.ones([tf.shape(x)[0]], tf.bool)
+                ids = tf.strings.to_hash_bucket_fast(x, hb.num_buckets)
+            if wf is None:
                 emb = tf.nn.embedding_lookup(t, ids)
-                return tf.where(missing[:, None], tf.zeros_like(emb), emb)
-            ids = tf.strings.to_hash_bucket_fast(x, hb.num_buckets)
-            return tf.nn.embedding_lookup(t, ids)
+                return tf.where(valid[:, None], emb, tf.zeros_like(emb))
+            sp, valid = scalar_sparse(col, ids, valid)
+            return sparse_pool(
+                col, sp, t, comb,
+                weight_values=tf.boolean_mask(feed[wf], valid),
+            )
         if kind in (FeatureKind.STRING_LIST, FeatureKind.INT_LIST):
             if kind == FeatureKind.STRING_LIST:
                 (hb,) = col.transforms
@@ -115,22 +149,33 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
                 (nti,) = col.transforms
                 assert isinstance(nti, NumToId)
                 ids = feed[col.source.field].to_sparse()
-            return sparse_pool(col, ids, t, comb, feed)
+                if nti.default_id is not None:
+                    # TF identity-column default_value: out-of-range ids
+                    # map to the default (the oracle does the same,
+                    # oracle/reference.py NumToId branch)
+                    v = ids.values
+                    v = tf.where(
+                        (v < 0) | (v >= nti.num_ids),
+                        tf.constant(nti.default_id, v.dtype), v,
+                    )
+                    ids = tf.sparse.SparseTensor(
+                        ids.indices, v, ids.dense_shape
+                    )
+            wvals = None
+            if wf is not None:
+                # aligned ragged score list: the split's sparse indices
+                # and the ragged flat values are both row-major
+                wvals = tf.cast(feed[wf].flat_values, tf.float32)
+            return sparse_pool(col, ids, t, comb, weight_values=wvals)
         raise NotImplementedError(f"tf baseline: column kind {kind}")
 
-    def sparse_pool(col, ids, t, comb, feed):
-        """safe_embedding_lookup_sparse with the model's weighting scheme.
-        The weight feed is the aligned ragged score list — both the split's
-        sparse indices and the ragged flat values are row-major, so they
-        line up position-for-position."""
-        wf = col.lookup.weight_field
+    def sparse_pool(col, ids, t, comb, weight_values=None):
+        """safe_embedding_lookup_sparse with the model's weighting scheme
+        (``weight_values`` aligned with ``ids.values``)."""
         weights = None
-        if wf is not None:
-            wr = feed[wf]
+        if weight_values is not None:
             weights = tf.sparse.SparseTensor(
-                ids.indices,
-                tf.cast(wr.flat_values, tf.float32),
-                ids.dense_shape,
+                ids.indices, weight_values, ids.dense_shape
             )
         if col.lookup.combiner == Combiner.SOFTMAX:
             # the reference's SparseSoftmax + SequenceMask pattern: rowwise
@@ -151,22 +196,54 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
             t, ids, sparse_weights=weights, combiner=comb, default_id=None
         )
 
+    def apply_post(col, x, raw_map):
+        """PostPool chain in TF ops (mul_column operands are other
+        columns' RAW pooled outputs, matching the engine contract)."""
+        for p in col.post:
+            if p.op == "reduce_sum":
+                x = tf.reduce_sum(x, axis=1, keepdims=True)
+            elif p.op == "reduce_mean":
+                x = tf.reduce_mean(x, axis=1, keepdims=True)
+            elif p.op == "softmax":
+                x = tf.nn.softmax(x, axis=1)
+            elif p.op == "mul_column":
+                x = x * raw_map[p.other]
+            elif p.op == "matmul":
+                x = tf.matmul(
+                    x, tf.constant(np.asarray(p.weight, np.float32))
+                )
+            elif p.op == "affine":
+                if p.scale is not None:
+                    x = x * tf.constant(np.asarray(p.scale, np.float32))
+                if p.bias is not None:
+                    x = x + tf.constant(np.asarray(p.bias, np.float32))
+            else:
+                raise NotImplementedError(f"tf baseline post op {p.op!r}")
+        return x
+
+    def act_fn(name):
+        if name == "relu":
+            return tf.nn.relu
+        if name == "sigmoid":
+            return tf.sigmoid
+        if name in (None, "none"):
+            return lambda x: x
+        # silently skipping an activation would make the "ground truth"
+        # compute different math than the engine under comparison
+        raise NotImplementedError(f"tf baseline activation {name!r}")
+
     def mlp(layers, x, act, final_act):
+        hidden, final = act_fn(act), act_fn(final_act)
         for i, (w, b) in enumerate(layers):
             x = tf.matmul(x, w) + b
-            last = i == len(layers) - 1
-            if not last and act == "relu":
-                x = tf.nn.relu(x)
-            elif last and final_act == "sigmoid":
-                x = tf.sigmoid(x)
-            elif last and final_act == "relu":
-                x = tf.nn.relu(x)
+            x = final(x) if i == len(layers) - 1 else hidden(x)
         return x
 
     tower = model.tower
 
     def forward(feed):
-        embs = [column_embedding(c, feed) for c in emb_cols]
+        raw_map = {c.name: raw_pooled(c, feed) for c in all_emb_cols}
+        embs = [apply_post(c, raw_map[c.name], raw_map) for c in emb_cols]
         dense = (
             tf.concat(
                 [
@@ -217,8 +294,10 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
                     if delimiter is None:
                         return None
                     counts.append(r.count(delimiter) + 1 if r else 0)
-                else:
+                elif hasattr(r, "__len__"):
                     counts.append(len(r))
+                else:
+                    return None     # scalar id feed: nothing to align
             return counts
 
         feed = {}
@@ -226,26 +305,40 @@ def build_tf_baseline(model: ModelSpec, np_params: Dict):
             f = col.source.field
             wf = col.lookup.weight_field if col.lookup else None
             if wf is not None and wf not in feed and wf in batch:
-                # aligned ragged score list (FLOAT_LIST weight plane).
-                # Validate PER-ROW lengths against the id feed — sparse_pool
-                # pairs ids.indices with the flattened scores, so equal
-                # totals with mismatched rows would silently misassign
-                # scores across rows (the oracle's materialize_source
-                # raises on this; the ground-truth baseline must too).
-                wl = [len(r) for r in batch[wf]]
-                il = _item_counts(batch.get(f, []), col.source.delimiter)
-                if il is not None and il != wl:
-                    bad = next(
-                        i for i, (a, b) in enumerate(zip(il, wl)) if a != b
+                rows = batch[wf]
+                first = rows[0] if len(rows) else None
+                if first is not None and not isinstance(
+                    first, (list, tuple, np.ndarray)
+                ):
+                    # scalar weights (one float per example) for a
+                    # single-value column: flat [B] feed
+                    feed[wf] = tf.constant(
+                        np.asarray(rows, np.float32)
                     )
-                    raise ValueError(
-                        f"weight field {wf!r} row {bad} has {wl[bad]} "
-                        f"scores for {il[bad]} ids in {f!r}"
+                else:
+                    # aligned ragged score list (FLOAT_LIST weight plane).
+                    # Validate PER-ROW lengths against the id feed —
+                    # sparse_pool pairs ids.indices with the flattened
+                    # scores, so equal totals with mismatched rows would
+                    # silently misassign scores across rows (the oracle's
+                    # materialize_source raises on this; the ground-truth
+                    # baseline must too).
+                    wl = [len(r) for r in rows]
+                    il = _item_counts(batch.get(f, []),
+                                      col.source.delimiter)
+                    if il is not None and il != wl:
+                        bad = next(
+                            i for i, (a, b) in enumerate(zip(il, wl))
+                            if a != b
+                        )
+                        raise ValueError(
+                            f"weight field {wf!r} row {bad} has {wl[bad]} "
+                            f"scores for {il[bad]} ids in {f!r}"
+                        )
+                    feed[wf] = tf.ragged.constant(
+                        [list(map(float, r)) for r in rows],
+                        dtype=tf.float32, row_splits_dtype=tf.int64,
                     )
-                feed[wf] = tf.ragged.constant(
-                    [list(map(float, r)) for r in batch[wf]],
-                    dtype=tf.float32, row_splits_dtype=tf.int64,
-                )
             if f in feed or f not in batch:
                 continue
             kind = col.source.kind

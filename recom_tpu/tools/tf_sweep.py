@@ -16,10 +16,8 @@ import time
 
 
 def measure_tf(model_name: str, batches, iters: int):
-    import numpy as np
-
     from recom_tpu.models import make_random_batch
-    from recom_tpu.tools.ae_sweep import _make_model
+    from recom_tpu.tools.ae_sweep import _make_model, _tf_cpu_cell
     from recom_tpu.tools.tf_baseline import build_tf_baseline
     from recom_tpu.utils.params import init_model_params
 
@@ -32,14 +30,10 @@ def measure_tf(model_name: str, batches, iters: int):
             make_random_batch(model, bs, seed=10_000 + bs + i)
             for i in range(max(2, iters))
         ]
-        feeds = [make_feed(b) for b in bats]
-        tfn(feeds[0])                    # trace + compile this shape
-        lats = []
-        for f in feeds:
-            t0 = time.perf_counter()
-            tfn(f)
-            lats.append(time.perf_counter() - t0)
-        out[bs] = float(np.median(lats))
+        # ONE timing protocol shared with the AE sweep (_tf_cpu_cell):
+        # two implementations of the same measurement drift apart — the
+        # exact failure serve_loops.py was created to prevent
+        out[bs] = _tf_cpu_cell(tfn, make_feed, bats, iters=iters)
         print(json.dumps({
             "model": model.name, "batch": bs,
             "tf_cpu_ms": round(out[bs] * 1e3, 2),

@@ -313,3 +313,111 @@ def test_weighted_and_softmax_model_matches_tf_baseline():
                                  batch_buckets=(24,)), params=params)
     got = eng.predict(batch)["output"]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_weighted_scalar_columns_match_tf_baseline():
+    """Weighted SINGLE-VALUE columns (spec-legal; the fuzzer generates
+    them): the TF baseline previously ignored weight_field on scalar
+    sources entirely — a silent w-times divergence in the 'ground truth'.
+    Now it routes them through the sparse formulation."""
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.tools.tf_baseline import build_tf_baseline
+    from recom_tpu.utils.params import init_model_params
+
+    m = ModelSpec(
+        "wsc",
+        {"t1": TableSpec("t1", 32, 4), "t2": TableSpec("t2", 64, 4),
+         "t3": TableSpec("t3", 11, 4)},
+        [
+            FeatureColumn("ci", FeatureSource("xi", FeatureKind.DENSE_INT),
+                          (HashBucket(32),),
+                          LookupSpec("t1", Combiner.SUM, weight_field="wi")),
+            FeatureColumn("cs", FeatureSource("xs", FeatureKind.STRING),
+                          (HashBucket(64),),
+                          LookupSpec("t2", Combiner.MEAN, weight_field="ws")),
+            FeatureColumn("cb", FeatureSource("xb", FeatureKind.DENSE_FLOAT),
+                          (Bucketize(list(range(0, 50, 5))),),
+                          LookupSpec("t3", Combiner.SQRTN,
+                                     weight_field="wb")),
+        ],
+        TowerSpec(arch="mlp", top_mlp=(8, 1)),
+    )
+    params = init_model_params(m)
+    batch = make_random_batch(m, 20, seed=5, num_range=50)
+    # exercise the DENSE_INT missing rule alongside the weights
+    batch["xi"] = np.asarray(batch["xi"], np.int64)
+    batch["xi"][3] = -1
+
+    fn, make_feed = build_tf_baseline(m, params)
+    want = fn(make_feed(batch)).numpy()
+
+    eng = Engine(m, EngineConfig(use_pallas=False, interpret=True,
+                                 batch_buckets=(20,)), params=params)
+    got = eng.predict(batch)["output"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_identity_default_and_posts_match_tf_baseline():
+    """NumToId(default_id=...) out-of-range mapping and PostPool chains
+    (affine / reduce / mul_column) must be computed by the TF baseline,
+    not silently skipped."""
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.ir.spec import PostPool
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.tools.tf_baseline import build_tf_baseline
+    from recom_tpu.utils.params import init_model_params
+
+    m = ModelSpec(
+        "idp",
+        {"t": TableSpec("t", 12, 4), "t2": TableSpec("t2", 12, 4)},
+        [
+            FeatureColumn("c", FeatureSource("x", FeatureKind.INT_LIST),
+                          (NumToId(12, default_id=0),),
+                          LookupSpec("t", Combiner.SUM),
+                          post=(PostPool("affine", scale=(2.0,),
+                                         bias=(0.5, 0.0, -1.0, 3.0)),
+                                PostPool("mul_column", other="h"))),
+            FeatureColumn("h", FeatureSource("y", FeatureKind.INT_LIST),
+                          (NumToId(12, default_id=3),),
+                          LookupSpec("t2", Combiner.MEAN),
+                          in_concat=False),
+        ],
+        TowerSpec(arch="mlp", top_mlp=(8, 1)),
+    )
+    params = init_model_params(m)
+    # ids beyond num_ids exercise the default mapping in both systems
+    batch = make_random_batch(m, 16, seed=9, num_range=30)
+
+    fn, make_feed = build_tf_baseline(m, params)
+    want = fn(make_feed(batch)).numpy()
+
+    eng = Engine(m, EngineConfig(use_pallas=False, interpret=True,
+                                 batch_buckets=(16,)), params=params)
+    got = eng.predict(batch)["output"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bucketize_f32_boundary_matches_tf():
+    """TF stores Bucketize boundaries as f32 (proto list(float)); a
+    boundary like 0.7 buckets by its f32 rounding.  The spec now rounds
+    at construction, so oracle == engine == TF around the edge."""
+    from recom_tpu.oracle.reference import SparseFeature, apply_transform
+
+    bz = Bucketize([0.3, 0.7, 1.1])
+    b32 = np.float32(0.7)
+    probes = np.asarray([
+        0.7, float(b32), float(np.nextafter(b32, np.float32(-1))),
+        float(np.nextafter(b32, np.float32(2))), 0.3, 1.1, -5.0, 99.0,
+    ], np.float32)
+    want = tf.raw_ops.Bucketize(
+        input=tf.constant(probes),
+        boundaries=[0.3, 0.7, 1.1],      # TF rounds these to f32 itself
+    ).numpy()
+    sp = SparseFeature(
+        row_ids=np.arange(len(probes)),
+        values=probes.astype(np.float64),
+        weights=None, batch=len(probes),
+    )
+    got = apply_transform(bz, sp).values
+    np.testing.assert_array_equal(got, want)
