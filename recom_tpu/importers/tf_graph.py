@@ -789,6 +789,10 @@ def _match_categorical_chain(
                    if x.op == "SparseFillEmptyRows" and len(x.inputs) > 1]
         entries += [x.inputs[2] for x in sub
                     if x.op == "SparseToDense" and len(x.inputs) > 2]
+        # identity-with-default emits where(out_of_range, fill(d), v) ON
+        # the value path — its SelectRange is extracted by
+        # _extract_range_transforms; the trace follows the value branch
+        entries = [_peel_value_selects(gi, e) for e in entries]
         steps = he_ph = src = id_entry = None
         for entry in entries:
             st, ph_ = _compile_host_eval(gi, entry)
@@ -1604,14 +1608,32 @@ def _pred_to_intervals(gi: GraphIndex, name: str):
         return a.complement() if a is not None else None
     if n.op in _CMP_OPS:
         sym = _CMP_OPS[n.op]
-        rhs = _const_scalar(gi, n.inputs[1])
+        rhs = _cmp_const(gi, n.inputs[1])
         if rhs is None:
-            lhs = _const_scalar(gi, n.inputs[0])
+            lhs = _cmp_const(gi, n.inputs[0])
             if lhs is None:
                 return None
             sym, rhs = _CMP_MIRROR[sym], lhs
         return _cmp_interval_numeric(sym, rhs)
     return None
+
+
+def _cmp_const(gi: GraphIndex, name: str):
+    """Comparison-operand constant, resolving through plumbing incl. Cast
+    — real feature-column graphs wrap the bounds in Cast(Const) (identity
+    column's zero/num_buckets, feature_column_v2).  Only INTEGRAL values
+    resolve through a Cast: a fractional const's cast result depends on
+    the target dtype the plumbing-resolution discards."""
+    c = _const_scalar(gi, name)
+    if c is not None:
+        return c
+    t = _const_tensor_through(gi, name)
+    if t is None or t.size != 1:
+        return None
+    v = t.reshape(()).item()
+    if isinstance(v, (bytes, str)):
+        return v
+    return v if float(int(v)) == float(v) else None
 
 
 def _cmp_interval_numeric(sym: str, rhs):
@@ -1704,10 +1726,58 @@ def _extract_range_transforms(
                 )
         elif x.op in ("Select", "SelectV2"):
             iv = _pred_to_intervals(gi, x.inputs[0])
+            if iv is None:
+                continue
             sub_val = _const_scalar(gi, x.inputs[2])
-            if iv is not None and sub_val is not None and not iv.is_all():
+            if sub_val is not None and not iv.is_all():
+                # select(cond, VALUES, const): keep the cond-true interval
                 found.append(SelectRange(iv, int(sub_val)))
+                continue
+            # the MIRRORED order — where(out_of_range, fill(default),
+            # VALUES) — is what categorical_column_with_identity's
+            # default_value emits (feature_column_v2's out-of-range
+            # patch-up): keep the cond-FALSE interval
+            sub_val = _splat_scalar(gi, x.inputs[1])
+            if sub_val is not None and not iv.is_empty():
+                found.append(SelectRange(iv.complement(), int(sub_val)))
     return tuple(found)
+
+
+def _splat_scalar(gi: GraphIndex, name: str):
+    """Scalar value of a constant splat: a Const scalar or a
+    Fill(shape, const) — the shapes TF uses to broadcast a default."""
+    n = _resolve_through(gi, name)
+    if n is None:
+        return None
+    if n.op == "Const":
+        return _const_scalar(gi, n.name)
+    if n.op == "Fill" and len(n.inputs) > 1:
+        return _cmp_const(gi, n.inputs[1])  # Fill value may be Cast(Const)
+    return None
+
+
+def _peel_value_selects(gi: GraphIndex, name: str) -> str:
+    """Step through Select/SelectV2 nodes on the id value path whose
+    predicate + splat compile to a SelectRange (extracted separately by
+    _extract_range_transforms), following the VALUE branch — so the
+    identity-with-default idiom's value path still traces to its
+    Placeholder."""
+    cur = name
+    for _ in range(4):
+        n = _trace_value_source(gi, cur)
+        if (
+            n is None or n.op not in ("Select", "SelectV2")
+            or len(n.inputs) < 3
+            or _pred_to_intervals(gi, n.inputs[0]) is None
+        ):
+            return cur
+        if _const_scalar(gi, n.inputs[2]) is not None:
+            cur = n.inputs[1]
+        elif _splat_scalar(gi, n.inputs[1]) is not None:
+            cur = n.inputs[2]
+        else:
+            return cur
+    return cur
 
 
 def _vocab_transform(gi: GraphIndex, ops: Dict, warnings: List[str]):

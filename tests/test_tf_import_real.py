@@ -1309,3 +1309,112 @@ def test_hosteval_int64_consts_stay_exact():
     # engine concat orders the dense block first; TF's graph put it last
     np.testing.assert_array_equal(got["concat"][:, 1:], want[:, :4])
     np.testing.assert_array_equal(got["concat"][:, 0], want[:, 4])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_import_fuzz_random_feature_column_graphs(seed):
+    """IMPORT fuzzer: a random mix of real tf.feature_column idioms
+    (bucketized / int+str hash / identity / vocabulary-list with OOV)
+    through input_layer, frozen, imported under STRICT, served — every
+    column's pooled output must match the TF session bit-exactly.  The
+    per-idiom tests above pin individual chains; this sweeps random
+    compositions of them the way a production model mixes columns."""
+    rng = np.random.default_rng(400 + seed)
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    B = 16
+    col_specs = []      # (field, tf feed array, expected width)
+    with g.as_default():
+        fc = tf1.feature_column
+        cols = []
+        feats = {}
+        n_cols = int(rng.integers(3, 7))
+        for i in range(n_cols):
+            kind = rng.choice(["bz", "ih", "sh", "ident", "vocab"])
+            name = f"{kind}{i}"
+            dim = int(rng.choice([2, 4]))
+            if kind == "bz":
+                feats[name] = tf1.placeholder(tf.float32, [None], name=name)
+                nb = int(rng.integers(2, 12))
+                cat = fc.bucketized_column(
+                    fc.numeric_column(name),
+                    boundaries=[float(x) for x in range(0, 5 * nb, 5)],
+                )
+                feed = rng.uniform(-5, 5 * nb + 5, B).astype(np.float32)
+            elif kind == "ih":
+                feats[name] = tf1.placeholder(tf.int64, [None], name=name)
+                cat = fc.categorical_column_with_hash_bucket(
+                    name, int(rng.integers(8, 64)), dtype=tf.int64
+                )
+                feed = rng.integers(0, 10**9, B)
+            elif kind == "sh":
+                feats[name] = tf1.placeholder(tf.string, [None], name=name)
+                cat = fc.categorical_column_with_hash_bucket(
+                    name, int(rng.integers(8, 64))
+                )
+                feed = np.asarray(
+                    ["s%d" % v for v in rng.integers(0, 10**6, B)]
+                )
+            elif kind == "ident":
+                feats[name] = tf1.placeholder(tf.int64, [None], name=name)
+                nb = int(rng.integers(8, 32))
+                cat = fc.categorical_column_with_identity(
+                    name, nb, default_value=int(rng.integers(0, nb))
+                )
+                feed = rng.integers(0, 2 * nb, B)   # out-of-range included
+            else:
+                feats[name] = tf1.placeholder(tf.string, [None], name=name)
+                vocab = ["v%d" % j for j in range(int(rng.integers(3, 9)))]
+                cat = fc.categorical_column_with_vocabulary_list(
+                    name, vocab, num_oov_buckets=int(rng.integers(0, 3))
+                )
+                feed = np.asarray(
+                    [
+                        vocab[int(rng.integers(0, len(vocab)))]
+                        if rng.random() < 0.7 else "oov%d" % rng.integers(9)
+                        for _ in range(B)
+                    ]
+                )
+            comb = str(rng.choice(["mean", "sum", "sqrtn"]))
+            cols.append(fc.embedding_column(cat, dimension=dim,
+                                            combiner=comb))
+            col_specs.append((name, feed, dim))
+        out = tf1.feature_column.input_layer(
+            {k: tf.reshape(v, [-1, 1]) for k, v in feats.items()}, cols
+        )
+        out = tf.identity(out, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feed_dict = {feats[n]: f for n, f, _ in col_specs}
+            want = sess.run(out, feed_dict)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name=f"fz{seed}", strict=True
+    )
+    from recom_tpu.importers.tf_graph import import_params
+
+    by_field = {c.source.field: c for c in model.embedding_columns}
+    batch = {}
+    for name, feed, _ in col_specs:
+        m = [f for f in by_field if f == name or f.startswith(name)]
+        assert m, f"imported model lost column {name}"
+        batch[m[0]] = feed
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(B,)),
+                 params=import_params(model, weights))
+    got = eng.predict(batch, return_pooled=True)["pooled"]
+
+    # input_layer concatenates columns sorted by feature-column NAME
+    # (embedding_NAME); slice the TF output accordingly
+    order = sorted(col_specs, key=lambda t: t[0])
+    off = 0
+    for name, _, dim in order:
+        m = [f for f in by_field if f == name or f.startswith(name)]
+        col = by_field[m[0]]
+        np.testing.assert_array_equal(
+            got[col.name], want[:, off : off + dim], err_msg=name
+        )
+        off += dim
+    assert off == want.shape[1]
