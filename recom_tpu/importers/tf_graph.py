@@ -728,14 +728,14 @@ def _match_categorical_chain(
         delimiter = (
             _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
         ) or ";"
-    range_tf = _extract_range_transforms(gi, sub, warnings)
+    range_pairs = _extract_range_transforms(gi, sub, warnings)
     vocab_tf, vocab_int_keys = _vocab_transform(gi, ops, warnings)
     main_ph = None
     chain_hi: Optional[int] = None
     anchor_input: Optional[str] = None
     if vocab_tf is not None:
         anchor_kind = "vocab"
-        transforms = (vocab_tf,) + range_tf
+        transforms = (vocab_tf,)
         find = ops.get("LookupTableFindV2") or ops.get("LookupTableFind")
         anchor_input = find.inputs[1]
         main_ph = _placeholder_of(gi, find.inputs[1])
@@ -751,7 +751,7 @@ def _match_categorical_chain(
         anchor_kind = "bucketize"
         bz = ops["Bucketize"]
         bounds = attr_float_list(bz.attr("boundaries"))
-        transforms = (Bucketize(bounds),) + range_tf
+        transforms = (Bucketize(bounds),)
         kind = FeatureKind.DENSE_FLOAT
         anchor_input = bz.inputs[0]
         main_ph = _placeholder_of(gi, bz.inputs[0])
@@ -760,7 +760,7 @@ def _match_categorical_chain(
         anchor_kind = "hash"
         hb = ops["StringToHashBucketFast"]
         nb = attr_int(hb.attr("num_buckets"))
-        transforms = (HashBucket(nb),) + range_tf
+        transforms = (HashBucket(nb),)
         anchor_input = hb.inputs[0]
         main_ph = _placeholder_of(gi, hb.inputs[0])
         if ragged:
@@ -829,7 +829,7 @@ def _match_categorical_chain(
                         break
         if steps is not None and steps[-1][2] in ("i32", "i64"):
             anchor_kind = "hosteval"
-            transforms = (HostEvalChain(steps),) + range_tf
+            transforms = (HostEvalChain(steps),)
             main_ph = he_ph
             # raggedness comes from the ID path itself (NOT slot-wide op
             # presence: a StringSplit elsewhere in the cone may belong to
@@ -861,7 +861,7 @@ def _match_categorical_chain(
             # extracted range transforms (the prune-invalid idiom) plus
             # the engine's canonicalize clamp contract.
             anchor_kind = "identity"
-            transforms = range_tf
+            transforms = ()
             main_ph = src
             if attr_type(src.attr("dtype")) == DT_STRING:
                 # the split -> StringToNumber(int) idiom: delimiter read
@@ -880,7 +880,7 @@ def _match_categorical_chain(
             from recom_tpu.ir.spec import NumToId
 
             anchor_kind = "identity"
-            transforms = (NumToId(identity_cap),) + range_tf
+            transforms = (NumToId(identity_cap),)
             main_ph = placeholders[0] if placeholders else None
             kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
         else:
@@ -919,6 +919,10 @@ def _match_categorical_chain(
                         "recognized part anyway (warned)"
                     )
                 warnings.append(msg + "; imported WITHOUT it")
+    # range idioms append AFTER the final main_ph resolution so the
+    # subject check compares against the VERIFIED id feed, not the
+    # first-reachable-placeholder BFS guess
+    transforms = transforms + _range_for(range_pairs, main_ph, warnings)
     return transforms, kind, main_ph, ragged, delimiter, chain_hi, anchor_kind
 
 
@@ -1254,7 +1258,9 @@ def _import_indicator(
         )
     if anchor_kind == "identity":
         # no anchor op to trace from: verify the one-hot's id path instead
-        src = _trace_value_source(gi, oh.inputs[0])
+        # (peeling the identity default_value select, whose SelectRange
+        # the chain matcher already extracted)
+        src = _trace_value_source(gi, _peel_value_selects(gi, oh.inputs[0]))
         if src is None or src.op != "Placeholder":
             return bail(
                 "identity-id value path does not reach a Placeholder "
@@ -1693,13 +1699,21 @@ def _const_tensor_through(gi: GraphIndex, name: str) -> Optional[np.ndarray]:
 def _extract_range_transforms(
     gi: GraphIndex, sub, warnings: Optional[List[str]] = None
 ) -> tuple:
-    """FilterRange/SelectRange transforms from the column subgraph's
-    Where+Gather (value filtering) and Select (substitution) idioms —
-    the patterns the reference's PreLookupOptimizer matches and rewrites
-    into its Gather*/SelectValue custom ops
+    """(transform, subject placeholder name) pairs for the column
+    subgraph's Where+Gather (value filtering) and Select (substitution)
+    idioms — the patterns the reference's PreLookupOptimizer matches and
+    rewrites into its Gather*/SelectValue custom ops
     (pre_lookup_optimizer.cc:25-123).  Gather indices are traced back
     through Reshape/Squeeze/Cast to their Where (real frozen graphs insert
-    shape plumbing between the two)."""
+    shape plumbing between the two).
+
+    The SUBJECT (the placeholder the predicate's data operand reaches)
+    matters: a weighted column's weight plane carries its own
+    dense-to-sparse NotEqual(w, 0) filter, and importing that interval as
+    an ID filter silently zeroes rows whose id happens to equal the
+    ignore value (found by the import fuzzer: an id hashing to bucket 0
+    vanished).  Callers keep only pairs whose subject is the id feed
+    (_range_for)."""
     from recom_tpu.ir.intervals import IntervalSet
     from recom_tpu.ir.spec import FilterRange, SelectRange
 
@@ -1711,13 +1725,18 @@ def _extract_range_transforms(
             src = _resolve_through(gi, x.inputs[1])
             if src is not None:
                 has_gather_of.add(src.name)
+
+    def subject(pred_name: str) -> Optional[str]:
+        ph = _placeholder_of(gi, pred_name)
+        return ph.name if ph is not None else None
+
     for x in sorted(sub, key=lambda s: order.get(id(s), 0)):
         if x.op == "Where":
             iv = _pred_to_intervals(gi, x.inputs[0])
             if iv is None or iv.is_all():
                 continue
             if x.name in has_gather_of:
-                found.append(FilterRange(iv))
+                found.append((FilterRange(iv), subject(x.inputs[0])))
             elif warnings is not None:
                 warnings.append(
                     f"filter idiom at {x.name}: predicate compiles to "
@@ -1731,7 +1750,9 @@ def _extract_range_transforms(
             sub_val = _const_scalar(gi, x.inputs[2])
             if sub_val is not None and not iv.is_all():
                 # select(cond, VALUES, const): keep the cond-true interval
-                found.append(SelectRange(iv, int(sub_val)))
+                found.append(
+                    (SelectRange(iv, int(sub_val)), subject(x.inputs[0]))
+                )
                 continue
             # the MIRRORED order — where(out_of_range, fill(default),
             # VALUES) — is what categorical_column_with_identity's
@@ -1739,8 +1760,32 @@ def _extract_range_transforms(
             # patch-up): keep the cond-FALSE interval
             sub_val = _splat_scalar(gi, x.inputs[1])
             if sub_val is not None and not iv.is_empty():
-                found.append(SelectRange(iv.complement(), int(sub_val)))
+                found.append(
+                    (SelectRange(iv.complement(), int(sub_val)),
+                     subject(x.inputs[0]))
+                )
     return tuple(found)
+
+
+def _range_for(pairs, main_ph, warnings: List[str]) -> tuple:
+    """Range transforms whose predicate subject IS the id feed.  A known
+    subject differing from the id placeholder belongs to another plane
+    (the weight feed's missing-value filter) and must not rewrite ids;
+    an UNKNOWN subject (no placeholder reachable — fully-frozen operand)
+    is kept, matching the pre-fuzzer behavior for hand-built graphs."""
+    out = []
+    for t, subj in pairs:
+        if (
+            subj is not None and main_ph is not None
+            and subj != main_ph.name
+        ):
+            warnings.append(
+                f"range idiom over {subj!r} is not on the id value path "
+                f"({main_ph.name!r}); NOT imported as an id transform"
+            )
+            continue
+        out.append(t)
+    return tuple(out)
 
 
 def _splat_scalar(gi: GraphIndex, name: str):

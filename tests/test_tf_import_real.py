@@ -1314,81 +1314,138 @@ def test_hosteval_int64_consts_stay_exact():
 @pytest.mark.parametrize("seed", range(4))
 def test_import_fuzz_random_feature_column_graphs(seed):
     """IMPORT fuzzer: a random mix of real tf.feature_column idioms
-    (bucketized / int+str hash / identity / vocabulary-list with OOV)
-    through input_layer, frozen, imported under STRICT, served — every
-    column's pooled output must match the TF session bit-exactly.  The
-    per-idiom tests above pin individual chains; this sweeps random
-    compositions of them the way a production model mixes columns."""
+    (bucketized / int+str hash / identity with default / vocabulary-list
+    with OOV / weighted categorical / indicator / hashed cross) through
+    input_layer, frozen, imported under STRICT, served — every column's
+    pooled output must match the TF session bit-exactly.  The per-idiom
+    tests above pin individual chains; this sweeps random COMPOSITIONS of
+    them the way a production model mixes columns."""
     rng = np.random.default_rng(400 + seed)
     tf1 = tf.compat.v1
     g = tf.Graph()
     B = 16
-    col_specs = []      # (field, tf feed array, expected width)
+    # (tf column NAME for concat ordering, fields->feeds dict, width,
+    #  is_indicator)
+    col_specs = []
     with g.as_default():
         fc = tf1.feature_column
         cols = []
         feats = {}
+
+        def ph(name, dtype):
+            feats[name] = tf1.placeholder(dtype, [None], name=name)
+            return feats[name]
+
         n_cols = int(rng.integers(3, 7))
         for i in range(n_cols):
-            kind = rng.choice(["bz", "ih", "sh", "ident", "vocab"])
+            kind = rng.choice(
+                ["bz", "ih", "sh", "ident", "vocab", "ind", "wstr", "cross"]
+            )
             name = f"{kind}{i}"
             dim = int(rng.choice([2, 4]))
+            comb = str(rng.choice(["mean", "sum", "sqrtn"]))
             if kind == "bz":
-                feats[name] = tf1.placeholder(tf.float32, [None], name=name)
+                ph(name, tf.float32)
                 nb = int(rng.integers(2, 12))
                 cat = fc.bucketized_column(
                     fc.numeric_column(name),
                     boundaries=[float(x) for x in range(0, 5 * nb, 5)],
                 )
-                feed = rng.uniform(-5, 5 * nb + 5, B).astype(np.float32)
+                feeds = {name: rng.uniform(-5, 5 * nb + 5, B)
+                         .astype(np.float32)}
             elif kind == "ih":
-                feats[name] = tf1.placeholder(tf.int64, [None], name=name)
+                ph(name, tf.int64)
                 cat = fc.categorical_column_with_hash_bucket(
                     name, int(rng.integers(8, 64)), dtype=tf.int64
                 )
-                feed = rng.integers(0, 10**9, B)
+                feeds = {name: rng.integers(0, 10**9, B)}
             elif kind == "sh":
-                feats[name] = tf1.placeholder(tf.string, [None], name=name)
+                ph(name, tf.string)
                 cat = fc.categorical_column_with_hash_bucket(
                     name, int(rng.integers(8, 64))
                 )
-                feed = np.asarray(
+                feeds = {name: np.asarray(
                     ["s%d" % v for v in rng.integers(0, 10**6, B)]
-                )
+                )}
             elif kind == "ident":
-                feats[name] = tf1.placeholder(tf.int64, [None], name=name)
+                ph(name, tf.int64)
                 nb = int(rng.integers(8, 32))
                 cat = fc.categorical_column_with_identity(
                     name, nb, default_value=int(rng.integers(0, nb))
                 )
-                feed = rng.integers(0, 2 * nb, B)   # out-of-range included
-            else:
-                feats[name] = tf1.placeholder(tf.string, [None], name=name)
+                feeds = {name: rng.integers(0, 2 * nb, B)}
+            elif kind == "vocab":
+                ph(name, tf.string)
                 vocab = ["v%d" % j for j in range(int(rng.integers(3, 9)))]
                 cat = fc.categorical_column_with_vocabulary_list(
                     name, vocab, num_oov_buckets=int(rng.integers(0, 3))
                 )
-                feed = np.asarray(
-                    [
-                        vocab[int(rng.integers(0, len(vocab)))]
-                        if rng.random() < 0.7 else "oov%d" % rng.integers(9)
-                        for _ in range(B)
-                    ]
+                feeds = {name: np.asarray([
+                    vocab[int(rng.integers(0, len(vocab)))]
+                    if rng.random() < 0.7 else "oov%d" % rng.integers(9)
+                    for _ in range(B)
+                ])}
+            elif kind == "ind":
+                ph(name, tf.int64)
+                nb = int(rng.integers(4, 16))
+                cat = fc.categorical_column_with_identity(
+                    name, nb, default_value=0
                 )
-            comb = str(rng.choice(["mean", "sum", "sqrtn"]))
+                cols.append(fc.indicator_column(cat))
+                feeds = {name: rng.integers(0, nb, B)}
+                col_specs.append((cat.name + "_indicator", feeds, nb, True))
+                continue
+            elif kind == "wstr":
+                ph(name, tf.string)
+                wname = f"{name}_w"
+                ph(wname, tf.float32)
+                base = fc.categorical_column_with_hash_bucket(
+                    name, int(rng.integers(8, 64))
+                )
+                cat = fc.weighted_categorical_column(base, wname)
+                feeds = {
+                    name: np.asarray(
+                        ["w%d" % v for v in rng.integers(0, 10**5, B)]
+                    ),
+                    wname: rng.random(B).astype(np.float32) + 0.1,
+                }
+            else:   # cross of two string fields
+                fa, fb = f"{name}a", f"{name}b"
+                ph(fa, tf.string)
+                ph(fb, tf.string)
+                cat = fc.crossed_column(
+                    [fa, fb], int(rng.integers(16, 128))
+                )
+                feeds = {
+                    fa: np.asarray(
+                        ["a%d" % v for v in rng.integers(0, 100, B)]
+                    ),
+                    fb: np.asarray(
+                        ["b%d" % v for v in rng.integers(0, 100, B)]
+                    ),
+                }
             cols.append(fc.embedding_column(cat, dimension=dim,
                                             combiner=comb))
-            col_specs.append((name, feed, dim))
+            col_specs.append((cat.name + "_embedding", feeds, dim, False))
         out = tf1.feature_column.input_layer(
             {k: tf.reshape(v, [-1, 1]) for k, v in feats.items()}, cols
         )
         out = tf.identity(out, name="out")
         with tf1.Session(graph=g) as sess:
             sess.run(tf1.global_variables_initializer())
-            feed_dict = {feats[n]: f for n, f, _ in col_specs}
+            sess.run(tf1.tables_initializer())
+            feed_dict = {}
+            for _, feeds, _, _ in col_specs:
+                for k, v in feeds.items():
+                    feed_dict[feats[k]] = v
             want = sess.run(out, feed_dict)
+            # deployment convention: frozen graphs with lookup tables
+            # retain their init ops (or TF itself cannot run them) — the
+            # importer reads vocab keys/values from the kept Import op
+            init_op = tf1.tables_initializer()
             frozen = tf1.graph_util.convert_variables_to_constants(
-                sess, g.as_graph_def(), ["out"]
+                sess, g.as_graph_def(),
+                ["out", init_op.name.split(":")[0]],
             )
 
     model, weights = import_tf_graphdef(
@@ -1396,25 +1453,52 @@ def test_import_fuzz_random_feature_column_graphs(seed):
     )
     from recom_tpu.importers.tf_graph import import_params
 
-    by_field = {c.source.field: c for c in model.embedding_columns}
     batch = {}
-    for name, feed, _ in col_specs:
-        m = [f for f in by_field if f == name or f.startswith(name)]
-        assert m, f"imported model lost column {name}"
-        batch[m[0]] = feed
+    emb_by_feed = {}
+    for col in model.embedding_columns:
+        if col.source.fields:           # hashed cross: keyed by raw fields
+            emb_by_feed[frozenset(col.source.fields)] = col
+        else:
+            emb_by_feed[col.source.field] = col
+
+    def spec_col(feeds):
+        """Imported column for a spec's feed dict."""
+        keys = [k for k in feeds if not k.endswith("_w")]
+        if len(keys) == 2:              # cross
+            for fk, c in emb_by_feed.items():
+                if isinstance(fk, frozenset) and all(
+                    any(f == k or f.startswith(k) for f in fk) for k in keys
+                ):
+                    return c
+            raise AssertionError(f"lost cross column {keys}")
+        (k,) = keys
+        m = [f for f in emb_by_feed
+             if isinstance(f, str) and (f == k or f.startswith(k))]
+        assert m, f"imported model lost column {k}"
+        return emb_by_feed[m[0]]
+
+    for _, feeds, _, _ in col_specs:
+        c = spec_col(feeds)
+        for k, v in feeds.items():
+            if k.endswith("_w"):
+                batch[c.lookup.weight_field] = v
+            else:
+                fields = (
+                    c.source.fields if c.source.fields else (c.source.field,)
+                )
+                m = [f for f in fields if f == k or f.startswith(k)]
+                batch[m[0]] = v
     eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(B,)),
                  params=import_params(model, weights))
     got = eng.predict(batch, return_pooled=True)["pooled"]
 
     # input_layer concatenates columns sorted by feature-column NAME
-    # (embedding_NAME); slice the TF output accordingly
     order = sorted(col_specs, key=lambda t: t[0])
     off = 0
-    for name, _, dim in order:
-        m = [f for f in by_field if f == name or f.startswith(name)]
-        col = by_field[m[0]]
+    for tf_name, feeds, width, _ in order:
+        c = spec_col(feeds)
         np.testing.assert_array_equal(
-            got[col.name], want[:, off : off + dim], err_msg=name
+            got[c.name], want[:, off : off + width], err_msg=tf_name
         )
-        off += dim
+        off += width
     assert off == want.shape[1]
