@@ -576,8 +576,13 @@ void BucketizeColAffine1SimdSmall(const float* x, const float* b, int32_t k,
     const __m512 v = _mm512_loadu_ps(x + i);
     const __mmask16 nan_m = _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
     const __mmask16 below_m = _mm512_cmp_ps_mask(v, vb0, _CMP_LT_OQ);
+    // UNFUSED mul-then-add, matching the plan-time guess validation
+    // (wire.py computes g in numpy with two roundings; a fused FMA can
+    // land one ulp across an integer boundary and push the guess outside
+    // the proven error bound).  -ffp-contract=off guards the scalar
+    // paths; explicit intrinsics must not reintroduce the fusion.
     const __m512 g =
-        _mm512_fmadd_ps(_mm512_sub_ps(v, vb0), vinv, vone);
+        _mm512_add_ps(_mm512_mul_ps(_mm512_sub_ps(v, vb0), vinv), vone);
     const __mmask16 hi_m = _mm512_cmp_ps_mask(g, vfk, _CMP_GE_OQ);
     __m512i e = _mm512_cvttps_epi32(g);
     e = _mm512_mask_mov_epi32(e, hi_m, vk);
@@ -633,8 +638,13 @@ void BucketizeColAffineExactSimd(const float* x, const float* b, int32_t k,
     const __m512 v = _mm512_loadu_ps(x + i);
     const __mmask16 nan_m = _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
     const __mmask16 below_m = _mm512_cmp_ps_mask(v, vb0, _CMP_LT_OQ);
+    // UNFUSED mul-then-add, matching the plan-time guess validation
+    // (wire.py computes g in numpy with two roundings; a fused FMA can
+    // land one ulp across an integer boundary and push the guess outside
+    // the proven error bound).  -ffp-contract=off guards the scalar
+    // paths; explicit intrinsics must not reintroduce the fusion.
     const __m512 g =
-        _mm512_fmadd_ps(_mm512_sub_ps(v, vb0), vinv, vone);
+        _mm512_add_ps(_mm512_mul_ps(_mm512_sub_ps(v, vb0), vinv), vone);
     const __mmask16 hi_m = _mm512_cmp_ps_mask(g, vfk, _CMP_GE_OQ);
     __m512i e = _mm512_cvttps_epi32(g);
     e = _mm512_mask_mov_epi32(e, hi_m, vk);
@@ -690,8 +700,13 @@ void BucketizeColAffine1Simd(const float* x, const float* b, int32_t k,
     const __m512 v = _mm512_loadu_ps(x + i);
     const __mmask16 nan_m = _mm512_cmp_ps_mask(v, v, _CMP_UNORD_Q);
     const __mmask16 below_m = _mm512_cmp_ps_mask(v, vb0, _CMP_LT_OQ);
+    // UNFUSED mul-then-add, matching the plan-time guess validation
+    // (wire.py computes g in numpy with two roundings; a fused FMA can
+    // land one ulp across an integer boundary and push the guess outside
+    // the proven error bound).  -ffp-contract=off guards the scalar
+    // paths; explicit intrinsics must not reintroduce the fusion.
     const __m512 g =
-        _mm512_fmadd_ps(_mm512_sub_ps(v, vb0), vinv, vone);
+        _mm512_add_ps(_mm512_mul_ps(_mm512_sub_ps(v, vb0), vinv), vone);
     const __mmask16 hi_m = _mm512_cmp_ps_mask(g, vfk, _CMP_GE_OQ);
     __m512i e = _mm512_cvttps_epi32(g);
     e = _mm512_mask_mov_epi32(e, hi_m, vk);

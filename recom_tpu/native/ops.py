@@ -37,9 +37,18 @@ def hash_strings(values, num_buckets: int) -> np.ndarray:
     if lib is None:
         from recom_tpu.oracle.hashing import hash_bucket_fast
 
-        vals = values.tolist() if isinstance(values, np.ndarray) else values
+        if isinstance(values, np.ndarray):
+            # ravel first: .tolist() on a 2-D array yields nested lists
+            # the per-element decode below would choke on (the native
+            # path handles N-D via ravel+reshape — match it)
+            flat = values.ravel().tolist()
+            out = hash_bucket_fast(
+                [v.decode() if isinstance(v, bytes) else v for v in flat],
+                num_buckets,
+            )
+            return np.asarray(out).reshape(values.shape)
         return hash_bucket_fast(
-            [v.decode() if isinstance(v, bytes) else v for v in vals],
+            [v.decode() if isinstance(v, bytes) else v for v in values],
             num_buckets,
         )
 
@@ -209,6 +218,7 @@ def split_hash_multi(
     if lib is None or not arrays:
         return None
     batch = arrays[0].shape[0]
+    _check_rows(arrays, batch)
     out = np.empty((len(arrays), batch, rowlen), dtype=np.int32)
     ptrs = _ptr_array(arrays)
     widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
@@ -233,6 +243,19 @@ def split_hash_multi(
 _PTR_ANY, _PTR_F32, _PTR_I64 = 0, 1, 2
 
 
+def _check_rows(arrays: List, batch: int) -> None:
+    """Every per-column feed must carry >= batch rows: the native kernels
+    read batch elements per column, and the _PTR_ANY (string) mode has no
+    uniform min_bytes to enforce it (per-column S-widths differ) — a
+    short feed would read past the allocation."""
+    for i, a in enumerate(arrays):
+        if a.shape[0] < batch:
+            raise ValueError(
+                f"column {i}: {a.shape[0]} rows for batch {batch} — "
+                "every feed must carry at least batch rows"
+            )
+
+
 def _fast_ptrs(items: List, mode: int, min_bytes: int) -> Optional[np.ndarray]:
     from recom_tpu.native.build import get_pylib
 
@@ -250,12 +273,24 @@ def _in_ptrs(
     arrays: List, mode: int, dtype, batch: int
 ) -> Tuple[np.ndarray, List]:
     """(pointer array, keep-alive list).  Optimistic zero-copy through the
-    buffer helper; coerce + ctypes when any array fails validation."""
+    buffer helper; coerce + ctypes when any array fails validation.  The
+    coercing fallback must re-check LENGTH: the native kernels read
+    ``batch`` elements per column, and a short feed (caller sent fewer
+    rows for one field than the batch-size field implies) would read out
+    of bounds — raise the shape error the fast path's min_bytes check
+    enforces instead."""
     itemsize = np.dtype(dtype).itemsize
     ptrs = _fast_ptrs(arrays, mode, batch * itemsize)
     if ptrs is not None:
         return ptrs, arrays
     cols = [np.ascontiguousarray(a, dtype=dtype) for a in arrays]
+    for i, c in enumerate(cols):
+        if c.nbytes < batch * itemsize:
+            raise ValueError(
+                f"column {i}: {c.shape[0] if c.ndim else 0} rows "
+                f"({c.nbytes} bytes) for batch {batch} — every feed must "
+                "carry at least batch rows"
+            )
     return _ptr_array(cols), cols
 
 
@@ -366,6 +401,7 @@ def hash_fixed_multi_out(
                 out[c, :batch].shape
             ).astype(out.dtype)
         return
+    _check_rows(arrays, batch)
     ptrs, keep = _in_ptrs(arrays, _PTR_ANY, None, 0)
     widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
     lib.rt_hash_fixed_multi_out(
@@ -396,6 +432,7 @@ def split_hash_multi_out(
             out[c, :batch] = packed.astype(out.dtype)
             maxp = max(maxp, mp)
         return maxp
+    _check_rows(arrays, batch)
     ptrs, keep = _in_ptrs(arrays, _PTR_ANY, None, 0)
     widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
     return int(
