@@ -166,12 +166,14 @@ def attr_float_list(raw: Optional[bytes]) -> List[float]:
 
 
 def attr_bool(raw: Optional[bytes]) -> Optional[bool]:
-    """AttrValue.b."""
+    """AttrValue.b — proto field 5 (field 2 is the bytes ``s`` value;
+    reading it here made every transpose_a/transpose_b guard a no-op on
+    real graphs, silently importing transposed MatMuls untransposed)."""
     if raw is None:
         return None
     d = pw.fields_dict(raw)
-    if 2 in d:
-        return bool(d[2][0])
+    if 5 in d:
+        return bool(d[5][0])
     return None
 
 
@@ -427,6 +429,39 @@ def import_tf_graphdef(
                 warnings.append(msg + "; slot SKIPPED")
                 slots_complete = False
                 continue
+            # multi-placeholder slots (an inner ConcatV2/Pack of feeds)
+            # must emit columns in CONCAT order, not DFS-discovery order
+            # (backward_set's stack reverses inputs) — the tower's
+            # first-matmul row permutation keys on column order, so a
+            # swapped pair would silently map the wrong weight rows
+            if len(placeholders) > 1:
+                inner = _resolve_through(
+                    gi, inp, ("Identity", "Reshape", "ExpandDims",
+                              "Squeeze", "Cast")
+                )
+                ordered_ph = []
+                if inner is not None and inner.op in ("ConcatV2", "Concat",
+                                                      "Pack"):
+                    vins = (
+                        inner.inputs[1:] if inner.op == "Concat"
+                        else inner.inputs[:-1] if inner.op == "ConcatV2"
+                        else inner.inputs
+                    )
+                    for vi in vins:
+                        ph_ = _placeholder_of(gi, vi)
+                        if ph_ is not None and ph_ not in ordered_ph:
+                            ordered_ph.append(ph_)
+                if set(p.name for p in ordered_ph) == set(
+                    p.name for p in placeholders
+                ):
+                    placeholders = ordered_ph
+                else:
+                    # no provable order: graph-def order (construction
+                    # order, which matches feed declaration order)
+                    pos = {id(x): i for i, x in enumerate(gi.nodes)}
+                    placeholders = sorted(
+                        placeholders, key=lambda p: pos.get(id(p), 0)
+                    )
             for ph in placeholders:
                 # numeric_column(shape=(k,)): a [None, k] placeholder is a
                 # width-k passthrough occupying k tower-input slots; a
@@ -478,11 +513,20 @@ def import_tf_graphdef(
         # reference's weighted idiom, lookup_optimizer.cc:89-99) ---------
         combiner = Combiner.MEAN
         weighted = False
-        if "SparseSegmentSum" in ops:
+        if (
+            "SparseSegmentSum" in ops
+            or "SparseSegmentSumWithNumSegments" in ops
+        ):
             combiner = Combiner.SUM
-        elif "SparseSegmentSqrtN" in ops:
+        elif (
+            "SparseSegmentSqrtN" in ops
+            or "SparseSegmentSqrtNWithNumSegments" in ops
+        ):
             combiner = Combiner.SQRTN
-        elif "SparseSegmentMean" in ops:
+        elif (
+            "SparseSegmentMean" in ops
+            or "SparseSegmentMeanWithNumSegments" in ops
+        ):
             combiner = Combiner.MEAN
         elif "SegmentSum" in ops and "Mul" in ops:
             weighted = True
@@ -543,9 +587,7 @@ def import_tf_graphdef(
         delimiter = None
         if ragged:
             sp = ops.get("StringSplit") or ops.get("StringSplitV2")
-            delimiter = (
-                _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
-            ) or ";"
+            delimiter = _split_delimiter(gi, sp)
 
         cross = (
             ops.get("SparseCrossHashed")
@@ -553,15 +595,69 @@ def import_tf_graphdef(
             or ops.get("SparseCross")
         )
         if cross is not None:
+            def cross_bail(msg: str) -> bool:
+                full = f"crossed column feeding {n.name}: {msg}"
+                if strict:
+                    raise ValueError(
+                        full + " — refusing to change semantics silently; "
+                        "pass strict=False to skip the slot"
+                    )
+                warnings.append(full + "; slot SKIPPED")
+                return False
+
+            # the strict contract applies to crosses like every other
+            # idiom: only the Fingerprint64/FingerprintCat64 hashed form
+            # is modeled (CrossHash); V2's string-concat crosses and
+            # non-hashed SparseCross outputs are a different id function
+            if cross.op != "SparseCrossHashed" and not attr_bool(
+                cross.attr("hashed_output")
+            ):
+                if not cross_bail(
+                    f"{cross.op} without hashed_output has string-concat "
+                    "semantics CrossHash cannot reproduce"
+                ):
+                    slots_complete = False
+                    continue
+            if weighted:
+                if not cross_bail(
+                    "weighted crossed columns have no engine expression "
+                    "(the weight plane cannot align with crossed tuples)"
+                ):
+                    slots_complete = False
+                    continue
             nb = attr_int(cross.attr("num_buckets")) or vocab
             hk = attr_int(cross.attr("hash_key"))
             # FingerprintCat64 is order-dependent: key order must follow
-            # the SparseCross op's INPUT order, not DFS discovery order
+            # the SparseCross op's INPUT order, not DFS discovery order;
+            # each key input's value path must trace to its placeholder
+            # (compute between a key feed and the cross would be dropped)
             ordered = []
+            bailed = False
             for ci in cross.inputs:
+                src_n = gi.node(ci)
+                if src_n is not None and src_n.op in (
+                    "Const", "Shape", "Pack", "StridedSlice", "Slice",
+                    "Prod", "Cast",
+                ):
+                    continue        # dense_shape / plumbing operands
+                src = _trace_value_source(gi, ci)
+                if src is None or src.op not in (
+                    "Placeholder", "SparseFillEmptyRows", "Where",
+                    "GatherNd", "StringSplit", "StringSplitV2",
+                ):
+                    if not cross_bail(
+                        f"cross key input {ci} does not trace to a "
+                        "feature feed through value-preserving ops "
+                        f"(stops at {src.op if src else '?'})"
+                    ):
+                        bailed = True
+                        break
                 ph = _placeholder_of(gi, ci)
                 if ph is not None and ph.name not in ordered:
                     ordered.append(ph.name)
+            if bailed:
+                slots_complete = False
+                continue
             fields = tuple(ordered) or tuple(
                 ph.name for ph in placeholders
             ) or (n.name,)
@@ -725,9 +821,16 @@ def _match_categorical_chain(
     delimiter = None
     if ragged:
         sp = ops.get("StringSplit") or ops.get("StringSplitV2")
-        delimiter = (
-            _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
-        ) or ";"
+        delimiter = _split_delimiter(gi, sp)
+        if delimiter is None:
+            # whitespace-run / per-character / multi-byte split: no
+            # single-byte wire convention can reproduce it — refuse the
+            # match (strict raises) instead of silently splitting on ';'
+            warnings.append(
+                f"split {sp.name}: whitespace/per-char/multi-byte "
+                "delimiter has no single-byte wire form; chain NOT matched"
+            )
+            return None
     range_pairs = _extract_range_transforms(gi, sub, warnings)
     vocab_tf, vocab_int_keys = _vocab_transform(gi, ops, warnings)
     main_ph = None
@@ -1066,11 +1169,17 @@ def _register_table(tnode, tables, weights, warnings, checkpoint):
 
 def _cone_combiner(ops: Dict):
     """Unweighted combiner of one lookup cone, or None."""
-    if "SparseSegmentSum" in ops:
+    if "SparseSegmentSum" in ops or "SparseSegmentSumWithNumSegments" in ops:
         return Combiner.SUM
-    if "SparseSegmentSqrtN" in ops:
+    if (
+        "SparseSegmentSqrtN" in ops
+        or "SparseSegmentSqrtNWithNumSegments" in ops
+    ):
         return Combiner.SQRTN
-    if "SparseSegmentMean" in ops:
+    if (
+        "SparseSegmentMean" in ops
+        or "SparseSegmentMeanWithNumSegments" in ops
+    ):
         return Combiner.MEAN
     return None
 
@@ -1433,6 +1542,31 @@ def _import_tower(
             act = _ACT_OPS[cons3[0].op]
             cur = cons3[0]
         layers.append((w.astype(np.float32), bias, act))
+
+    # the walk must end at output plumbing: compute still hanging off the
+    # frontier (a BiasAdd next to a second consumer, a trailing Softmax,
+    # an activation outside _ACT_OPS) means a TRUNCATED tower — importing
+    # it with the tail dropped silently changes predictions
+    frontier, seen, residual = [cur], set(), set()
+    while frontier:
+        x = frontier.pop()
+        for c in gi.consumers.get(x.name, []):
+            if c.name in seen:
+                continue
+            seen.add(c.name)
+            if c.op in ("Shape", "NoOp"):
+                continue
+            if c.op == "Identity":
+                frontier.append(c)
+                continue
+            residual.add(c.op)
+    if residual:
+        warnings.append(
+            "tower: compute remains after the recognized layers "
+            f"({sorted(residual)}); importing a truncated tower would "
+            "silently change predictions; tower NOT imported"
+        )
+        return None, None
 
     if not layers:
         return None, None
@@ -1880,23 +2014,42 @@ def _vocab_transform(gi: GraphIndex, ops: Dict, warnings: List[str]):
         else (k.decode() if isinstance(k, (bytes, np.bytes_)) else str(k))
         for k in keys_flat
     ]
+    if vals is None and _is_iota(gi, imp.inputs[2], len(key_list)):
+        # vocabulary_list emits values = Cast(Range(0, Size(keys), 1)) —
+        # a PROVABLE identity mapping, not a frozen Const
+        vals = np.arange(len(key_list))
+    if vals is None or vals.size != len(key_list):
+        # assuming identity key->id values when the Import op's values
+        # are neither frozen nor a provable iota would silently mis-map
+        # EVERY id if the real values were a permutation or offset
+        warnings.append(
+            f"vocab table {tbl.name}: id values are not a frozen Const "
+            "(or Range iota) aligned with the keys; NOT imported as vocab"
+        )
+        return None, None
     vocab: List = key_list
-    if vals is not None and vals.size == len(key_list):
-        v = np.asarray(vals).reshape(-1).astype(np.int64)
-        if not np.array_equal(v, np.arange(len(key_list))):
-            slots: List = [None] * len(key_list)
-            for k, i in zip(key_list, v):
-                i = int(i)
-                if not (0 <= i < len(slots)) or slots[i] is not None:
-                    warnings.append(
-                        f"vocab table {tbl.name}: non-bijective id values; "
-                        "NOT imported as vocab"
-                    )
-                    return None, None
-                slots[i] = k
-            vocab = slots
-    default = _const_scalar(gi, find.inputs[2])
-    default = -1 if default is None else int(default)
+    v = np.asarray(vals).reshape(-1).astype(np.int64)
+    if not np.array_equal(v, np.arange(len(key_list))):
+        slots: List = [None] * len(key_list)
+        for k, i in zip(key_list, v):
+            i = int(i)
+            if not (0 <= i < len(slots)) or slots[i] is not None:
+                warnings.append(
+                    f"vocab table {tbl.name}: non-bijective id values; "
+                    "NOT imported as vocab"
+                )
+                return None, None
+            slots[i] = k
+        vocab = slots
+    default = _cmp_const(gi, find.inputs[2])    # resolves Cast(Const)
+    if default is None or isinstance(default, (bytes, str)):
+        # a computed default would be silently replaced by -1
+        warnings.append(
+            f"vocab table {tbl.name}: default value is not a frozen "
+            "scalar Const; NOT imported as vocab"
+        )
+        return None, None
+    default = int(default)
     num_oov = 0
     sth = ops.get("StringToHashBucketFast")
     if sth is not None and (
@@ -1997,6 +2150,41 @@ def _compile_host_eval(gi: GraphIndex, name: str):
     return None, None
 
 
+def _is_iota(gi: GraphIndex, name: str, n: int) -> bool:
+    """True when the tensor is provably [0, 1, ..., n-1]: a Range with
+    start 0, delta 1, and limit either the const n or Size(<n-element
+    Const>) — the shape vocabulary_list uses for its table values."""
+    node = _resolve_through(gi, name)       # through the Cast
+    if node is None or node.op != "Range" or len(node.inputs) < 3:
+        return False
+    if _cmp_const(gi, node.inputs[0]) != 0:
+        return False
+    if _cmp_const(gi, node.inputs[2]) != 1:
+        return False
+    limit = _cmp_const(gi, node.inputs[1])
+    if limit is not None:
+        return int(limit) == n
+    sz = _resolve_through(gi, node.inputs[1])
+    if sz is not None and sz.op == "Size" and sz.inputs:
+        t = _const_tensor_through(gi, sz.inputs[0])
+        return t is not None and t.size == n
+    return False
+
+
+def _split_delimiter(gi: GraphIndex, sp) -> Optional[str]:
+    """Single-byte delimiter of a StringSplit[V2] node, or None when the
+    split mode has no single-byte wire form.  StringSplit (v1) defaults to
+    " " and treats "" as per-CHARACTER splitting; StringSplitV2 treats an
+    empty/absent sep as whitespace-RUN splitting.  The old `or ";"`
+    fallback silently substituted ';' for all of these, changing ids."""
+    raw = _const_string(gi, sp.inputs[1]) if len(sp.inputs) > 1 else None
+    if sp.op == "StringSplit" and raw is None:
+        raw = " "                       # v1 default delimiter
+    if raw is not None and len(raw) == 1:
+        return raw
+    return None
+
+
 def _split_delim_on_path(gi: GraphIndex, name: str) -> Optional[str]:
     """Delimiter of the first StringSplit on the value path from ``name``
     back toward its source, or None when the path has no split."""
@@ -2005,10 +2193,10 @@ def _split_delim_on_path(gi: GraphIndex, name: str) -> Optional[str]:
     while node is not None and node.name not in seen:
         seen.add(node.name)
         if node.op in ("StringSplit", "StringSplitV2"):
-            return (
-                _const_string(gi, node.inputs[1])
-                if len(node.inputs) > 1 else None
-            ) or ";"
+            # "" (unsupported split mode) is distinct from None (no split
+            # on the path): callers comparing weight-plane delimiters must
+            # see the mismatch, not an invented ';'
+            return _split_delimiter(gi, node) or ""
         if node.op not in _VALUE_TRAVERSAL or not node.inputs:
             return None
         idx = _VALUE_TRAVERSAL[node.op]
@@ -2105,14 +2293,37 @@ def _verify_pooled_path(gi: GraphIndex, name: str, weighted: bool = False):
             continue
         if n.op in ("Select", "SelectV2") and len(n.inputs) >= 3:
             # safe_embedding empty-row patch-up: where(is_empty, zeros,
-            # pooled) — the value branch is input 2; tolerate the swapped
-            # form by accepting either branch reaching the pooling op
-            for idx in (2, 1):
-                if _verify_pooled_path(gi, n.inputs[idx], weighted) is None:
-                    return None
-            return n
+            # pooled), either arg order.  The NON-pooling branch must be a
+            # zeros splat — accepting "either branch reaches pooling"
+            # alone would bless where(cond, pooled, Mul(pooled, 2)) and
+            # silently drop the Mul on cond-false rows
+            r1 = _verify_pooled_path(gi, n.inputs[1], weighted)
+            r2 = _verify_pooled_path(gi, n.inputs[2], weighted)
+            if r1 is None and r2 is None:
+                return None
+            if r2 is None and _is_zeros_splat(gi, n.inputs[1]):
+                return None
+            if r1 is None and _is_zeros_splat(gi, n.inputs[2]):
+                return None
+            return n if (r1 is None or r2 is None) else (r1 or r2)
         return n
     return None      # dangling reference: nothing provably dropped
+
+
+def _is_zeros_splat(gi: GraphIndex, name: str) -> bool:
+    """True when the tensor is provably all-zero (ZerosLike, Fill(0), or
+    an all-zero Const) — the empty-row patch-up's replacement branch."""
+    n = _resolve_through(gi, name)
+    if n is None:
+        return False
+    if n.op == "ZerosLike":
+        return True
+    if n.op == "Fill" and len(n.inputs) > 1:
+        return _cmp_const(gi, n.inputs[1]) == 0
+    if n.op == "Const":
+        t = attr_tensor(n.attr("value"))
+        return t is not None and not np.any(t)
+    return False
 
 
 def _trace_value_source(gi: GraphIndex, name: str) -> Optional[Node]:
@@ -2152,6 +2363,8 @@ _SLOT_OPS_COMMON = frozenset({
     "LogicalNot", "SparseFillEmptyRows", "SparseReshape", "Unique",
     "ZerosLike", "Fill", "Sub", "Mul", "Add", "AddV2", "Maximum", "Size",
     "Rank", "SparseSegmentMean", "SparseSegmentSum", "SparseSegmentSqrtN",
+    "SparseSegmentSumWithNumSegments", "SparseSegmentMeanWithNumSegments",
+    "SparseSegmentSqrtNWithNumSegments",
     "Sum", "Mean", "VariableV2", "VarHandleOp", "ReadVariableOp", "NoOp",
     "StringSplit", "StringSplitV2", "SparseToDense",
 })

@@ -1502,3 +1502,157 @@ def test_import_fuzz_random_feature_column_graphs(seed):
         )
         off += width
     assert off == want.shape[1]
+
+
+def test_transposed_tower_matmul_refused():
+    """attr_bool read proto field 2 (bytes s) instead of 5 (bool b), so
+    transpose_b=True was invisible and transposed MatMuls imported with
+    untransposed weight semantics.  The tower must refuse now."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        s, pooled = _hash_pool_slot(tf1, "sa")
+        d = tf1.placeholder(tf.float32, [None, 1], name="dn")
+        x = tf.concat([pooled, d], axis=1)
+        w = tf1.get_variable(
+            "w", [3, 5], initializer=tf1.random_normal_initializer(seed=2)
+        )
+        out = tf.identity(tf.matmul(x, w, transpose_b=True), name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    model, _ = import_tf_graphdef(
+        frozen.SerializeToString(), name="tb", strict=True
+    )
+    assert any("transposed MatMul" in w for w in model.import_warnings), (
+        model.import_warnings
+    )
+    assert getattr(model, "imported_tower_params", None) is None
+    assert model.tower.top_mlp == ()
+
+
+def test_truncated_tower_refused():
+    """A MatMul whose BiasAdd tail the walk cannot absorb (trailing
+    Softmax outside the activation set) must refuse the tower instead of
+    importing a truncated one with the tail silently dropped."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        s, pooled = _hash_pool_slot(tf1, "sa")
+        d = tf1.placeholder(tf.float32, [None, 1], name="dn")
+        x = tf.concat([pooled, d], axis=1)
+        w = tf1.get_variable(
+            "w", [5, 3], initializer=tf1.random_normal_initializer(seed=2)
+        )
+        b = tf1.get_variable(
+            "b", [3], initializer=tf1.zeros_initializer()
+        )
+        out = tf.identity(
+            tf.nn.softmax(tf.nn.bias_add(tf.matmul(x, w), b)), name="out"
+        )
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    model, _ = import_tf_graphdef(
+        frozen.SerializeToString(), name="tt", strict=True
+    )
+    assert any("truncated tower" in w for w in model.import_warnings), (
+        model.import_warnings
+    )
+    assert model.tower.top_mlp == ()
+
+
+def test_with_num_segments_combiner_and_order_matched():
+    """SparseSegmentSumWithNumSegments must import as SUM (it fell
+    through to the MEAN default before), and a two-placeholder dense
+    slot must emit columns in CONCAT order so the tower permutation maps
+    the right weight rows — both verified against the TF session."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    B = 8
+    with g.as_default():
+        s = tf1.placeholder(tf.string, [None], name="sa")
+        vals = tf.strings.to_hash_bucket_fast(s, 32)
+        nr = tf.cast(tf.shape(vals)[0], tf.int64)
+        table = tf1.get_variable(
+            "emb", [32, 4], initializer=tf1.random_normal_initializer(seed=4)
+        )
+        pooled = tf.sparse.segment_sum(
+            tf.nn.embedding_lookup(table, vals),
+            tf.range(nr), tf.range(nr), num_segments=nr,
+        )
+        # dense slot = inner concat of TWO feeds in non-alphabetical order
+        db = tf1.placeholder(tf.float32, [None], name="zb")
+        da = tf1.placeholder(tf.float32, [None], name="aa")
+        dpair = tf.concat(
+            [tf.reshape(db, [-1, 1]), tf.reshape(da, [-1, 1])], axis=1
+        )
+        dc = tf1.placeholder(tf.float32, [None], name="mc")
+        x = tf.concat([pooled, dpair, tf.reshape(dc, [-1, 1])], axis=1)
+        w = tf1.get_variable(
+            "w", [7, 1], initializer=tf1.random_normal_initializer(seed=5)
+        )
+        out = tf.identity(tf.matmul(x, w), name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rng = np.random.default_rng(4)
+            feed = {
+                s: np.asarray(["u%d" % v for v in rng.integers(0, 99, B)]),
+                db: rng.standard_normal(B).astype(np.float32),
+                da: rng.standard_normal(B).astype(np.float32),
+                dc: rng.standard_normal(B).astype(np.float32),
+            }
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="wns", strict=True
+    )
+    from recom_tpu.ir.spec import Combiner
+
+    (col,) = model.embedding_columns
+    assert col.lookup.combiner == Combiner.SUM
+    from recom_tpu.importers.tf_graph import import_params
+
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(B,)),
+                 params=import_params(model, weights))
+    got = eng.predict({"sa": feed[s], "zb": feed[db], "aa": feed[da],
+                       "mc": feed[dc]})
+    np.testing.assert_allclose(got["output"], want, rtol=1e-5, atol=1e-6)
+
+
+def test_whitespace_split_refused_under_strict():
+    """tf.strings.split with no sep (whitespace-run splitting) has no
+    single-byte wire form; the old `or ';'` fallback silently split on
+    ';' instead — strict must refuse."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        s = tf1.placeholder(tf.string, [None], name="sw")
+        sp = tf.strings.split(s).to_sparse()    # whitespace split
+        ids = tf.sparse.SparseTensor(
+            sp.indices,
+            tf.strings.to_hash_bucket_fast(sp.values, 32),
+            sp.dense_shape,
+        )
+        table = tf1.get_variable(
+            "emb", [32, 4], initializer=tf1.random_normal_initializer(seed=3)
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, ids, combiner="mean"
+        )
+        d = tf1.placeholder(tf.float32, [None, 1], name="dn")
+        out = tf.concat([pooled, d], axis=1, name="out")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+    with pytest.raises(ValueError):
+        import_tf_graphdef(frozen.SerializeToString(), name="ws",
+                           strict=True)
