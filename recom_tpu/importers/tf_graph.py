@@ -24,8 +24,17 @@ the reference's benchmark models, examples/python/dlrm.py:56-137):
         expansion (Unique + Gather + Mul + SegmentSum [+ DivNoNan]) ->
         LookupSpec.weight_field
   * delimited sparse strings:  StringSplit -> StringToHashBucketFast
-  * crossed_column (SparseCross[V2/Hashed]) -> CrossHash
-  * dense passthrough numeric features
+        (and the int-list idiom: StringSplit -> StringToNumber(int))
+  * categorical_column_with_identity [default_value] -> NumToId /
+        SelectRange (the where(out_of_range, fill(default), v) patch-up)
+  * indicator_column -> identity-table embedding with the SUM combiner
+  * shared_embedding_columns -> multiple columns on one TableSpec
+  * crossed_column hashed (SparseCross[V2/Hashed]) -> CrossHash
+  * dense passthrough numeric features (incl. numeric_column(shape=(k,)))
+  * post-lookup tails: Sum/Mean over the embedding dim, Softmax, frozen
+        MatMul projections, const affine, pooled-Mul slots -> PostPool
+  * anything else elementwise-with-const on a VALUE path compiles into a
+        bounded HostEvalChain (the run-anything host fallback)
   * the frozen dense tower: MatMul/BiasAdd/activation chains after the
         concat import into TowerSpec + weights (import_params overlays
         them), with first-matmul rows permuted from TF's concat-slot
@@ -88,6 +97,16 @@ def _hosteval_ops(transforms) -> frozenset:
     return frozenset(out)
 
 DT_FLOAT, DT_DOUBLE, DT_INT32, DT_STRING, DT_INT64 = 1, 2, 3, 7, 9
+
+
+def _fresh_name(base: str, taken) -> str:
+    """First of base, base__2, base__3, ... not in ``taken`` (two columns
+    fed by one raw feature need distinct column names)."""
+    name, k = base, 2
+    while name in taken:
+        name = f"{base}__{k}"
+        k += 1
+    return name
 
 
 class Node:
@@ -269,6 +288,9 @@ class GraphIndex:
         for n in nodes:
             for i in n.inputs:
                 self.consumers.setdefault(_base(i), []).append(n)
+        # graph-def position per node (construction order) — consumers
+        # needing a stable order must not rebuild this O(N) map per slot
+        self.order: Dict[int, int] = {id(n): i for i, n in enumerate(nodes)}
 
     def node(self, name: str) -> Optional[Node]:
         return self.by_name.get(_base(name))
@@ -458,9 +480,8 @@ def import_tf_graphdef(
                 else:
                     # no provable order: graph-def order (construction
                     # order, which matches feed declaration order)
-                    pos = {id(x): i for i, x in enumerate(gi.nodes)}
                     placeholders = sorted(
-                        placeholders, key=lambda p: pos.get(id(p), 0)
+                        placeholders, key=lambda p: gi.order.get(id(p), 0)
                     )
             for ph in placeholders:
                 # numeric_column(shape=(k,)): a [None, k] placeholder is a
@@ -511,24 +532,10 @@ def import_tf_graphdef(
         # embedding_lookup_sparse expansion (Unique+Gather weights, then
         # SegmentSum [+ DivNoNan for mean / sqrt for sqrtn] — the
         # reference's weighted idiom, lookup_optimizer.cc:89-99) ---------
-        combiner = Combiner.MEAN
         weighted = False
-        if (
-            "SparseSegmentSum" in ops
-            or "SparseSegmentSumWithNumSegments" in ops
-        ):
-            combiner = Combiner.SUM
-        elif (
-            "SparseSegmentSqrtN" in ops
-            or "SparseSegmentSqrtNWithNumSegments" in ops
-        ):
-            combiner = Combiner.SQRTN
-        elif (
-            "SparseSegmentMean" in ops
-            or "SparseSegmentMeanWithNumSegments" in ops
-        ):
-            combiner = Combiner.MEAN
-        elif "SegmentSum" in ops and "Mul" in ops:
+        cone = _cone_combiner(ops)      # unweighted SparseSegment* idiom
+        combiner = cone if cone is not None else Combiner.MEAN
+        if cone is None and "SegmentSum" in ops and "Mul" in ops:
             weighted = True
             if "SparseSoftmax" in ops:
                 # tf.sparse.softmax on the weight SparseTensor before the
@@ -753,12 +760,7 @@ def import_tf_graphdef(
             main_ph.name if main_ph is not None
             else placeholders[0].name if placeholders else n.name
         )
-        cname = field
-        taken = {c.name for c in columns}
-        k2 = 2
-        while cname in taken:   # two columns fed by one raw feature
-            cname = f"{field}__{k2}"
-            k2 += 1
+        cname = _fresh_name(field, {c.name for c in columns})
         columns.append(
             FeatureColumn(
                 cname,
@@ -1251,10 +1253,7 @@ def _import_mul_slot(
     taken = {c.name for c in columns}
 
     def fresh(base: str) -> str:
-        name, k = base, 2
-        while name in taken:
-            name = f"{base}__{k}"
-            k += 1
+        name = _fresh_name(base, taken)
         taken.add(name)
         return name
 
@@ -1392,12 +1391,7 @@ def _import_indicator(
         main_ph.name if main_ph is not None
         else placeholders[0].name if placeholders else oh.name
     )
-    cname = field
-    taken = {c.name for c in columns}
-    k2 = 2
-    while cname in taken:
-        cname = f"{field}__{k2}"
-        k2 += 1
+    cname = _fresh_name(field, {c.name for c in columns})
     tname = f"__indicator_eye_{depth}"
     if tname not in tables:
         tables[tname] = TableSpec(tname, depth, depth)
@@ -1851,7 +1845,7 @@ def _extract_range_transforms(
     from recom_tpu.ir.intervals import IntervalSet
     from recom_tpu.ir.spec import FilterRange, SelectRange
 
-    order = {id(x): i for i, x in enumerate(gi.nodes)}
+    order = gi.order
     found = []
     has_gather_of = set()
     for x in sub:
