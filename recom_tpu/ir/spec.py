@@ -463,7 +463,11 @@ class PostPool:
             raise ValueError("mul_column needs other=<column name>")
         for f in ("scale", "bias"):
             v = getattr(self, f)
-            if v is not None and not isinstance(v, tuple):
+            if v is not None:
+                # ALWAYS coerce the elements: a tuple of np.float64 would
+                # skip coercion and bake "np.float64(...)" reprs into
+                # cache_key, so the same spec hashes differently before
+                # and after a serde round-trip
                 object.__setattr__(
                     self, f,
                     tuple(float(x) for x in np.atleast_1d(v)),

@@ -254,3 +254,19 @@ def test_random_models_bitexact(seed):
         )
     else:
         np.testing.assert_array_equal(out["concat"], ref["concat"])
+
+    # serde round-trip across EVERY fuzz composition: the JSON form must
+    # rebuild a spec that hashes and serves identically (hand-picked
+    # round-trip tests cannot cover random transform/post mixes)
+    from recom_tpu.ir.serde import model_from_json, model_to_json
+
+    m2 = model_from_json(model_to_json(model))
+    assert m2.spec_hash() == model.spec_hash()
+    out2 = Engine(
+        m2,
+        EngineConfig(
+            use_pallas=bool(seed % 2), interpret=True, batch_buckets=(64,)
+        ),
+    ).predict(batch, return_pooled=True)
+    for c, r in ref["pooled"].items():
+        np.testing.assert_array_equal(out2["pooled"][c], r, err_msg=c)
