@@ -150,6 +150,17 @@ class EngineConfig:
         self.use_pallas = _env_bool("RECOM_TPU_CODEGEN", self.use_pallas)
         self.batch_buckets = tuple(sorted(self.batch_buckets))
         self.rowlen_buckets = tuple(sorted(self.rowlen_buckets))
+        if not self.batch_buckets or self.batch_buckets[0] < 1:
+            raise ValueError("batch_buckets must be non-empty positive ints")
+        if not self.rowlen_buckets or self.rowlen_buckets[0] < 1:
+            raise ValueError("rowlen_buckets must be non-empty positive ints")
+        if self.table_dtype not in ("float32", "bfloat16", "int8"):
+            # an unknown dtype would fail deep inside lowering with an
+            # unrelated-looking KeyError
+            raise ValueError(
+                f"table_dtype={self.table_dtype!r}: expected 'float32', "
+                "'bfloat16', or 'int8'"
+            )
         if self.shard_comm not in ("auto", "all_to_all", "psum"):
             # an unrecognized value would silently take the psum path,
             # which only promises 1e-6 where all_to_all promises bit-exact
