@@ -1339,7 +1339,8 @@ def test_import_fuzz_random_feature_column_graphs(seed):
         n_cols = int(rng.integers(3, 7))
         for i in range(n_cols):
             kind = rng.choice(
-                ["bz", "ih", "sh", "ident", "vocab", "ind", "wstr", "cross"]
+                ["bz", "ih", "sh", "ident", "vocab", "ind", "wstr",
+                 "cross", "shared"]
             )
             name = f"{kind}{i}"
             dim = int(rng.choice([2, 4]))
@@ -1409,6 +1410,31 @@ def test_import_fuzz_random_feature_column_graphs(seed):
                     ),
                     wname: rng.random(B).astype(np.float32) + 0.1,
                 }
+            elif kind == "shared":
+                # two categorical columns sharing ONE embedding variable
+                fa, fb = f"{name}a", f"{name}b"
+                ph(fa, tf.string)
+                ph(fb, tf.string)
+                nb = int(rng.integers(8, 64))
+                ca = fc.categorical_column_with_hash_bucket(fa, nb)
+                cb = fc.categorical_column_with_hash_bucket(fb, nb)
+                for sc in fc.shared_embedding_columns(
+                    [ca, cb], dimension=dim, combiner=comb
+                ):
+                    cols.append(sc)
+                fa_feed = np.asarray(
+                    ["p%d" % v for v in rng.integers(0, 10**5, B)]
+                )
+                fb_feed = np.asarray(
+                    ["q%d" % v for v in rng.integers(0, 10**5, B)]
+                )
+                col_specs.append(
+                    (f"{fa}_shared_embedding", {fa: fa_feed}, dim, False)
+                )
+                col_specs.append(
+                    (f"{fb}_shared_embedding", {fb: fb_feed}, dim, False)
+                )
+                continue
             else:   # cross of two string fields
                 fa, fb = f"{name}a", f"{name}b"
                 ph(fa, tf.string)
