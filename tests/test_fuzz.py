@@ -49,14 +49,19 @@ def random_model(rng: np.random.Generator, n_cols: int):
         tables[tname] = TableSpec(tname, vocab, dim, init_seed=i)
         comb = Combiner(list(Combiner)[int(rng.integers(0, len(Combiner)))])
         if kind == "bucketize":
-            bounds = sorted(rng.uniform(-50, 50, int(rng.integers(1, vocab))))
+            # f32-dedup: Bucketize rounds boundaries to f32 (TF stores
+            # them as proto floats) and requires them strictly increasing
+            bounds = sorted(set(
+                np.float32(b) for b in
+                rng.uniform(-50, 50, int(rng.integers(1, vocab)))
+            ))
             col = FeatureColumn(
                 f"c{i}", FeatureSource(f"f{i}", FeatureKind.DENSE_FLOAT),
                 (Bucketize(list(bounds)),), LookupSpec(tname, comb),
             )
         elif kind == "bucketize_suffix":
             k = int(rng.integers(1, min(vocab - 1, 20)))
-            bounds = sorted(rng.uniform(-50, 50, k))
+            bounds = sorted(set(np.float32(b) for b in rng.uniform(-50, 50, k)))
             suffix = []
             if rng.random() < 0.5:
                 lo = int(rng.integers(0, k))
