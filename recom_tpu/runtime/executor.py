@@ -776,6 +776,106 @@ class Engine:
         }
 
     # ------------------------------------------------------------------
+    def update_table_rows(self, table: str, row_ids, values) -> int:
+        """Online embedding refresh: overwrite rows of ``table`` in the
+        live device params without rebuilding or recompiling anything —
+        the streaming-update pattern (a trainer pushes fresh rows into a
+        serving fleet between requests).
+
+        The reference has no update path: its tables are frozen graph
+        consts baked into the rewritten GraphDef (cuda_emitter.cc table
+        mining assumes immutable VariableV2/Const producers).  Here
+        tables are jit ARGUMENTS (``_forward(params, arrays)``), so one
+        device-side scatter updates them and every cached program sees
+        the new rows on its next call.
+
+        ``row_ids``: [n] member-local rows, 0 <= id < vocab.
+        ``values``: [n, dim] float32.  A table shared by several columns
+        or groups (shared embeddings) is updated everywhere it is
+        stacked.  Every storage layout is handled: plain stacked, Pallas
+        one-hot [C, V, d], striped row-sharded, dim-sharded, and
+        int8-quantized (rows re-quantized with fresh per-row scales).
+        Checkpoint export reads the same device arrays, so exports
+        reflect updates.
+
+        Returns the number of member slots updated.  Concurrency: each
+        group's entry swaps by a single dict assignment, so an in-flight
+        request sees the old or the new array, never a torn one.
+        """
+        row_ids = np.asarray(row_ids, dtype=np.int64).reshape(-1)
+        values = np.asarray(values, dtype=np.float32)
+        if values.ndim != 2 or values.shape[0] != row_ids.shape[0]:
+            raise ValueError(
+                f"values must be [n, dim] aligned with row_ids: "
+                f"{values.shape} vs {row_ids.shape}"
+            )
+        hits = 0
+        for g in self.compiled.groups:
+            for i, m in enumerate(g.members):
+                if m.table != table:
+                    continue
+                if values.shape[1] != g.dim:
+                    raise ValueError(
+                        f"table {table!r} has dim {g.dim}, "
+                        f"got values dim {values.shape[1]}"
+                    )
+                if row_ids.size and (
+                    row_ids.min() < 0 or row_ids.max() >= m.vocab_size
+                ):
+                    raise ValueError(
+                        f"row_ids out of [0, {m.vocab_size}) for "
+                        f"table {table!r}"
+                    )
+                self._scatter_member_rows(g, i, m, row_ids, values)
+                hits += 1
+        if hits == 0:
+            raise KeyError(f"unknown table {table!r}")
+        return hits
+
+    def _scatter_member_rows(self, g, i, m, row_ids, values):
+        from recom_tpu.ops.quant import QuantizedTable, quantize_rows_int8
+
+        def scatter(arr, idx, upd):
+            """arr.at[idx].set(upd) preserving the array's sharding (an
+            eager scatter on a GSPMD-sharded operand may come back with a
+            propagated — possibly replicated — layout)."""
+            sh = getattr(arr, "sharding", None)
+            out = arr.at[idx].set(jnp.asarray(upd, dtype=arr.dtype))
+            if (
+                self.mesh is not None
+                and sh is not None
+                and out.sharding != sh
+            ):
+                out = jax.device_put(out, sh)
+            return out
+
+        key = str(g.gid)
+        val = self.device_params["stacked"][key]
+        if isinstance(val, QuantizedTable):
+            qv, sv = quantize_rows_int8(values)
+            rows = m.row_offset + row_ids
+            if g.gid in self._sharded_gids:
+                # striped physical layout: logical row r -> (r % m) at
+                # local slot r // m (parallel/sharded_lookup.stripe_rows)
+                m_ax = self.mesh.shape["model"]
+                per = val.q.shape[0] // m_ax
+                rows = (rows % m_ax) * per + rows // m_ax
+            new = QuantizedTable(
+                scatter(val.q, rows, qv), scatter(val.scale, rows, sv)
+            )
+        elif getattr(val, "ndim", 2) == 3:
+            # Pallas one-hot layout [C_pad, V_pad, d]: member i's plane
+            new = scatter(val, (np.full_like(row_ids, i), row_ids), values)
+        else:
+            rows = m.row_offset + row_ids
+            if g.gid in self._sharded_gids:
+                m_ax = self.mesh.shape["model"]
+                per = val.shape[0] // m_ax
+                rows = (rows % m_ax) * per + rows // m_ax
+            new = scatter(val, rows, values)
+        self.device_params["stacked"][key] = new
+
+    # ------------------------------------------------------------------
     def warmup(self, batches=None, batch_sizes=None) -> int:
         """Precompile serving programs ahead of traffic (the reference's
         warm-up run triggers its whole pass + nvcc pipeline on the first
