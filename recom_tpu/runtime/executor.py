@@ -800,7 +800,10 @@ class Engine:
 
         Returns the number of member slots updated.  Concurrency: each
         group's entry swaps by a single dict assignment, so an in-flight
-        request sees the old or the new array, never a torn one.
+        request sees the old or the new array, never a torn one.  On a
+        multi-HOST mesh this is an SPMD collective like any other op on
+        global arrays: every process must call it with identical
+        arguments in lockstep.
         """
         row_ids = np.asarray(row_ids, dtype=np.int64).reshape(-1)
         values = np.asarray(values, dtype=np.float32)
