@@ -46,3 +46,44 @@ def test_weighted_scalar_batch_generation():
     b = make_random_batch(m, 16, seed=1)
     w = np.asarray(b["w"])
     assert w.shape == (16,) and w.dtype == np.float32
+
+
+def test_plot_ae_renders_artifacts(tmp_path):
+    """tools/plot_ae must render latency/speedup/throughput PNGs from the
+    artifact JSON shapes (incl. the metadata rows without 'batch')."""
+    import json
+    import subprocess
+    import sys
+
+    sweep = {
+        "sweep": [
+            {"model": "E", "engine_build_s": 1.0},  # metadata row
+            *[
+                {"model": "E", "batch": b, "examples_per_s": b * 10.0,
+                 "request_ms_async": b / 100.0, "tf_cpu_ms": b / 2.0,
+                 "vs_tf_cpu": 50.0}
+                for b in (32, 128, 512)
+            ],
+        ]
+    }
+    thr = {
+        "throughput_sweep": [
+            {"serve_workers": w, "examples_per_s": 1000.0 * w,
+             "request_ms": 1.0}
+            for w in (2, 4, 8)
+        ]
+    }
+    sp = tmp_path / "AE_SWEEP_test.json"
+    tp = tmp_path / "THROUGHPUT_test.json"
+    sp.write_text(json.dumps(sweep))
+    tp.write_text(json.dumps(thr))
+    out = subprocess.run(
+        [sys.executable, "-m", "recom_tpu.tools.plot_ae",
+         "--sweep", str(sp), "--throughput", str(tp),
+         "--out-dir", str(tmp_path), "--tag", "t"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    for f in ("latency_t.png", "speedup_t.png", "throughput_t.png"):
+        p = tmp_path / f
+        assert p.exists() and p.stat().st_size > 1000, f
