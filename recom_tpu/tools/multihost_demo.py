@@ -84,11 +84,39 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     got2 = multihost.gather_to_host(out_psum)[:B]
     np.testing.assert_allclose(got2, ref, atol=1e-6, rtol=1e-6)
 
+    # online row update on the striped cross-process layout (the
+    # Engine.update_table_rows mechanism, called in SPMD lockstep): scatter
+    # fresh rows at the striped physical indices, then the next lookup must
+    # serve the new values bit-exactly
+    from jax.sharding import NamedSharding
+
+    upd_rows = rng.choice(C * V, size=16, replace=False).astype(np.int64)
+    upd_vals = rng.standard_normal((16, d)).astype(np.float32)
+    per = striped.shape[0] // m
+    phys = (upd_rows % m) * per + upd_rows // m
+    tdev2 = jax.jit(
+        lambda t, i, v: t.at[i].set(v),
+        out_shardings=NamedSharding(mesh, P("model", None)),
+    )(tdev, phys, upd_vals)
+    table2 = table.copy()
+    table2[upd_rows] = upd_vals
+    ref2 = np.asarray(
+        lookup_xla.group_pooled(
+            jnp.asarray(table2), jnp.asarray(ids), offs, code
+        )
+    )
+    out_upd, _ = jax.jit(
+        lambda t, i: all_to_all_group_pooled(mesh, t, i, offs, code)
+    )(tdev2, idev)
+    got3 = multihost.gather_to_host(out_upd)[:B]
+    np.testing.assert_array_equal(got3, ref2)
+
     if process_id == 0:
         print(
             f"MULTIHOST OK: {num_processes} processes x "
             f"{local_devices} devices, model axis {m}, "
-            "all_to_all bit-exact, psum within 1e-6",
+            "all_to_all bit-exact, psum within 1e-6, "
+            "striped row update bit-exact",
             flush=True,
         )
 
