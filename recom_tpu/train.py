@@ -139,6 +139,69 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
+    def save(self, path: str) -> None:
+        """Checkpoint the FULL training state for exact resume: the engine
+        checkpoint (spec + portable params, runtime/checkpoint.py) plus
+        the optimizer state leaves (opt_state.npz, tree order).
+
+        The reference has no training at all (SURVEY section 5
+        "checkpoint/resume: none"); this closes the production loop:
+        resume from a save reproduces the uninterrupted run bit-for-bit
+        (tests/test_training.py resume tests).  Restore topology must
+        match save topology — row-sharded optimizer leaves are saved in
+        their striped physical layout."""
+        import os
+
+        from recom_tpu.runtime.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.engine)
+        leaves = jax.tree_util.tree_leaves(self.opt_state)
+        np.savez(
+            os.path.join(path, "opt_state.npz"),
+            **{f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
+
+    @classmethod
+    def restore(
+        cls,
+        path: str,
+        config: Optional[EngineConfig] = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+    ) -> "Trainer":
+        """Rebuild a Trainer from ``save``: engine from the stored
+        spec/params, optimizer state leaves loaded into the structure of a
+        fresh ``optimizer.init`` (each leaf device_put to the template
+        leaf's sharding, so mesh placement is re-established)."""
+        import os
+
+        from recom_tpu.runtime.checkpoint import load_checkpoint
+
+        model, params = load_checkpoint(path)
+        tr = cls(model, config, optimizer=optimizer, params=params)
+        data = np.load(os.path.join(path, "opt_state.npz"))
+        leaves, treedef = jax.tree_util.tree_flatten(tr.opt_state)
+        if len(data.files) != len(leaves):
+            raise ValueError(
+                f"opt_state leaf count mismatch: checkpoint has "
+                f"{len(data.files)}, optimizer.init built {len(leaves)} — "
+                "same optimizer and topology required for resume"
+            )
+        from jax.sharding import NamedSharding
+
+        new = []
+        for i, tmpl in enumerate(leaves):
+            arr = jnp.asarray(data[f"leaf{i}"], dtype=tmpl.dtype)
+            sh = getattr(tmpl, "sharding", None)
+            # a fresh init leaf is an UNCOMMITTED single-device array —
+            # committing the restored leaf to its device would clash with
+            # the mesh-sharded params at the first jitted step; only
+            # re-establish real mesh placements
+            if isinstance(sh, NamedSharding):
+                arr = jax.device_put(arr, sh)
+            new.append(arr)
+        tr.opt_state = jax.tree_util.tree_unflatten(treedef, new)
+        return tr
+
     def step(self, batch: Dict, labels: np.ndarray) -> float:
         prepared = self.engine.prepare(batch)
         bp = prepared.batch_padded

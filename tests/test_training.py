@@ -121,3 +121,81 @@ def test_rowwise_adagrad_state_is_per_row_and_learns():
     losses = [tr.step(b, labels) for _ in range(6)]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_train_checkpoint_resume_bitexact(tmp_path):
+    """Trainer.save at step k, Trainer.restore, continue: the resumed run
+    must reproduce the uninterrupted run BIT-exactly (losses and final
+    exported params) — params and every optimizer-state leaf round-trip."""
+    from recom_tpu.runtime.checkpoint import export_params
+    from recom_tpu.train import dlrm_optimizer
+
+    cfg = EngineConfig(use_pallas=False, batch_buckets=(128,),
+                       persistent_compilation_cache=False)
+    rng = np.random.default_rng(3)
+    batches, labels = [], []
+    for _ in range(6):
+        f, l = make_data(rng, 128)
+        batches.append(f)
+        labels.append(l)
+
+    tr_a = Trainer(make_learnable_model(), cfg, optimizer=dlrm_optimizer())
+    for b, l in zip(batches[:3], labels[:3]):
+        tr_a.step(b, l)
+    path = str(tmp_path / "train_ck")
+    tr_a.save(path)
+    cont_a = [tr_a.step(b, l) for b, l in zip(batches[3:], labels[3:])]
+
+    tr_b = Trainer.restore(path, cfg, optimizer=dlrm_optimizer())
+    cont_b = [tr_b.step(b, l) for b, l in zip(batches[3:], labels[3:])]
+    assert cont_a == cont_b, (cont_a, cont_b)
+
+    ea, eb = export_params(tr_a.engine), export_params(tr_b.engine)
+    for t in ea["tables"]:
+        np.testing.assert_array_equal(ea["tables"][t], eb["tables"][t],
+                                      err_msg=t)
+    for k in ea["tower"]:
+        for la, lb in zip(ea["tower"][k], eb["tower"][k]):
+            np.testing.assert_array_equal(la["w"], lb["w"])
+            np.testing.assert_array_equal(la["b"], lb["b"])
+
+
+def test_train_checkpoint_resume_sharded(tmp_path):
+    """Same resume contract on a (2,4) mesh with the big table
+    row-sharded: striped optimizer leaves round-trip and land back on
+    their shards."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.runtime.checkpoint import export_params
+    from recom_tpu.train import dlrm_optimizer
+
+    m = make_dlrm_model(2, 1, 1, 1, 1, 2, [4], [8, 1], name="resume_sh",
+                        large_rows=4096)
+    cfg = EngineConfig(
+        mesh_shape=(2, 4), shard_rows_above=2048, use_pallas=False,
+        batch_buckets=(32,), persistent_compilation_cache=False,
+    )
+    rng = np.random.default_rng(5)
+    batches = [make_random_batch(m, 32, seed=50 + i) for i in range(4)]
+    labs = [rng.integers(0, 2, 32).astype(np.float32) for _ in range(4)]
+
+    tr_a = Trainer(m, cfg, optimizer=dlrm_optimizer())
+    assert tr_a.engine._sharded_gids
+    for b, l in zip(batches[:2], labs[:2]):
+        tr_a.step(b, l)
+    path = str(tmp_path / "train_ck_sh")
+    tr_a.save(path)
+    cont_a = [tr_a.step(b, l) for b, l in zip(batches[2:], labs[2:])]
+
+    tr_b = Trainer.restore(path, cfg, optimizer=dlrm_optimizer())
+    cont_b = [tr_b.step(b, l) for b, l in zip(batches[2:], labs[2:])]
+    assert cont_a == cont_b, (cont_a, cont_b)
+    ea, eb = export_params(tr_a.engine), export_params(tr_b.engine)
+    for t in ea["tables"]:
+        np.testing.assert_array_equal(ea["tables"][t], eb["tables"][t],
+                                      err_msg=t)
