@@ -776,6 +776,18 @@ class Engine:
         }
 
     # ------------------------------------------------------------------
+    def reload_params(self, np_params: Dict) -> None:
+        """Full parameter hot-swap: rebuild the device params (tables +
+        tower) from a portable pytree WITHOUT recompiling — jitted
+        programs are keyed by shape signature, not weights, so every
+        cached program serves the new model on its next call.  The
+        model-refresh companion to the row-level ``update_table_rows``
+        (push a whole retrained checkpoint into a serving engine).
+        Accepts the same pytree shape as the constructor's ``params`` /
+        ``checkpoint.load_checkpoint`` output."""
+        self.device_params = self._build_device_params(np_params)
+
+    # ------------------------------------------------------------------
     def update_table_rows(self, table: str, row_ids, values) -> int:
         """Online embedding refresh: overwrite rows of ``table`` in the
         live device params without rebuilding or recompiling anything —
