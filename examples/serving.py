@@ -1,11 +1,15 @@
 #!/usr/bin/env python
-"""Production-style serving: warmup, pipelined requests, SLA report.
+"""Production-style serving: warmup, pipelined requests, online refresh,
+SLA report.
 
 Shows the full serving lifecycle on one chip:
   1. build + compile the engine
   2. Engine.warmup() — every shape bucket compiled before traffic
   3. ServingPipeline — host prep of request k+1 overlaps device step k
-  4. throughput_under_sla — the max sustainable load at a p99 target
+  4. online refresh mid-traffic: Engine.update_table_rows (stream fresh
+     embedding rows) and Engine.reload_params (whole retrained
+     checkpoint) — no rebuild, no recompile
+  5. throughput_under_sla — the max sustainable load at a p99 target
 
   python examples/serving.py --columns 100 --batch 256 --sla-ms 20
 """
@@ -45,6 +49,24 @@ def main():
     assert all(np.isfinite(o).all() for o in outs)
     print(f"served {len(outs)} requests; engine timers:",
           eng.timers.summary().get("device_step"))
+
+    # --- online refresh mid-traffic: no rebuild, no recompile ----------
+    compiles_before = eng.stats["compiles"]
+    t0 = "emb_bucketize0"
+    dim = model.tables[t0].dim
+    rows = np.arange(model.tables[t0].vocab_size)
+    eng.update_table_rows(
+        t0, rows, np.random.default_rng(1).standard_normal(
+            (rows.size, dim)
+        ).astype(np.float32),
+    )
+    from recom_tpu.runtime.checkpoint import export_params
+
+    eng.reload_params(export_params(eng))   # e.g. a retrained checkpoint
+    out2 = eng.predict(requests[0])
+    assert np.isfinite(np.asarray(out2["output"])).all()
+    assert eng.stats["compiles"] == compiles_before
+    print("online refresh applied (row update + full reload), 0 recompiles")
 
     # fresh content per timed request (transport-cached remote devices
     # serve repeated (program, inputs) executions from cache); note the
