@@ -47,8 +47,8 @@ def main():
     with ServingPipeline(eng, prep_workers=4, max_inflight=4) as pipe:
         outs = pipe.map_stream(requests)
     assert all(np.isfinite(o).all() for o in outs)
-    print(f"served {len(outs)} requests; engine timers:",
-          eng.timers.summary().get("device_step"))
+    print(f"served {len(outs)} requests; engine counters:",
+          eng.stats_report()["counters"])
 
     # --- online refresh mid-traffic: no rebuild, no recompile ----------
     compiles_before = eng.stats["compiles"]
