@@ -824,6 +824,14 @@ class Engine:
                 f"values must be [n, dim] aligned with row_ids: "
                 f"{values.shape} vs {row_ids.shape}"
             )
+        # dedup repeated rows keeping the LAST occurrence: XLA scatter
+        # applies duplicate indices in undefined order, and the int8 path
+        # scatters q and scale independently — a duplicated row could end
+        # up torn (q from one occurrence, scale from another)
+        if row_ids.size and np.unique(row_ids).size != row_ids.size:
+            rev_first = np.unique(row_ids[::-1], return_index=True)[1]
+            keep = np.sort(row_ids.size - 1 - rev_first)
+            row_ids, values = row_ids[keep], values[keep]
         hits = 0
         for g in self.compiled.groups:
             for i, m in enumerate(g.members):

@@ -199,17 +199,9 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu on hosts where a sitecustomize-registered
-    # remote backend overrides the env var (the axon tunnel: env alone
-    # does NOT switch backends, and a dead tunnel hangs backend init
-    # forever) — same contract as tools/scaling.py
-    import os
+    from recom_tpu.utils.platform import honor_cpu_platform
 
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+    honor_cpu_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--models", nargs="+", default=["E@0.05"])
     ap.add_argument("--batches", nargs="+", type=int,

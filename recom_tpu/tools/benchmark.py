@@ -161,15 +161,9 @@ def run_benchmark(
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu (axon sitecustomize overrides the env var;
-    # a dead tunnel hangs backend init) — same contract as tools/scaling.py
-    import os
+    from recom_tpu.utils.platform import honor_cpu_platform
 
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+    honor_cpu_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="micro100",
                     help="micro<N> | E | F | E@<scale> | criteo")

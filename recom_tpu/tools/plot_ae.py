@@ -23,9 +23,12 @@ import argparse
 import json
 import os
 
-# categorical slots (validated default palette, light mode) + text tokens
-S1 = "#2a78d6"   # slot 1 (blue): recom_tpu
-S2 = "#eb6834"   # slot 2 (orange): TF-CPU baseline
+# categorical slots (validated default palette, light mode — fixed hue
+# order, assigned by position, never cycled) + text tokens
+SLOTS = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+         "#e87ba4", "#008300", "#4a3aa7", "#e34948"]
+S1 = SLOTS[0]    # slot 1 (blue): recom_tpu
+S2 = SLOTS[1]    # slot 2 (orange): TF-CPU baseline
 SURFACE = "#fcfcfb"
 TEXT = "#0b0b0b"
 TEXT2 = "#52514e"
@@ -58,13 +61,18 @@ def plot_latency(sweep, path):
         )
         b = [c["batch"] for c in cells]
         ours = [c["request_ms_async"] for c in cells]
-        tf = [c.get("tf_cpu_ms") for c in cells]
+        # plot every cell that HAS a baseline (a single missing cell must
+        # not erase the whole TF line)
+        tf_pts = [
+            (c["batch"], c["tf_cpu_ms"]) for c in cells
+            if c.get("tf_cpu_ms") is not None
+        ]
         _style(ax)
         ax.plot(b, ours, color=S1, linewidth=2, marker="o", markersize=5,
                 label="recom_tpu (async)")
-        if all(v is not None for v in tf):
-            ax.plot(b, tf, color=S2, linewidth=2, marker="o", markersize=5,
-                    label="TF-CPU")
+        if tf_pts:
+            ax.plot(*zip(*tf_pts), color=S2, linewidth=2, marker="o",
+                    markersize=5, label="TF-CPU")
         ax.set_xscale("log", base=2)
         ax.set_yscale("log")
         ax.set_xticks(b, [str(x) for x in b])
@@ -77,8 +85,8 @@ def plot_latency(sweep, path):
         ax.annotate(fmt(ours[-1]), (b[-1], ours[-1]),
                     textcoords="offset points", xytext=(4, -11),
                     color=TEXT2, fontsize=8)
-        if all(v is not None for v in tf):
-            ax.annotate(fmt(tf[-1]), (b[-1], tf[-1]),
+        if tf_pts:
+            ax.annotate(fmt(tf_pts[-1][1]), tf_pts[-1],
                         textcoords="offset points", xytext=(4, 5),
                         color=TEXT2, fontsize=8)
     axes[0][0].set_ylabel("per-request latency (ms)", color=TEXT2,
@@ -97,8 +105,11 @@ def plot_speedup(sweep, path):
     models = sorted({c["model"] for c in sweep})
     fig, ax = plt.subplots(figsize=(5.4, 3.6), facecolor=SURFACE)
     _style(ax)
-    colors = [S1, S2]  # fixed slot order by model name
-    for model, color in zip(models, colors):
+    if len(models) > len(SLOTS):  # no generated hues past the fixed order
+        dropped = models[len(SLOTS):]
+        print(f"plot_speedup: folding {dropped} beyond {len(SLOTS)} series")
+        models = models[: len(SLOTS)]
+    for model, color in zip(models, SLOTS):
         cells = sorted(
             (c for c in sweep if c["model"] == model and "vs_tf_cpu" in c),
             key=lambda c: c["batch"],

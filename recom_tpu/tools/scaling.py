@@ -216,17 +216,9 @@ def run_artifact(args) -> dict:
 
 
 def main():
-    # honor JAX_PLATFORMS=cpu on hosts where a sitecustomize-registered
-    # remote backend overrides the env var (the axon tunnel: env alone
-    # does NOT switch backends, and a dead tunnel hangs backend init
-    # forever — CLAUDE.md "Environment gotchas")
-    import os
+    from recom_tpu.utils.platform import honor_cpu_platform
 
-    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+    honor_cpu_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--rows-per-shard", type=int, default=1 << 16)
     ap.add_argument("--dim", type=int, default=64)

@@ -319,3 +319,36 @@ def test_reload_params_hot_swap_without_recompile():
     for t in p2["tables"]:
         np.testing.assert_array_equal(exported["tables"][t],
                                       p2["tables"][t], err_msg=t)
+
+
+def test_update_duplicate_rows_last_wins():
+    """Duplicate row_ids must resolve LAST-wins (XLA scatter order is
+    undefined, and the int8 path's independent q/scale scatters could
+    otherwise leave a torn row: q from one occurrence, scale from
+    another)."""
+    for dtype in ("float32", "int8"):
+        m = make_dlrm_model(1, 1, 0, 0, 0, 1, [4], [8, 1],
+                            name=f"dup_{dtype}")
+        np_params = init_model_params(m)
+        eng = Engine(
+            m,
+            EngineConfig(table_dtype=dtype, use_pallas=False,
+                         batch_buckets=(8,)),
+            params=np_params,
+        )
+        t = "emb_hash_int0"
+        dim = m.tables[t].dim
+        # row 7 twice: huge magnitude first, tiny last — a torn int8 row
+        # (q of one, scale of the other) would be wildly off both
+        rows = np.array([7, 3, 7])
+        vals = np.stack([
+            np.full(dim, 1000.0, np.float32),
+            np.arange(dim, dtype=np.float32),
+            np.full(dim, 1e-3, np.float32),
+        ])
+        eng.update_table_rows(t, rows, vals)
+        got = export_params(eng)["tables"][t]
+        np.testing.assert_allclose(got[7], vals[2], rtol=1 / 127,
+                                   atol=1e-9, err_msg=dtype)
+        np.testing.assert_allclose(got[3], vals[1], rtol=1 / 127,
+                                   atol=1e-9, err_msg=dtype)
