@@ -352,3 +352,61 @@ def test_update_duplicate_rows_last_wins():
                                    atol=1e-9, err_msg=dtype)
         np.testing.assert_allclose(got[3], vals[1], rtol=1 / 127,
                                    atol=1e-9, err_msg=dtype)
+
+
+def test_update_concurrent_with_serving_never_tears():
+    """Requests racing update_table_rows must each serve either the OLD
+    or the NEW table per column — never a torn mix within one column
+    (the single-reference-swap concurrency contract)."""
+    import threading
+
+    m = make_dlrm_model(2, 1, 1, 1, 0, 1, [4], [8, 1], name="upd_race")
+    np_params = init_model_params(m)
+    eng = Engine(
+        m, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+        params=np_params,
+    )
+    b = make_random_batch(m, 16, seed=30)
+    oracle_old = OracleModel(m, params=np_params).pooled_outputs(b)
+
+    rng = np.random.default_rng(31)
+    new_tables = {
+        t: rng.standard_normal(
+            (spec.vocab_size, spec.dim)
+        ).astype(np.float32)
+        for t, spec in m.tables.items()
+    }
+    upd = copy.deepcopy(np_params)
+    upd["tables"].update(new_tables)
+    oracle_new = OracleModel(m, params=upd).pooled_outputs(b)
+
+    outs = []
+    stop = threading.Event()
+
+    def serve():
+        while not stop.is_set() or len(outs) < 8:
+            outs.append(eng.predict(b, return_pooled=True)["pooled"])
+            if len(outs) > 200:
+                break
+
+    th = threading.Thread(target=serve)
+    th.start()
+    try:
+        for t, vals in new_tables.items():
+            eng.update_table_rows(t, np.arange(vals.shape[0]), vals)
+    finally:
+        stop.set()
+        th.join(timeout=120)
+    assert not th.is_alive()
+
+    for pooled in outs:
+        for c in pooled:
+            po = np.asarray(pooled[c])
+            ok = np.array_equal(po, oracle_old[c]) or np.array_equal(
+                po, oracle_new[c]
+            )
+            assert ok, f"torn output in column {c}"
+    # a request issued after all updates completed serves the NEW tables
+    final = eng.predict(b, return_pooled=True)["pooled"]
+    for c, r in oracle_new.items():
+        np.testing.assert_array_equal(np.asarray(final[c]), r, err_msg=c)
