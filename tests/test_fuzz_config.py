@@ -39,9 +39,17 @@ def random_config(rng) -> EngineConfig:
     return EngineConfig(
         use_pallas=bool(rng.integers(2)),
         interpret=True,
-        batch_buckets=(64,),
+        batch_buckets=((64,), (8, 64))[int(rng.integers(2))],
+        rowlen_buckets=(
+            (1, 2, 4, 8, 12, 16, 32, 64, 128),   # default ladder
+            (1, 4, 16, 64, 128),                 # coarse ladder
+            (128,),                              # one max-pad bucket
+        )[int(rng.integers(3))],
         table_dtype=dtype,
         wire_pack=bool(rng.integers(2)),
+        # False routes raw f32 through the fused bucketize+one-hot Pallas
+        # kernel (interpret mode on CPU) / the device-bucketize XLA path
+        host_bucketize=bool(rng.integers(2)),
         dedup_subcolumns=bool(rng.integers(2)),
         mesh_shape=mesh,
         shard_comm=("all_to_all", "psum")[int(rng.integers(2))]
@@ -73,9 +81,10 @@ def run_config_seed(seed: int) -> None:
     )
     ctx = (
         f"seed={seed} dtype={cfg.table_dtype} pallas={cfg.use_pallas} "
-        f"wire={cfg.wire_pack} dedup={cfg.dedup_subcolumns} "
-        f"mesh={cfg.mesh_shape} comm={cfg.shard_comm} "
-        f"thresh={cfg.shard_rows_above}"
+        f"wire={cfg.wire_pack} hostbz={cfg.host_bucketize} "
+        f"dedup={cfg.dedup_subcolumns} bb={cfg.batch_buckets} "
+        f"rl={cfg.rowlen_buckets} mesh={cfg.mesh_shape} "
+        f"comm={cfg.shard_comm} thresh={cfg.shard_rows_above}"
     )
     for c, r in ref["pooled"].items():
         if psum_sharded:
