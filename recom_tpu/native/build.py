@@ -160,6 +160,11 @@ def _declare(lib: ctypes.CDLL):
     lib.rt_copy_f32_multi.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, c.c_void_p, c.c_int64
     ]
+    lib.rt_parse_criteo.restype = c.c_int64
+    lib.rt_parse_criteo.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p,
+    ]
 
 
 def get_pylib() -> Optional[ctypes.PyDLL]:

@@ -13,6 +13,7 @@
 // nvcc+MD5 kernel-cache pattern, cuda_emitter.cc:86-111, applied to host
 // code).
 
+#include <charconv>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -1021,6 +1022,98 @@ int64_t rt_split_hash_multi_out(const uint8_t** bufs, const int64_t* widths,
   for (int64_t m : maxs)
     if (m > maxp) maxp = m;
   return maxp;
+}
+
+// ---------------------------------------------------------------------
+// Criteo TSV parsing: label \t I1..I13 (decimal, may be empty) \t C1..C26
+// (hex, may be empty) per line.  The data-ingestion hot loop for DLRM
+// training (models/criteo.py read_criteo_tsv's Python loop replaced by
+// one call per file chunk).  Missing fields and short lines parse as 0,
+// matching the Python reader; unparsable content also yields 0 (the
+// Python reader raises there — the native path is tolerant by design,
+// equivalence is tested on well-formed data).
+
+extern "C++" {
+namespace {
+
+inline double ParseF64Field(const char* p, int64_t n) {
+  double v = 0.0;
+  if (n > 0) std::from_chars(p, p + n, v);
+  return v;
+}
+
+inline int64_t ParseDecField(const char* p, int64_t n) {
+  int64_t v = 0;
+  if (n > 0) std::from_chars(p, p + n, v);
+  return v;
+}
+
+inline int64_t ParseHexField(const char* p, int64_t n) {
+  // Python int(field, 16) semantics for plain hex tokens (both cases);
+  // leading '-' supported; anything else -> best-effort prefix parse
+  bool neg = n > 0 && p[0] == '-';
+  int64_t i = neg ? 1 : 0;
+  uint64_t v = 0;
+  for (; i < n; ++i) {
+    const char ch = p[i];
+    uint64_t d;
+    if (ch >= '0' && ch <= '9') d = ch - '0';
+    else if (ch >= 'a' && ch <= 'f') d = ch - 'a' + 10;
+    else if (ch >= 'A' && ch <= 'F') d = ch - 'A' + 10;
+    else break;
+    v = v * 16 + d;
+  }
+  return neg ? -static_cast<int64_t>(v) : static_cast<int64_t>(v);
+}
+
+}  // namespace
+}  // extern "C++"
+
+// Parse up to max_lines COMPLETE lines from buf[0..len).  Writes
+// labels[line] f32, dense[(f)*stride + line] f32 (13 raw columns — the
+// log1p transform is vectorized in numpy by the caller), cats[(f)*stride
+// + line] int64 (26 columns).  A trailing line without '\n' is NOT
+// consumed (the caller carries it into the next chunk).  *consumed gets
+// the number of bytes parsed.  Returns the number of lines parsed.
+int64_t rt_parse_criteo(const uint8_t* buf, int64_t len, int64_t max_lines,
+                        int64_t stride, float* labels, float* dense,
+                        int64_t* cats, int64_t* consumed) {
+  int64_t line = 0;
+  int64_t pos = 0;
+  while (pos < len && line < max_lines) {
+    int64_t eol = pos;
+    while (eol < len && buf[eol] != '\n') ++eol;
+    if (eol >= len) break;               // incomplete trailing line
+    const char* base = reinterpret_cast<const char*>(buf);
+    int64_t f = 0;
+    int64_t s = pos;
+    for (int64_t j = pos; j <= eol && f < 40; ++j) {
+      if (j == eol || buf[j] == '\t') {
+        int64_t flen = j - s;
+        if (flen > 0 && base[s + flen - 1] == '\r') --flen;  // CRLF
+        if (f == 0) {
+          labels[line] =
+              static_cast<float>(ParseDecField(base + s, flen));
+        } else if (f < 14) {
+          dense[(f - 1) * stride + line] =
+              static_cast<float>(ParseF64Field(base + s, flen));
+        } else {
+          cats[(f - 14) * stride + line] = ParseHexField(base + s, flen);
+        }
+        ++f;
+        s = j + 1;
+      }
+    }
+    if (f == 0) labels[line] = 0.0f;     // empty line
+    for (int64_t k = f < 1 ? 1 : f; k < 14; ++k)
+      dense[(k - 1) * stride + line] = 0.0f;
+    for (int64_t k = f < 14 ? 14 : f; k < 40; ++k)
+      cats[(k - 14) * stride + line] = 0;
+    ++line;
+    pos = eol + 1;
+  }
+  *consumed = pos;
+  return line;
 }
 
 // Copy n_cols float32 columns (xs[c]: [batch]) into out + c*stride floats —

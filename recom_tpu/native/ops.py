@@ -479,3 +479,34 @@ def split_count_max(values: np.ndarray, delimiter: str) -> int:
             arr.ctypes.data, arr.dtype.itemsize, arr.size, d[0]
         )
     )
+
+
+def parse_criteo(
+    data: bytes, max_lines: Optional[int] = None
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]]:
+    """Parse up to ``max_lines`` complete Criteo-TSV lines from ``data``
+    (default: every complete line — counted by newline scan).
+
+    Returns (labels [n] f32, dense [13, n] f32 raw values, cats [26, n]
+    int64, n, consumed_bytes) — a trailing line without '\\n' is left
+    unconsumed for the caller to carry into the next chunk.  None when the
+    native library is unavailable (callers keep the Python line loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if max_lines is None:
+        max_lines = data.count(b"\n")
+    cap = max(1, int(max_lines))
+    labels = np.empty(cap, np.float32)
+    dense = np.empty((13, cap), np.float32)
+    cats = np.empty((26, cap), np.int64)
+    consumed = np.zeros(1, np.int64)
+    n = int(
+        lib.rt_parse_criteo(
+            buf.ctypes.data if buf.size else 0, buf.size, cap,
+            cap, labels.ctypes.data, dense.ctypes.data, cats.ctypes.data,
+            consumed.ctypes.data,
+        )
+    )
+    return labels[:n], dense[:, :n], cats[:, :n], n, int(consumed[0])

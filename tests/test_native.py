@@ -159,3 +159,53 @@ def test_multi_column_calls_match_per_column():
     for j, (col, nb) in enumerate(zip(sp_cols, sp_buckets)):
         packed, _ = native_ops.split_hash_padded(col, ";", nb, rowlen)
         np.testing.assert_array_equal(multi[j], packed)
+
+
+def test_parse_criteo_native_matches_python(tmp_path, monkeypatch):
+    """Native rt_parse_criteo vs the Python line loop: identical batches
+    on a file with empty fields, short lines, negatives, decimals, mixed-
+    case hex, and no trailing newline."""
+    import numpy as np
+    import pytest
+
+    from recom_tpu.models import criteo as criteo_mod
+    from recom_tpu.native import ops as native_ops
+
+    if native_ops.parse_criteo(b"", 0) is None:
+        pytest.skip("native lib unavailable")
+
+    lines = [
+        "1\t" + "\t".join(str(i) for i in range(1, 14)) + "\t"
+        + "\t".join(f"{i:x}" for i in range(26)),
+        "0\t\t2\t\t4.5\t-3\t6\t7\t8\t9\t10\t11\t12\t13\t"
+        + "\t".join(["", "aB3", "FFFF"] + [f"{i * 7:08x}" for i in range(23)]),
+        "\t\t\t",
+        "1",
+        "0\t" + "\t".join("0.125" for _ in range(13)) + "\t"
+        + "\t".join("deadbeef" for _ in range(26)),
+    ]
+    p = tmp_path / "c.tsv"
+    p.write_text("\n".join(lines))     # NO trailing newline
+
+    def read_all(path, bs):
+        return list(criteo_mod.read_criteo_tsv(str(path), bs))
+
+    for bs in (2, 3, 64):
+        nat = read_all(p, bs)
+        monkeypatch.setattr(native_ops, "parse_criteo",
+                            lambda *a, **k: None)
+        pyo = read_all(p, bs)
+        monkeypatch.undo()
+        assert len(nat) == len(pyo)
+        for (bn, ln), (bp, lp) in zip(nat, pyo):
+            np.testing.assert_array_equal(ln, lp)
+            assert set(bn) == set(bp)
+            for k in bp:
+                np.testing.assert_array_equal(bn[k], bp[k], err_msg=k)
+
+    # chunk-boundary contract: a buffer cut mid-line consumes only the
+    # complete lines and reports the cut position
+    data = ("1\t2\t" + "x" * 10 + "\n0\t5").encode()
+    l, d, c, n, used = native_ops.parse_criteo(data)
+    assert n == 1 and used == data.index(b"\n") + 1
+    assert l[0] == 1.0 and d[0, 0] == 2.0
