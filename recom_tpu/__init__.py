@@ -45,9 +45,22 @@ from recom_tpu.config import EngineConfig  # noqa: F401
 __version__ = "0.1.0"
 
 
-def Engine(*args, **kwargs):
-    """Lazy constructor for the runtime engine (avoids importing jax at
-    package-import time for oracle-only users)."""
-    from recom_tpu.runtime.executor import Engine as _Engine
+# Lazy class exports (PEP 562): the runtime classes import jax, which
+# oracle-only users must be able to avoid at package-import time.  A
+# module __getattr__ (not wrapper functions) returns the REAL classes, so
+# classmethods like Trainer.restore and isinstance checks work.
+_LAZY = {
+    "Engine": ("recom_tpu.runtime.executor", "Engine"),
+    "ServingPipeline": ("recom_tpu.runtime.server", "ServingPipeline"),
+    "MicroBatcher": ("recom_tpu.runtime.batcher", "MicroBatcher"),
+    "Trainer": ("recom_tpu.train", "Trainer"),
+}
 
-    return _Engine(*args, **kwargs)
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'recom_tpu' has no attribute {name!r}")
