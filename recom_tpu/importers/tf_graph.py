@@ -1424,6 +1424,47 @@ def import_params(model: ModelSpec, weights: Dict[str, np.ndarray]) -> Dict:
     return params
 
 
+def import_tf_saved_model(
+    path: str, **kwargs
+) -> Tuple[ModelSpec, Dict[str, np.ndarray]]:
+    """Import a TF SavedModel DIRECTORY — the deployment artifact TF
+    Serving loads, i.e. exactly where the reference's optimization pass
+    runs (it rewrites the serving graph inside the session,
+    fc_optimize_pass.cc registration).  TF1-style feature-column
+    SavedModels (tf.compat.v1 input_layer graphs with VariableV2 tables,
+    the reference's model population) are supported.
+
+    TF-free graph extraction: saved_model.pb is walked with the same
+    protowire parser as GraphDefs (SavedModel.meta_graphs[0] is field 2,
+    MetaGraphDef.graph_def is field 2 inside it).  Unfrozen VariableV2
+    tables restore from ``variables/variables`` when present (TF's bundle
+    reader, see load_checkpoint_tables).  ``kwargs`` forward to
+    :func:`import_tf_graphdef` (strict, tower, name, checkpoint...)."""
+    import os
+
+    pb = os.path.join(path, "saved_model.pb")
+    with open(pb, "rb") as f:
+        data = f.read()
+    graph_bytes = None
+    for field, wire, val in pw.iter_fields(data):
+        if field == 2 and wire == 2:          # first MetaGraphDef
+            for f2, w2, v2 in pw.iter_fields(val):
+                if f2 == 2 and w2 == 2:       # its GraphDef
+                    graph_bytes = v2
+                    break
+            break
+    if graph_bytes is None:
+        raise ValueError(
+            f"{pb}: no MetaGraphDef.graph_def found (is this a SavedModel?)"
+        )
+    if "checkpoint" not in kwargs:
+        var_prefix = os.path.join(path, "variables", "variables")
+        if os.path.exists(var_prefix + ".index"):
+            kwargs["checkpoint"] = var_prefix
+    kwargs.setdefault("name", os.path.basename(os.path.normpath(path)))
+    return import_tf_graphdef(graph_bytes, **kwargs)
+
+
 def load_checkpoint_tables(
     ckpt_prefix: str, table_names: List[str]
 ) -> Dict[str, np.ndarray]:
@@ -1849,7 +1890,7 @@ def _extract_range_transforms(
     found = []
     has_gather_of = set()
     for x in sub:
-        if x.op in ("GatherV2", "Gather") and len(x.inputs) > 1:
+        if x.op in ("GatherV2", "Gather", "ResourceGather") and len(x.inputs) > 1:
             src = _resolve_through(gi, x.inputs[1])
             if src is not None:
                 has_gather_of.add(src.name)
@@ -2255,7 +2296,8 @@ _POOLED_PASS = ("Identity", "Reshape", "ExpandDims", "Squeeze")
 _POOLED_TERMINALS = frozenset({
     "SparseSegmentSum", "SparseSegmentMean", "SparseSegmentSqrtN",
     "SparseSegmentSumWithNumSegments", "SparseSegmentMeanWithNumSegments",
-    "SparseSegmentSqrtNWithNumSegments", "GatherV2", "GatherNd", "OneHot",
+    "SparseSegmentSqrtNWithNumSegments", "GatherV2", "GatherNd",
+    "ResourceGather", "OneHot",
 })
 _POOLED_TERMINALS_WEIGHTED = _POOLED_TERMINALS | frozenset({
     # the weighted embedding_lookup_sparse expansion's own tail ops
@@ -2352,7 +2394,8 @@ _SLOT_OPS_COMMON = frozenset({
     "Placeholder", "Const", "Identity", "Reshape", "Cast", "ExpandDims",
     "Squeeze", "Pack", "Shape", "Slice", "StridedSlice", "Prod", "Range",
     "Tile", "Transpose", "ConcatV2", "Concat", "Where", "Select",
-    "SelectV2", "GatherV2", "GatherNd", "Greater", "GreaterEqual", "Less",
+    "SelectV2", "GatherV2", "GatherNd", "ResourceGather", "Greater",
+    "GreaterEqual", "Less",
     "LessEqual", "Equal", "NotEqual", "LogicalAnd", "LogicalOr",
     "LogicalNot", "SparseFillEmptyRows", "SparseReshape", "Unique",
     "ZerosLike", "Fill", "Sub", "Mul", "Add", "AddV2", "Maximum", "Size",
