@@ -1806,3 +1806,59 @@ def test_import_saved_model_resource_variables(tmp_path):
     got_set = {tuple(got[:, i:i + 4].ravel().round(6)) for i in (0, 4)}
     want_set = {tuple(want[:, i:i + 4].ravel().round(6)) for i in (0, 4)}
     assert got_set == want_set
+
+
+def test_import_saved_model_unfrozen_vocab_table(tmp_path):
+    """Unfrozen SavedModel with a vocabulary-list column: the vocab lives
+    in LookupTableImportV2's Const operands (wired via the main_op, not
+    the forward path) and the embedding in a resource variable — both
+    must import through the SavedModel directory entry point."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        fc = tf1.feature_column
+        feats = {
+            "color": tf1.placeholder(tf.string, [None], name="color"),
+            "user": tf1.placeholder(tf.string, [None], name="user"),
+        }
+        cols = [
+            fc.embedding_column(
+                fc.categorical_column_with_vocabulary_list(
+                    "color", ["red", "green", "blue"], num_oov_buckets=2),
+                dimension=4, combiner="mean"),
+            fc.embedding_column(fc.categorical_column_with_hash_bucket(
+                "user", 50), dimension=4),
+        ]
+        out = tf1.feature_column.input_layer(feats, cols)
+        sm_dir = str(tmp_path / "sm_vocab")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            sess.run(tf1.tables_initializer())
+            rng = np.random.default_rng(4)
+            vals = np.asarray(
+                ["red", "green", "blue", "purple", "red", "ochre"])
+            users = np.asarray(
+                [f"u{v}" for v in rng.integers(0, 9999, 6)])
+            want = sess.run(out, {feats["color"]: vals,
+                                  feats["user"]: users})
+            b = tf1.saved_model.Builder(sm_dir)
+            b.add_meta_graph_and_variables(
+                sess, ["serve"], main_op=tf1.tables_initializer())
+            b.save()
+
+    from recom_tpu.importers.tf_graph import (
+        import_params, import_tf_saved_model,
+    )
+
+    model, weights = import_tf_saved_model(sm_dir)
+    by_field = {c.source.field: c for c in model.columns}
+    feed = {}
+    for k, v in (("color", vals), ("user", users)):
+        f = [x for x in by_field if x == k or x.startswith(k)][0]
+        feed[f] = v
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(8,)),
+                 params=import_params(model, weights))
+    got = np.asarray(eng.predict(feed, return_concat=True)["concat"])
+    gset = {tuple(got[:, i:i + 4].ravel().round(5)) for i in (0, 4)}
+    wset = {tuple(want[:, i:i + 4].ravel().round(5)) for i in (0, 4)}
+    assert gset == wset
