@@ -1862,3 +1862,80 @@ def test_import_saved_model_unfrozen_vocab_table(tmp_path):
     gset = {tuple(got[:, i:i + 4].ravel().round(5)) for i in (0, 4)}
     wset = {tuple(want[:, i:i + 4].ravel().round(5)) for i in (0, 4)}
     assert gset == wset
+
+
+def test_import_saved_model_mixed_idioms_unfrozen(tmp_path):
+    """Unfrozen resource-variable SavedModel carrying weighted + crossed +
+    indicator + shared-embedding columns at once: every idiom must import
+    through the directory entry point and serve matching the TF session
+    reloaded from the SAME SavedModel."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        fc = tf1.feature_column
+        feats = {
+            "w_id": tf1.placeholder(tf.string, [None], name="w_id"),
+            "w_sc": tf1.placeholder(tf.float32, [None], name="w_sc"),
+            "k1": tf1.placeholder(tf.string, [None], name="k1"),
+            "k2": tf1.placeholder(tf.string, [None], name="k2"),
+            "ind": tf1.placeholder(tf.int64, [None], name="ind"),
+            "sa": tf1.placeholder(tf.string, [None], name="sa"),
+            "sb": tf1.placeholder(tf.string, [None], name="sb"),
+        }
+        wcat = fc.weighted_categorical_column(
+            fc.categorical_column_with_hash_bucket("w_id", 40), "w_sc")
+        cross = fc.crossed_column(["k1", "k2"], hash_bucket_size=64)
+        indc = fc.indicator_column(
+            fc.categorical_column_with_identity("ind", 6, default_value=0))
+        shared = fc.shared_embedding_columns(
+            [fc.categorical_column_with_hash_bucket("sa", 32),
+             fc.categorical_column_with_hash_bucket("sb", 32)],
+            dimension=4)
+        cols = [
+            fc.embedding_column(wcat, dimension=4, combiner="sum"),
+            fc.embedding_column(cross, dimension=4),
+            indc, *shared,
+        ]
+        tf1.feature_column.input_layer(feats, cols)
+        sm_dir = str(tmp_path / "sm_mix")
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            sess.run(tf1.tables_initializer())
+            b = tf1.saved_model.Builder(sm_dir)
+            b.add_meta_graph_and_variables(
+                sess, ["serve"], main_op=tf1.tables_initializer())
+            b.save()
+
+    rng = np.random.default_rng(5)
+    B = 12
+    raw = {
+        "w_id": np.asarray([f"i{v}" for v in rng.integers(0, 999, B)]),
+        "w_sc": (rng.random(B) + 0.1).astype(np.float32),
+        "k1": np.asarray([f"a{v}" for v in rng.integers(0, 99, B)]),
+        "k2": np.asarray([f"b{v}" for v in rng.integers(0, 99, B)]),
+        "ind": rng.integers(0, 6, B),
+        "sa": np.asarray([f"s{v}" for v in rng.integers(0, 999, B)]),
+        "sb": np.asarray([f"t{v}" for v in rng.integers(0, 999, B)]),
+    }
+    with tf1.Session(graph=tf.Graph()) as sess:
+        tf1.saved_model.load(sess, ["serve"], sm_dir)
+        gd = sess.graph
+        feed = {gd.get_tensor_by_name(k + ":0"): v for k, v in raw.items()}
+        outt = [n.name for n in gd.as_graph_def().node
+                if n.op in ("ConcatV2", "Concat")][-1]
+        want = sess.run(gd.get_tensor_by_name(outt + ":0"), feed)
+
+    from recom_tpu.importers.tf_graph import (
+        import_params, import_tf_saved_model,
+    )
+
+    model, weights = import_tf_saved_model(sm_dir)
+    got = np.asarray(Engine(
+        model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+        params=import_params(model, weights),
+    ).predict(raw, return_concat=True)["concat"])
+    assert got.shape == want.shape
+    slices = [(0, 4), (4, 8), (8, 14), (14, 18), (18, 22)]
+    gset = {tuple(got[:, a:b].ravel().round(4)) for a, b in slices}
+    wset = {tuple(want[:, a:b].ravel().round(4)) for a, b in slices}
+    assert gset == wset
