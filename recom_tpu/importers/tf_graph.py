@@ -1424,47 +1424,6 @@ def import_params(model: ModelSpec, weights: Dict[str, np.ndarray]) -> Dict:
     return params
 
 
-def import_tf_saved_model(
-    path: str, **kwargs
-) -> Tuple[ModelSpec, Dict[str, np.ndarray]]:
-    """Import a TF SavedModel DIRECTORY — the deployment artifact TF
-    Serving loads, i.e. exactly where the reference's optimization pass
-    runs (it rewrites the serving graph inside the session,
-    fc_optimize_pass.cc registration).  TF1-style feature-column
-    SavedModels (tf.compat.v1 input_layer graphs with VariableV2 tables,
-    the reference's model population) are supported.
-
-    TF-free graph extraction: saved_model.pb is walked with the same
-    protowire parser as GraphDefs (SavedModel.meta_graphs[0] is field 2,
-    MetaGraphDef.graph_def is field 2 inside it).  Unfrozen VariableV2
-    tables restore from ``variables/variables`` when present (TF's bundle
-    reader, see load_checkpoint_tables).  ``kwargs`` forward to
-    :func:`import_tf_graphdef` (strict, tower, name, checkpoint...)."""
-    import os
-
-    pb = os.path.join(path, "saved_model.pb")
-    with open(pb, "rb") as f:
-        data = f.read()
-    graph_bytes = None
-    for field, wire, val in pw.iter_fields(data):
-        if field == 2 and wire == 2:          # first MetaGraphDef
-            for f2, w2, v2 in pw.iter_fields(val):
-                if f2 == 2 and w2 == 2:       # its GraphDef
-                    graph_bytes = v2
-                    break
-            break
-    if graph_bytes is None:
-        raise ValueError(
-            f"{pb}: no MetaGraphDef.graph_def found (is this a SavedModel?)"
-        )
-    if "checkpoint" not in kwargs:
-        var_prefix = os.path.join(path, "variables", "variables")
-        if os.path.exists(var_prefix + ".index"):
-            kwargs["checkpoint"] = var_prefix
-    kwargs.setdefault("name", os.path.basename(os.path.normpath(path)))
-    return import_tf_graphdef(graph_bytes, **kwargs)
-
-
 def load_checkpoint_tables(
     ckpt_prefix: str, table_names: List[str]
 ) -> Dict[str, np.ndarray]:
@@ -1677,10 +1636,16 @@ def import_tf_saved_model(
     strict: bool = True,
     checkpoint: Optional[str] = None,
 ) -> Tuple[ModelSpec, Dict[str, np.ndarray]]:
-    """Import from a SavedModel directory (reads saved_model.pb; variables
-    must be frozen into the graph — the reference's AE models are exported
-    this way via simple_save + freeze — or restorable from the bundled
-    variables/ checkpoint, used automatically when present)."""
+    """Import from a SavedModel directory — the deployment artifact TF
+    Serving loads, i.e. exactly where the reference's optimization pass
+    runs inside the session (fc_optimize_pass.cc registration).  Reads
+    saved_model.pb TF-free via the protowire walker
+    (SavedModel.meta_graphs[0].graph_def); variables may be frozen into
+    the graph (the reference's AE export shape, simple_save + freeze) or
+    live — VariableV2 AND resource-variable (VarHandleOp/ResourceGather,
+    what modern TF's input_layer emits) tables restore automatically from
+    the bundled variables/ checkpoint when present.  Also accepts a bare
+    saved_model.pb file path."""
     import os
 
     pb = path
