@@ -1939,3 +1939,101 @@ def test_import_saved_model_mixed_idioms_unfrozen(tmp_path):
     gset = {tuple(got[:, a:b].ravel().round(4)) for a, b in slices}
     wset = {tuple(want[:, a:b].ravel().round(4)) for a, b in slices}
     assert gset == wset
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/examples/python/dlrm.py"),
+    reason="reference tree not available",
+)
+def test_import_reference_dlrm_saved_model(tmp_path):
+    """End-to-end parity proof on the REFERENCE'S OWN artifact: run the
+    reference's examples/python/dlrm.py create_dlrm (scaled sizes, its
+    exact column generators and simple_save export), import the resulting
+    SavedModel directory, and match the input_layer concat against the TF
+    session.  tf.layers was removed after the reference's TF 2.6 target,
+    so the tower layer is shimmed — the feature-column half runs the
+    reference code untouched."""
+    import sys
+    from types import SimpleNamespace
+
+    sys.path.insert(0, "/root/reference/examples/python")
+    try:
+        import dlrm as ref_dlrm
+    finally:
+        sys.path.pop(0)
+    tf1 = tf.compat.v1
+
+    def _dense(x, units, activation=None, name=None):
+        with tf1.variable_scope(name or "dense", reuse=tf1.AUTO_REUSE):
+            w = tf1.get_variable("kernel", [int(x.shape[-1]), units],
+                                 dtype=tf1.float32)
+            b = tf1.get_variable("bias", [units], dtype=tf1.float32,
+                                 initializer=tf1.zeros_initializer())
+        y = tf1.nn.bias_add(tf1.matmul(x, w), b)
+        return activation(y) if activation is not None else y
+
+    class _TFWrap:
+        def __init__(self, base):
+            self._b = base
+            self.layers = SimpleNamespace(dense=_dense)
+
+        def __getattr__(self, k):
+            return getattr(self._b, k)
+
+    ref_dlrm.tf = _TFWrap(ref_dlrm.tf)
+    ref_dlrm.large_embedding_table_rows = 100_000
+    ref_dlrm.input_rows = 64
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with tf.Graph().as_default():
+            ref_dlrm.create_dlrm(6, 2, 2, 2, 1, 4, [8], [16], "probe_E")
+    finally:
+        os.chdir(cwd)
+    sm_dir = str(tmp_path / "probe_E")
+
+    rng = np.random.default_rng(0)
+    with tf1.Session(graph=tf1.Graph()) as sess:
+        tf1.saved_model.loader.load(sess, ["serve"], sm_dir)
+        gd = sess.graph.as_graph_def()
+        concat = [n.name for n in gd.node
+                  if n.op == "ConcatV2" and len(n.input) > 6][-1]
+        raw = {}
+        for n in gd.node:
+            if n.op != "Placeholder" or n.name == "dense":
+                continue
+            ph = sess.graph.get_tensor_by_name(n.name + ":0")
+            if ph.dtype == tf1.int32:
+                raw[n.name] = rng.integers(0, 100, 64).astype(np.int32)
+            elif ph.dtype == tf1.string:
+                if "sparse" in n.name:
+                    raw[n.name] = np.asarray([
+                        ";".join(f"w{rng.integers(0, 10**6)}"
+                                 for _ in range(int(rng.integers(1, 10))))
+                        for _ in range(64)])
+                else:
+                    raw[n.name] = np.asarray(
+                        [f"s{v}" for v in rng.integers(0, 10**6, 64)])
+            else:
+                raw[n.name] = rng.uniform(0, 100, 64).astype(np.float32)
+        want = sess.run(
+            sess.graph.get_tensor_by_name(concat + ":0"),
+            {sess.graph.get_tensor_by_name(k + ":0"): v
+             for k, v in raw.items()},
+        )
+
+    from recom_tpu.importers.tf_graph import (
+        import_params, import_tf_saved_model,
+    )
+
+    model, weights = import_tf_saved_model(sm_dir)
+    assert len(model.embedding_columns) == 13
+    eng = Engine(model, EngineConfig(use_pallas=False, batch_buckets=(64,)),
+                 params=import_params(model, weights))
+    got = np.asarray(eng.predict(dict(raw), return_concat=True)["concat"])
+    assert got.shape == want.shape
+    # column ORDER may differ (input_layer sorts alphabetically); rows
+    # align, so compare each row's sorted values
+    np.testing.assert_allclose(
+        np.sort(got, axis=1), np.sort(want, axis=1), rtol=1e-4, atol=1e-5
+    )
