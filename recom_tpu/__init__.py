@@ -28,6 +28,7 @@ from recom_tpu.ir.spec import (  # noqa: F401
     FeatureKind,
     FeatureSource,
     FilterRange,
+    FilterStrSentinel,
     HashBucket,
     IdentityTransform,
     LookupSpec,

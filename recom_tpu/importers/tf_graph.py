@@ -1026,8 +1026,18 @@ def _match_categorical_chain(
                 warnings.append(msg + "; imported WITHOUT it")
     # range idioms append AFTER the final main_ph resolution so the
     # subject check compares against the VERIFIED id feed, not the
-    # first-reachable-placeholder BFS guess
-    transforms = transforms + _range_for(range_pairs, main_ph, warnings)
+    # first-reachable-placeholder BFS guess.  String-plane filters act on
+    # raw values and must run BEFORE the chain's string->id anchor;
+    # integer-range idioms act on ids and run after it.
+    from recom_tpu.ir.spec import FilterStrSentinel
+
+    ranged = _range_for(range_pairs, main_ph, warnings)
+    str_filters = tuple(
+        t for t in ranged if isinstance(t, FilterStrSentinel)
+    )
+    transforms = str_filters + transforms + tuple(
+        t for t in ranged if not isinstance(t, FilterStrSentinel)
+    )
     return transforms, kind, main_ph, ragged, delimiter, chain_hi, anchor_kind
 
 
@@ -1849,13 +1859,15 @@ def _extract_range_transforms(
     vanished).  Callers keep only pairs whose subject is the id feed
     (_range_for)."""
     from recom_tpu.ir.intervals import IntervalSet
-    from recom_tpu.ir.spec import FilterRange, SelectRange
+    from recom_tpu.ir.spec import FilterRange, FilterStrSentinel, SelectRange
 
     order = gi.order
     found = []
     has_gather_of = set()
     for x in sub:
-        if x.op in ("GatherV2", "Gather", "ResourceGather") and len(x.inputs) > 1:
+        if x.op in (
+            "GatherV2", "Gather", "GatherNd", "ResourceGather"
+        ) and len(x.inputs) > 1:
             src = _resolve_through(gi, x.inputs[1])
             if src is not None:
                 has_gather_of.add(src.name)
@@ -1866,6 +1878,20 @@ def _extract_range_transforms(
 
     for x in sorted(sub, key=lambda s: order.get(id(s), 0)):
         if x.op == "Where":
+            sent = _str_sentinel_pred(gi, x.inputs[0])
+            if sent is not None and x.name in has_gather_of:
+                # string-plane filter: keep values != sentinel BEFORE the
+                # string->id transform (the reference's
+                # Addons>GatherStrValueGenIndice,
+                # gather_str_value_gen_indice_ops.cc:31-58).  The EMPTY
+                # sentinel is the to_sparse_input missing-value drop whose
+                # observable semantics the source materialization already
+                # carries (validated bit-exact vs TF); only non-empty
+                # sentinels import as an explicit transform.
+                found.append(
+                    (FilterStrSentinel(sent), subject(x.inputs[0]))
+                )
+                continue
             iv = _pred_to_intervals(gi, x.inputs[0])
             if iv is None or iv.is_all():
                 continue
@@ -1899,6 +1925,28 @@ def _extract_range_transforms(
                      subject(x.inputs[0]))
                 )
     return tuple(found)
+
+
+def _str_sentinel_pred(gi: GraphIndex, name: str) -> Optional[str]:
+    """NON-EMPTY string sentinel of a ``NotEqual(values, const_str)``
+    predicate (either operand order), else None.  The string-plane filter
+    idiom the reference serves with Addons>GatherStrValueGenIndice
+    (gather_str_value_gen_indice_ops.cc:31-58)."""
+    n = gi.node(name)
+    if n is None or n.op != "NotEqual" or len(n.inputs) < 2:
+        return None
+    for operand in (n.inputs[1], n.inputs[0]):
+        c = _resolve_through(gi, operand)
+        if c is None or c.op != "Const":
+            continue
+        s = _const_string(gi, c.name)
+        if s is None:
+            sc = _cmp_const(gi, c.name)
+            if isinstance(sc, (bytes, str)):
+                s = sc.decode() if isinstance(sc, bytes) else sc
+        if s:
+            return s
+    return None
 
 
 def _range_for(pairs, main_ph, warnings: List[str]) -> tuple:

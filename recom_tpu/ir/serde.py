@@ -22,6 +22,7 @@ _TRANSFORMS = {
     "VocabLookup": S.VocabLookup,
     "Mod": S.Mod,
     "FilterRange": S.FilterRange,
+    "FilterStrSentinel": S.FilterStrSentinel,
     "SelectRange": S.SelectRange,
     "Cast": S.Cast,
     "IdentityTransform": S.IdentityTransform,
@@ -48,6 +49,8 @@ def transform_to_dict(t: S.Transform) -> Dict:
         body = {"n": t.n}
     elif isinstance(t, S.FilterRange):
         body = {"keep": list(t.keep.intervals)}
+    elif isinstance(t, S.FilterStrSentinel):
+        body = {"sentinel": t.sentinel}
     elif isinstance(t, S.SelectRange):
         body = {"keep": list(t.keep.intervals), "substitute": t.substitute}
     elif isinstance(t, S.Cast):

@@ -322,6 +322,22 @@ class SelectRange(Transform):
 
 
 @dataclasses.dataclass(frozen=True)
+class FilterStrSentinel(Transform):
+    """Drop (compact away) STRING values equal to ``sentinel`` before any
+    hashing/vocab mapping — the reference's Addons>GatherStrValueGenIndice
+    (keep values != not_equal attr, generate compacted indices;
+    gather_str_value_gen_indice_ops.cc:31-58).  Lives on the string plane,
+    so the id-interval algebra treats it as range-neutral (out_range
+    default) and it must precede the chain's string->int transform."""
+
+    sentinel: str
+
+    @property
+    def kind(self) -> str:
+        return "gather"
+
+
+@dataclasses.dataclass(frozen=True)
 class Cast(Transform):
     """dtype cast; a Keep op for the interval algebra."""
 

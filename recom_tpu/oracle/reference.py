@@ -33,6 +33,7 @@ from recom_tpu.ir.spec import (
     FeatureColumn,
     FeatureKind,
     FilterRange,
+    FilterStrSentinel,
     HashBucket,
     HostEvalChain,
     IdentityTransform,
@@ -291,6 +292,21 @@ def apply_transform(t: Transform, sp: SparseFeature) -> SparseFeature:
         v = np.asarray(sp.values, dtype=np.int64)
         mask = t.keep.membership_mask(v)
         sp.values = np.where(mask, v, np.int64(t.substitute))
+        return sp
+    if isinstance(t, FilterStrSentinel):
+        # keep values != sentinel on the STRING plane (the reference's
+        # Addons>GatherStrValueGenIndice, gather_str_value_gen_indice_
+        # ops.cc:31-58); bytes and str entries compare by decoded text
+        want = t.sentinel
+        mask = np.asarray([
+            (v.decode() if isinstance(v, (bytes, np.bytes_)) else str(v))
+            != want
+            for v in sp.values
+        ], dtype=bool)
+        sp.values = [v for v, m in zip(sp.values, mask) if m]
+        sp.row_ids = sp.row_ids[mask]
+        if sp.weights is not None:
+            sp.weights = sp.weights[mask]
         return sp
     if isinstance(t, HostEvalChain):
         sp.values = _host_eval_steps(sp.values, t.steps)

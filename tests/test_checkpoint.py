@@ -5,8 +5,8 @@ from recom_tpu.ir.serde import model_from_json, model_to_json
 from recom_tpu.ir.intervals import IntervalSet
 from recom_tpu.ir.spec import (
     Combiner, FeatureColumn, FeatureKind, FeatureSource, FilterRange,
-    HashBucket, LookupSpec, ModelSpec, SelectRange, TableSpec, TowerSpec,
-    VocabLookup,
+    FilterStrSentinel, HashBucket, LookupSpec, ModelSpec, SelectRange,
+    TableSpec, TowerSpec, VocabLookup,
 )
 from recom_tpu.models import make_random_batch
 from recom_tpu.models.synthetic import make_dlrm_model
@@ -25,7 +25,8 @@ def test_spec_json_roundtrip():
         FeatureColumn(
             "vocab_col",
             FeatureSource("vc", FeatureKind.STRING_LIST),
-            (VocabLookup(["a", "b"], num_oov=2),
+            (FilterStrSentinel("NA"),
+             VocabLookup(["a", "b"], num_oov=2),
              SelectRange(IntervalSet.closed(0, 3), 0),
              FilterRange(IntervalSet.closed(0, 2))),
             LookupSpec("emb_bucketize0", Combiner.SQRTN),

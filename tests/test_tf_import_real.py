@@ -2037,3 +2037,103 @@ def test_import_reference_dlrm_saved_model(tmp_path):
     np.testing.assert_allclose(
         np.sort(got, axis=1), np.sort(want, axis=1), rtol=1e-4, atol=1e-5
     )
+
+
+def test_import_string_sentinel_filter_vs_real_tf():
+    """String-plane sentinel filter (the reference's
+    Addons>GatherStrValueGenIndice: keep values != not_equal, regenerate
+    indices — gather_str_value_gen_indice_ops.cc:31-58).  A real TF1 graph
+    filters split pieces != "NA" via the NotEqual+Where+Gather idiom
+    before hashing; the import must carry a FilterStrSentinel on the
+    string plane (BEFORE HashBucket) and serve bit-exact vs the session."""
+    from recom_tpu.ir.spec import FilterStrSentinel, HashBucket
+
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        rng = np.random.default_rng(5)
+        sp_in = tf1.placeholder(tf.string, [None], name="tags")
+        sp = tf1.string_split(sp_in, sep=";")
+        mask = tf.not_equal(sp.values, tf.constant("NA"))
+        keep = tf.where(mask)                      # [n, 1] int64
+        vals = tf.gather_nd(sp.values, keep)
+        idxs = tf.gather_nd(sp.indices, keep)
+        filtered = tf.sparse.SparseTensor(idxs, tf.strings.to_hash_bucket_fast(
+            vals, 97), sp.dense_shape)
+        table = tf1.get_variable(
+            "emb_tags", shape=[97, 4],
+            initializer=tf1.random_normal_initializer(seed=3),
+        )
+        pooled = tf.nn.safe_embedding_lookup_sparse(
+            table, filtered, combiner="mean", default_id=None,
+            name="tags_pool",
+        )
+        # a second, unfiltered hash column so the output concat has >1 input
+        b_in = tf1.placeholder(tf.string, [None], name="cat")
+        ids2 = tf.reshape(
+            tf.strings.to_hash_bucket_fast(b_in, 31), [-1, 1]
+        )
+        table2 = tf1.get_variable(
+            "emb_cat", shape=[31, 4],
+            initializer=tf1.random_normal_initializer(seed=4),
+        )
+        pooled2 = tf.reduce_mean(tf.gather(table2, ids2), axis=1)
+        out = tf.concat([pooled, pooled2], axis=1, name="out")
+
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            rows = []
+            for _ in range(12):
+                pieces = ["t%d" % v for v in rng.integers(
+                    0, 10**4, rng.integers(0, 5))]
+                # plant the sentinel in ~half the rows, incl. sentinel-only
+                if rng.random() < 0.5:
+                    pieces.insert(
+                        int(rng.integers(0, len(pieces) + 1)), "NA"
+                    )
+                rows.append(";".join(pieces))
+            rows[0] = "NA"          # sentinel-only row -> empty -> zeros
+            rows[1] = "NA;NA"
+            feed = {
+                sp_in: np.asarray(rows),
+                b_in: np.asarray(
+                    ["c%d" % v for v in rng.integers(0, 999, 12)]
+                ),
+            }
+            want = sess.run(out, feed)
+            frozen = tf1.graph_util.convert_variables_to_constants(
+                sess, g.as_graph_def(), ["out"]
+            )
+
+    model, weights = import_tf_graphdef(
+        frozen.SerializeToString(), name="str_sentinel"
+    )
+    tags_col = next(
+        c for c in model.columns if c.source.kind.name == "STRING_LIST"
+    )
+    # the filter must sit on the string plane, BEFORE the hash (a trailing
+    # FilterRange from safe_embedding's ids>=0 prune may follow — the
+    # interval passes drop it as a no-op at compile)
+    kinds = [type(t).__name__ for t in tags_col.transforms]
+    assert kinds[:2] == ["FilterStrSentinel", "HashBucket"], kinds
+    assert tags_col.transforms[0].sentinel == "NA"
+
+    params = init_model_params(model)
+    for t, w in weights.items():
+        params["tables"][t] = w
+    eng = Engine(
+        model, EngineConfig(use_pallas=False, batch_buckets=(16,)),
+        params=params,
+    )
+    batch = {"tags": feed[sp_in], "cat": feed[b_in]}
+    out2 = eng.predict(batch, return_pooled=True)
+    cat_col = next(
+        c for c in model.columns
+        if c.source.kind.name == "STRING" and c is not tags_col
+    )
+    np.testing.assert_array_equal(
+        out2["pooled"][tags_col.name], want[:, :4], err_msg="filtered tags"
+    )
+    np.testing.assert_array_equal(
+        out2["pooled"][cat_col.name], want[:, 4:], err_msg="cat"
+    )
