@@ -57,8 +57,26 @@ class ServingPipeline:
         self.engine = engine
         self.fetch_outputs = fetch_outputs
         self.retries = max(0, int(retries))
+        # ADMISSION CONTROL for host prep: more concurrent preps than the
+        # host has cores is pure thrash — on the 1-core serving hosts here,
+        # 8 concurrent preps ran 3.4x SLOWER in aggregate than 4
+        # (THROUGHPUT_r03: 23.2k ex/s at 4 workers -> 6.8k at 8).  Cap the
+        # prep pool at cores + 2 (the +2 keeps prep overlapped with
+        # GIL-releasing dispatch/RPC waits); extra submissions queue in
+        # the pool instead of degrading each other, so offered load beyond
+        # the knee PLATEAUS (the reference harness's behavior under its
+        # serve-workers sweep, recom_examples.patch:217-227).
+        import os as _os
+
+        cores = _os.cpu_count() or 1
+        try:
+            cores = len(_os.sched_getaffinity(0)) or cores
+        except (AttributeError, OSError):
+            pass
+        self.effective_prep_workers = max(1, min(prep_workers, cores + 2))
         self._pool = ThreadPoolExecutor(
-            max_workers=prep_workers, thread_name_prefix="recom-prep"
+            max_workers=self.effective_prep_workers,
+            thread_name_prefix="recom-prep",
         )
         self._inflight = threading.Semaphore(max_inflight)
         self._dispatch_lock = threading.Lock()

@@ -91,3 +91,27 @@ def test_pipeline_retries_transient_failures():
                 pass
     finally:
         ServingPipeline._dispatch = orig
+
+
+def test_prep_admission_cap():
+    """ServingPipeline bounds concurrent host preps at cores + 2: beyond
+    that, extra prep threads on a saturated host degrade EACH OTHER
+    (THROUGHPUT_r03: 4 -> 8 workers collapsed 23.2k -> 6.8k ex/s on a
+    1-core host).  Submissions past the cap queue instead of thrashing."""
+    import os
+
+    from recom_tpu.runtime.server import ServingPipeline
+
+    m = _small_model()
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32,)))
+    cores = len(os.sched_getaffinity(0)) or (os.cpu_count() or 1)
+    with ServingPipeline(eng, prep_workers=64, max_inflight=64) as pipe:
+        assert pipe.effective_prep_workers == min(64, cores + 2)
+        assert pipe._pool._max_workers == pipe.effective_prep_workers
+        # the pipeline still serves correctly at over-subscribed offered load
+        batches = [make_random_batch(m, 32, seed=500 + i) for i in range(6)]
+        outs = [pipe.submit(b) for b in batches]
+        for f in outs:
+            assert f.result() is not None
+    with ServingPipeline(eng, prep_workers=2, max_inflight=2) as pipe:
+        assert pipe.effective_prep_workers == 2   # explicit small asks hold
