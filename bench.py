@@ -257,10 +257,16 @@ def main():
                     help="headline stays model E; F/criteo for the other "
                          "BASELINE configs")
     ap.add_argument("--pallas-ab", action="store_true",
-                    help="A/B the fused bucketize+one-hot Pallas kernel "
-                         "(host_bucketize=False) against the default "
-                         "host-bucketize path on the chosen model/batch; "
-                         "prints one JSON artifact and exits")
+                    help="three-arm bucketize A/B (host_bucketize / XLA "
+                         "device_bucketize / fused Pallas kernel) on the "
+                         "chosen model/batch; prints one JSON artifact "
+                         "and exits")
+    ap.add_argument("--arms-ab", nargs="+", default=None,
+                    metavar="ARM",
+                    help="measure serving arms and exit: any of "
+                         "host, xla_bz, fused_bz, dev_hash, dev_all "
+                         "(staging/kernel config matrix; records device, "
+                         "prep, sync, async-loop, wire bytes per arm)")
     args = ap.parse_args()
 
     # Watchdog: the tunnel transport can stall indefinitely mid-RPC
@@ -372,38 +378,86 @@ def main():
 
     np_params = init_model_params(model)
 
-    if args.pallas_ab:
-        # VERDICT r02 item 4: put the fused bucketize+one-hot kernel on
-        # trial in a recorded A/B — device-resident step latency AND host
-        # prep cost for both routings of the 880 bucketize columns
-        # (host_bucketize=True prepares ids on host; False ships raw f32
-        # and fuses bucketize into the one-hot megakernel,
-        # ops/lookup_pallas.py:81-125 — EmitInputInline's analogue)
-        out = {"model": model.name, "batch": args.batch, "arms": {}}
-        for label, hb in (("host_bucketize", True), ("fused_kernel", False)):
+    # Staging/kernel config matrix (VERDICT r03 items 1 and 9): each arm
+    # is one routing of the feature-column work between host, wire, and
+    # device.  The three *_bz arms isolate the bucketize placement (the
+    # fused Pallas kernel's true competitor is XLA device_bucketize, not
+    # the host path); the dev_* arms put the device-side string
+    # split+FarmHash staging (ops/hash_device.py) on trial.
+    _ARM_CONFIGS = {
+        "host": dict(),
+        "xla_bz": dict(host_bucketize=False, use_pallas=False),
+        "fused_bz": dict(host_bucketize=False),
+        "dev_hash": dict(device_hash=True),
+        "dev_all": dict(device_hash=True, host_bucketize=False),
+    }
+    arms = args.arms_ab
+    if args.pallas_ab and arms is None:
+        arms = ["host", "xla_bz", "fused_bz"]
+    if arms is not None:
+        bad = [a for a in arms if a not in _ARM_CONFIGS]
+        if bad:
+            raise SystemExit(f"unknown arms {bad}; choose from "
+                             f"{sorted(_ARM_CONFIGS)}")
+        out = {
+            "model": model.name, "batch": args.batch, "arms": {},
+            "cmd": f"python bench.py --model {args.model} "
+                   f"--batch {args.batch} --arms-ab {' '.join(arms)}",
+        }
+        seed_base = [5000]
+        for label in arms:
+            t0 = time.perf_counter()
             e = Engine(
-                model, EngineConfig(host_bucketize=hb), params=np_params
+                model, EngineConfig(**_ARM_CONFIGS[label]),
+                params=np_params,
             )
-            dev_s, dev_w, _, _, _ = device_windows(
-                e, [batch] + [
-                    make_random_batch(model, args.batch, seed=100 + i)
-                    for i in range(min(30, args.iters))
-                ]
+            fresh = [
+                make_random_batch(model, args.batch, seed=seed_base[0] + i)
+                for i in range(min(30, args.iters) + 12)
+            ]
+            seed_base[0] += len(fresh)
+            dev_s, dev_w, _, prep0, _ = device_windows(
+                e, [batch] + fresh[:min(30, args.iters)]
             )
+            compile_s = time.perf_counter() - t0
             prep_s, prep_w = time_windows(
                 lambda: e.prepare(batch), max(5, args.iters // 5), warmup=2
             )
+            # async serving loop + strict sync on fresh content (the
+            # serving-relevant number: transfer overlaps with prep here)
+            rest = fresh[min(30, args.iters):]
+            warm, a_bats, s_bats = rest[:2], rest[2:8], rest[8:]
+            async_s, async_w, _ = loop_windows(
+                e, warm, a_bats, confirm_every=8, windows=2
+            )
+            sync_s, sync_w, _ = loop_windows(
+                e, [], s_bats, confirm_every=1, windows=2
+            )
+            wire_bytes = None
+            if "blob" in prep0.arrays:
+                wire_bytes = int(prep0.arrays["blob"].nbytes)
             out["arms"][label] = {
                 "device_latency_ms": round(dev_s * 1e3, 3),
                 "device_windows_ms": dev_w,
                 "host_prep_ms": round(prep_s * 1e3, 3),
                 "host_prep_windows_ms": prep_w,
-                "request_ms": round((dev_s + prep_s) * 1e3, 3),
+                "request_ms_sync": round(sync_s * 1e3, 3),
+                "sync_windows_ms": sync_w,
+                "request_ms_async": round(async_s * 1e3, 3),
+                "async_windows_ms": async_w,
+                "examples_per_s_async": round(args.batch / async_s, 1),
+                "wire_bytes_per_step": wire_bytes,
+                "warm_compile_s": round(compile_s, 1),
             }
-        a = out["arms"]["host_bucketize"]["request_ms"]
-        b = out["arms"]["fused_kernel"]["request_ms"]
-        out["winner"] = "fused_kernel" if b < a else "host_bucketize"
-        out["fused_vs_host"] = round(a / b, 3)
+        best = min(
+            out["arms"], key=lambda k: out["arms"][k]["request_ms_async"]
+        )
+        out["winner"] = best
+        ref_arm = arms[0]
+        out["winner_vs_first_arm"] = round(
+            out["arms"][ref_arm]["request_ms_async"]
+            / out["arms"][best]["request_ms_async"], 3,
+        )
         print(json.dumps(out))
         return
 
@@ -474,6 +528,7 @@ def main():
     windows_by = {}
     serve_retry_w = None
     per_request_ms = {}
+    loop_retries = {}
     if not args.no_serve:
         per_mode = max(4, args.iters // 5) * 5
         # three serving modes, every request confirmed, fresh content per
@@ -481,12 +536,55 @@ def main():
         # transfer client spins the only core, async loop when dispatch
         # overlap is free, thread pipeline on multi-core hosts)
         warm = fresh_batches(2)
-        s, w, req_sync = loop_windows(eng, warm, fresh_batches(per_mode),
-                                      confirm_every=1)
+        for wb in warm:                     # warm signatures + hints once
+            p = eng.prepare(wb)
+            jax.block_until_ready(
+                eng._get_jitted(p.signature)(eng.device_params, p.arrays)[
+                    "output"
+                ]
+            )
+
+        def measured_loop(name, confirm_every):
+            """loop_windows + tunnel-squall retry (VERDICT r03 item 4):
+            a regime shift inside the per-request trace (last-third median
+            > 2x first-third), window drift > 1.5, or a median window 3x
+            the best window means the measurement straddled a transient
+            stall — remeasure once on fresh content, keep the better
+            median, and record the DISCARDED run."""
+            s, w, req = loop_windows(
+                eng, [], fresh_batches(per_mode), confirm_every=confirm_every
+            )
+            drift = w[-1] / w[0] if w and w[0] else 1.0
+            shift = 1.0
+            if len(req) >= 9:
+                k = len(req) // 3
+                first = float(np.median(req[:k]))
+                shift = float(np.median(req[-k:])) / first if first else 1.0
+            reasons = []
+            if drift > 1.5:
+                reasons.append(f"window_drift={round(drift, 2)}")
+            if shift > 2.0:
+                reasons.append(f"regime_shift={round(shift, 2)}")
+            if w and s * 1e3 > 3 * min(w):
+                reasons.append("median_3x_best_window")
+            if reasons:
+                s2, w2, req2 = loop_windows(
+                    eng, [], fresh_batches(per_mode),
+                    confirm_every=confirm_every,
+                )
+                keep_first = s <= s2
+                loop_retries[name] = {
+                    "reasons": reasons,
+                    "discarded_windows_ms": w2 if keep_first else w,
+                }
+                if not keep_first:
+                    s, w, req = s2, w2, req2
+            return s, w, req
+
+        s, w, req_sync = measured_loop("serving_sync_loop", 1)
         candidates["serving_sync_loop"] = s
         windows_by["serving_sync_loop"] = w
-        s, w, req_async = loop_windows(eng, warm, fresh_batches(per_mode),
-                                       confirm_every=8)
+        s, w, req_async = measured_loop("serving_async_loop", 8)
         candidates["serving_async_loop"] = s
         windows_by["serving_async_loop"] = w
         per_request_ms = {"serving_sync_loop": req_sync,
@@ -590,6 +688,7 @@ def main():
                     },
                     "serve_per_request_ms": per_request_ms,
                     "serve_squall_retry_windows_ms": serve_retry_w,
+                    "serve_loop_squall_retries": loop_retries or None,
                     "request_latency_sync_ms": round(e2e_s * 1e3, 3),
                     "request_latency_sync_windows_ms": e2e_w,
                     "device_latency_ms": round(dev_s * 1e3, 3),

@@ -71,6 +71,16 @@ class EngineConfig:
     # 4x less wire traffic for bucketize columns at ~the same host cost.
     # Off restores the device bucketize / fused Pallas one-hot path.
     host_bucketize: bool = True
+    # hash string features ON DEVICE (ops/hash_device.py): the wire ships
+    # raw NUL-padded string bytes and the TPU splits + FarmHashes them
+    # itself via XLA's exact u64 emulation — removing the dominant
+    # host-prep cost (model E: ~1.0 ms/request of split+hash on the single
+    # serving core vs 0.02 ms of device compute).  Applies to the
+    # unweighted single-HashBucket string classes (fixed strings and
+    # single-byte-delimited lists); everything else keeps host prep.
+    # Per-request fallback to host hashing when a row/piece exceeds the
+    # device kernel's byte caps.  Wire-pack path only.
+    device_hash: bool = False
 
     # --- kernel selection ---
     # tables with vocab <= this use the MXU one-hot matmul megakernel path;
@@ -148,6 +158,9 @@ class EngineConfig:
         self.pre_lookup_opt = _env_bool("RECOM_TPU_PRE_LOOKUP_OPT", self.pre_lookup_opt)
         self.lookup_opt = _env_bool("RECOM_TPU_LOOKUP_OPT", self.lookup_opt)
         self.use_pallas = _env_bool("RECOM_TPU_CODEGEN", self.use_pallas)
+        self.device_hash = _env_bool(
+            "RECOM_TPU_DEVICE_HASH", self.device_hash
+        )
         self.batch_buckets = tuple(sorted(self.batch_buckets))
         self.rowlen_buckets = tuple(sorted(self.rowlen_buckets))
         if not self.batch_buckets or self.batch_buckets[0] < 1:

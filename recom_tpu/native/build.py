@@ -130,6 +130,10 @@ def _declare(lib: ctypes.CDLL):
     lib.rt_split_count_multi.argtypes = [
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64
     ]
+    lib.rt_split_scan_multi.restype = c.c_int64
+    lib.rt_split_scan_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p
+    ]
     lib.rt_split_hash_multi.restype = c.c_int64
     lib.rt_split_hash_multi.argtypes = [
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
@@ -159,6 +163,11 @@ def _declare(lib: ctypes.CDLL):
     lib.rt_copy_f32_multi.restype = None
     lib.rt_copy_f32_multi.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, c.c_void_p, c.c_int64
+    ]
+    lib.rt_copy_bytes_multi.restype = None
+    lib.rt_copy_bytes_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
+        c.c_int64, c.c_int64,
     ]
     lib.rt_parse_criteo.restype = c.c_int64
     lib.rt_parse_criteo.argtypes = [

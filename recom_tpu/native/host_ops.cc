@@ -416,6 +416,81 @@ int64_t rt_split_count_multi(const uint8_t** bufs, const int64_t* widths,
   return maxp;
 }
 
+// One-pass scan for DEVICE-hash staging (runtime/wire.py device_hash):
+// per delimited column group, record both the max piece COUNT (sizes the
+// rowlen bucket) and the max piece LENGTH (gates the device kernel's
+// 64-byte straight-line FarmHash — longer pieces fall back to host
+// hashing for the request).  Returns max pieces; *out_max_len gets the
+// max piece byte length.
+int64_t rt_split_scan_multi(const uint8_t** bufs, const int64_t* widths,
+                            const uint8_t* delims, int64_t n_cols,
+                            int64_t batch, int64_t* out_max_len) {
+  std::vector<int64_t> maxp(n_cols, 0), maxl(n_cols, 0);
+  ParallelColumns(n_cols, 4, [&, bufs, widths, delims](int64_t c) {
+    const uint8_t* buf = bufs[c];
+    const int64_t width = widths[c];
+    const uint8_t delim = delims[c];
+    int64_t mp = 0, ml = 0;
+#ifdef RECOM_AVX512
+    // one masked pass per 64B chunk: popcount the delimiter mask for the
+    // piece count, iterate set bits only to track the max gap (piece
+    // length) — ~3 ops per DELIMITER instead of per byte
+    const __m512i vd = _mm512_set1_epi8(static_cast<char>(delim));
+    for (int64_t i = 0; i < batch; ++i) {
+      const uint8_t* p = buf + i * width;
+      const size_t len = FixedLenSimd(p, width);
+      if (len == 0) continue;
+      int64_t pieces = 1;
+      size_t start = 0;
+      for (size_t base = 0; base < len; base += 64) {
+        const size_t chunk = len - base >= 64 ? 64 : len - base;
+        const __mmask64 loadm =
+            chunk == 64 ? ~0ULL : ((1ULL << chunk) - 1);
+        const __m512i v = _mm512_maskz_loadu_epi8(loadm, p + base);
+        uint64_t m = _mm512_mask_cmpeq_epi8_mask(loadm, v, vd);
+        pieces += __builtin_popcountll(m);
+        while (m) {
+          const size_t j = base + __builtin_ctzll(m);
+          m &= m - 1;
+          const int64_t pl = static_cast<int64_t>(j - start);
+          if (pl > ml) ml = pl;
+          start = j + 1;
+        }
+      }
+      const int64_t tail = static_cast<int64_t>(len - start);
+      if (tail > ml) ml = tail;
+      if (pieces > mp) mp = pieces;
+    }
+#else
+    for (int64_t i = 0; i < batch; ++i) {
+      const uint8_t* p = buf + i * width;
+      size_t len = FixedLen(p, width);
+      if (len == 0) continue;
+      int64_t pieces = 1;
+      size_t start = 0;
+      for (size_t j = 0; j <= len; ++j) {
+        if (j == len || p[j] == delim) {
+          const int64_t pl = static_cast<int64_t>(j - start);
+          if (pl > ml) ml = pl;
+          if (j < len) ++pieces;
+          start = j + 1;
+        }
+      }
+      if (pieces > mp) mp = pieces;
+    }
+#endif
+    maxp[c] = mp;
+    maxl[c] = ml;
+  });
+  int64_t p = 0, l = 0;
+  for (int64_t c = 0; c < n_cols; ++c) {
+    if (maxp[c] > p) p = maxp[c];
+    if (maxl[c] > l) l = maxl[c];
+  }
+  *out_max_len = l;
+  return p;
+}
+
 // Split+hash for several columns; out: [n_cols, batch, rowlen] int32,
 // -1 padded.  Returns max piece count seen (diagnostic).
 int64_t rt_split_hash_multi(const uint8_t** bufs, const int64_t* widths,
@@ -1123,6 +1198,27 @@ void rt_copy_f32_multi(const float** xs, int64_t n_cols, int64_t batch,
                        float* out, int64_t stride) {
   for (int64_t c = 0; c < n_cols; ++c)
     std::memcpy(out + c * stride, xs[c], batch * sizeof(float));
+}
+
+// Stage 'S'-layout string columns into a zeroed [n_cols, Bp, w_out] u8
+// view for device-side hashing (wire device_hash): column c's rows copy
+// at their natural width widths[c] (<= w_out), w_out - widths[c] NUL pad
+// bytes per row left untouched.  One call per class instead of a Python
+// strided-copy loop per column (~3us numpy overhead each at 70 columns).
+void rt_copy_bytes_multi(const uint8_t** bufs, const int64_t* widths,
+                         int64_t n_cols, int64_t batch, uint8_t* out,
+                         int64_t stride_rows, int64_t w_out) {
+  for (int64_t c = 0; c < n_cols; ++c) {
+    const uint8_t* src = bufs[c];
+    const int64_t w = widths[c];
+    uint8_t* dst = out + c * stride_rows * w_out;
+    if (w == w_out) {
+      std::memcpy(dst, src, static_cast<size_t>(batch) * w);
+      continue;
+    }
+    for (int64_t i = 0; i < batch; ++i)
+      std::memcpy(dst + i * w_out, src + i * w, w);
+  }
 }
 
 }  // extern "C"

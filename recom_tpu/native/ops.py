@@ -203,6 +203,30 @@ def split_count_multi(
     )
 
 
+def split_scan_multi(
+    arrays: List[np.ndarray], delims: Sequence[bytes]
+) -> Optional[Tuple[int, int]]:
+    """(max piece count, max piece byte length) over several delimited
+    columns in one pass — sizes the rowlen bucket AND gates device-side
+    hashing (pieces past the device kernel's 64-byte cap route the group
+    to host hashing for the request).  None when the native lib is
+    missing (callers fall back to the pure count + conservative length)."""
+    lib = get_lib()
+    if lib is None or not arrays:
+        return None
+    ptrs = _ptr_array(arrays)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    dl = np.asarray([d[0] for d in delims], np.uint8)
+    ml = np.zeros(1, np.int64)
+    mp = int(
+        lib.rt_split_scan_multi(
+            ptrs.ctypes.data, widths.ctypes.data, dl.ctypes.data,
+            len(arrays), arrays[0].shape[0], ml.ctypes.data,
+        )
+    )
+    return mp, int(ml[0])
+
+
 def split_hash_multi(
     arrays: List[np.ndarray],
     delims: Sequence[bytes],
@@ -461,6 +485,25 @@ def copy_f32_multi(
         ptrs.ctypes.data, len(arrays), batch, out.ctypes.data,
         out.strides[0] // 4,
     )
+
+
+def copy_bytes_multi(
+    arrays: List[np.ndarray], out: np.ndarray, batch: int
+) -> bool:
+    """Stage 'S'-layout string columns into out[:, :batch, :itemsize]
+    (out: [n_cols, Bp, W] u8 view) in one native call.  Returns False when
+    the native lib is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None or not arrays:
+        return False
+    _check_rows(arrays, batch)
+    ptrs, keep = _in_ptrs(arrays, _PTR_ANY, None, 0)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    lib.rt_copy_bytes_multi(
+        ptrs.ctypes.data, widths.ctypes.data, len(arrays), batch,
+        out.ctypes.data, out.shape[1], out.shape[2],
+    )
+    return True
 
 
 def split_count_max(values: np.ndarray, delimiter: str) -> int:

@@ -121,9 +121,11 @@ class Engine:
             enable_persistent_compilation_cache(
                 os.path.join(self.config.cache_dir, "xla")
             )
-        if self.config.exact_combiner_math:
+        if self.config.exact_combiner_math or self.config.device_hash:
             # TPU hw div/sqrt are not correctly rounded; combiner divisors
-            # go through emulated f64 (see ops/lookup_xla.exact_div)
+            # go through emulated f64 (see ops/lookup_xla.exact_div).
+            # device_hash additionally needs real u64 (ops/hash_device):
+            # without x64, jnp.uint64 silently degrades to uint32.
             jax.config.update("jax_enable_x64", True)
         self.model, self.pass_report = run_passes(model, self.config)
         self.compiled: CompiledModel = lower_model(self.model, self.config)
@@ -595,8 +597,11 @@ class Engine:
         if "blob" in arrays:
             from recom_tpu.runtime.wire import unpack_blob
 
-            bp, rowlens = signature
-            arrays = unpack_blob(self.compiled, arrays["blob"], bp, rowlens)
+            bp, rowlens = signature[0], signature[1]
+            wsig = signature[2] if len(signature) > 2 else ()
+            arrays = unpack_blob(
+                self.compiled, arrays["blob"], bp, rowlens, wsig
+            )
         grouped, pooled_list, overflow = self._embedding_forward(
             params, arrays, lossless_comm=lossless_comm
         )

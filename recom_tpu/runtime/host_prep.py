@@ -191,14 +191,21 @@ def host_ids_for_member(
 class PreparedBatch:
     """Packed arrays + the static shape signature they were packed for."""
 
-    def __init__(self, batch_size, batch_padded, rowlens, arrays):
+    def __init__(self, batch_size, batch_padded, rowlens, arrays, wsig=()):
         self.batch_size = batch_size
         self.batch_padded = batch_padded
         self.rowlens = rowlens          # tuple, one per group (1 if dense)
         self.arrays = arrays            # pytree fed to the jitted function
+        # device-hash wire variant: per-group (fixed-string byte width,
+        # delimited byte width) buckets, 0 = class hashed on host this
+        # request (runtime/wire.py).  () when device_hash is off — the
+        # signature then keeps its 2-tuple shape.
+        self.wsig = tuple(wsig)
 
     @property
-    def signature(self) -> Tuple[int, Tuple[int, ...]]:
+    def signature(self):
+        if self.wsig:
+            return (self.batch_padded, self.rowlens, self.wsig)
         return (self.batch_padded, self.rowlens)
 
 

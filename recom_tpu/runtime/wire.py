@@ -113,17 +113,26 @@ def wire_layout(
     bp: int,
     rowlens: Tuple[int, ...],
     host_bucketize: bool,
+    wsig: Tuple = (),
 ) -> WireLayout:
-    """Blob layout for one shape signature (cached on the CompiledModel)."""
+    """Blob layout for one shape signature (cached on the CompiledModel).
+
+    ``wsig``: device-hash variant — per-group (ws, wd) byte-width buckets.
+    ws > 0 moves the fixed-string class (host indices [n_int, n_int+n_str))
+    out of host_ids into a raw "str_bytes" view the device hashes itself;
+    wd > 0 does the same for the delimited class ([fast_lo, fast_lo+n_fast)
+    -> "split_bytes").  Remaining host members stay in a SHRUNK host_ids
+    view, prefix+suffix concatenated in member order."""
     cache = getattr(compiled, "_wire_cache", None)
     if cache is None:
         cache = {}
         compiled._wire_cache = cache
-    key = (bp, tuple(rowlens), host_bucketize)
+    key = (bp, tuple(rowlens), host_bucketize, tuple(wsig))
     hit = cache.get(key)
     if hit is not None:
         return hit
 
+    plans = _plan(compiled) if wsig else None
     views: List[WireView] = []
     off = 0
 
@@ -136,10 +145,12 @@ def wire_layout(
         return v
 
     add("dense", -1, np.float32, (compiled.n_dense, bp))
-    for g, rl in zip(compiled.groups, rowlens):
+    for gi, (g, rl) in enumerate(zip(compiled.groups, rowlens)):
         rl = rl if g.ragged else 1
         n_host = len(g.members) - g.n_bucketize
         bz_dt, ids_dt = _group_dtypes(g)
+        ws, wd = wsig[gi] if wsig else (0, 0)
+        p = plans[gi] if plans is not None else None
         if g.has_weights and g.ragged and n_host:
             add("weights", g.gid, np.float32, (n_host, bp, rl))
         if g.n_bucketize:
@@ -147,8 +158,15 @@ def wire_layout(
                 add("bz_ids", g.gid, bz_dt, (g.n_bucketize, bp))
             else:
                 add("raw_bz", g.gid, np.float32, (g.n_bucketize, bp))
-        if n_host:
-            add("host_ids", g.gid, ids_dt, (n_host, bp, rl))
+        n_rem = n_host
+        if ws:
+            add("str_bytes", g.gid, np.uint8, (p.n_str, bp, ws))
+            n_rem -= p.n_str
+        if wd:
+            add("split_bytes", g.gid, np.uint8, (p.n_fast, bp, wd))
+            n_rem -= p.n_fast
+        if n_rem:
+            add("host_ids", g.gid, ids_dt, (n_rem, bp, rl))
     layout = WireLayout(views, (off + 7) & ~7)
     cache[key] = layout
     return layout
@@ -162,6 +180,38 @@ def wire_layout(
 
 
 _INT_LUT_SIZE = 1024
+
+# device-hash staging (config.device_hash): padded byte-width buckets for
+# the raw string views.  Each bucket is align4(itemsize + 4) slack so the
+# device kernel's unaligned u32 word fetches stay inside the row
+# (ops/hash_device.py); a small ladder keeps the jit-signature space
+# bounded (same reasoning as the batch/rowlen ladders).
+_WIRE_WBUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+_DEVICE_PIECE_CAP = 64      # straight-line FarmHash covers <= 64B pieces
+
+
+def _wbucket(itemsize: int) -> int:
+    """Padded width bucket for an 'S<itemsize>' column class, or 0 when no
+    bucket fits (the class falls back to host hashing this request)."""
+    need = ((itemsize + 4 + 3) // 4) * 4
+    for b in _WIRE_WBUCKETS:
+        if b >= need:
+            return b
+    return 0
+
+
+def _fill_bytes(view: np.ndarray, arrs: List[np.ndarray], bs: int) -> None:
+    """Copy 'S'-layout rows into a zeroed [n, Bp, W] u8 view (rows past
+    each column's itemsize and past bs stay NUL — the device reads them
+    as empty).  One native call per class; numpy strided copies as the
+    no-toolchain fallback."""
+    from recom_tpu.native import ops as native_ops
+
+    if native_ops.copy_bytes_multi(arrs, view, bs):
+        return
+    for c, a in enumerate(arrs):
+        w = a.dtype.itemsize
+        view[c, :bs, :w] = a.view(np.uint8).reshape(a.shape[0], w)[:bs]
 
 
 @dataclasses.dataclass
@@ -448,6 +498,9 @@ def prepare_batch_wire(
         _t0 = t
 
     # ---- phase 1: slow-member evaluation + ragged rowlen resolution -----
+    dh = bool(getattr(config, "device_hash", False))
+    wsig: List[Tuple[int, int]] = []
+    str_arrs: Dict[int, List[np.ndarray]] = {}
     memo: Optional[Dict] = {} if config.dedup_subcolumns else None
     slow_sps: Dict[int, List] = {}          # gid -> [(host idx, sp)]
     rowlens: List[int] = []
@@ -456,6 +509,23 @@ def prepare_batch_wire(
     for p, g in zip(plans, compiled.groups):
         if not p.ragged:
             rowlens.append(1)
+            ws = 0
+            if dh and p.n_str:
+                # fixed-string class -> device hash when every feed is a
+                # contiguous 'S' array short enough for the straight-line
+                # kernel (row = one piece, so itemsize caps piece length)
+                arrs_s = []
+                for f in p.str_fields:
+                    a = _as_s_array(batch[f])
+                    if a is None or a.dtype.itemsize > _DEVICE_PIECE_CAP:
+                        arrs_s = None
+                        break
+                    arrs_s.append(a)
+                if arrs_s:
+                    ws = _wbucket(max(a.dtype.itemsize for a in arrs_s))
+                    if ws:
+                        str_arrs[p.gid] = arrs_s
+            wsig.append((ws, 0))
             continue
         slow_max = 1
         sps = []
@@ -491,6 +561,26 @@ def prepare_batch_wire(
         slow_bucket = pick_bucket(
             config.rowlen_buckets, slow_max, config.allow_truncate_overflow
         )
+        if dh and arrs and not p.has_weights:
+            # device-hash staging: ONE scan yields the exact rowlen (no
+            # optimistic-hint redo) AND the max piece length that gates
+            # the device kernel.  Weighted groups stay on host (their
+            # weights plane derives from host-computed ids).
+            scan = native_ops.split_scan_multi(arrs, p.fast_delims)
+            if scan is not None:
+                maxp, maxl = scan
+                rowlens.append(
+                    pick_bucket(
+                        config.rowlen_buckets, max(slow_max, maxp, 1),
+                        config.allow_truncate_overflow,
+                    )
+                )
+                optimistic[p.gid] = False
+                wd = 0
+                if maxl <= _DEVICE_PIECE_CAP:
+                    wd = _wbucket(max(a.dtype.itemsize for a in arrs))
+                wsig.append((0, wd))
+                continue
         override = (_rowlen_overrides or {}).get(p.gid)
         hint = (rowlen_hints or {}).get(p.gid)
         if override is not None:
@@ -516,11 +606,13 @@ def prepare_batch_wire(
         else:
             rowlens.append(slow_bucket)
             optimistic[p.gid] = False
+        wsig.append((0, 0))
 
     _mark("prep.rowlen")
 
     # ---- phase 2: allocate blob, fill views ------------------------------
-    layout = wire_layout(compiled, bp, tuple(rowlens), host_bz)
+    wsig_t: Tuple = tuple(wsig) if dh else ()
+    layout = wire_layout(compiled, bp, tuple(rowlens), host_bz, wsig_t)
     blob = np.zeros(layout.total_bytes, dtype=np.uint8)
     by_key = {(v.gid, v.name): v for v in layout.views}
     _mark("prep.alloc")             # layout compute + blob zero-fill
@@ -551,7 +643,8 @@ def prepare_batch_wire(
     _mark("prep.dense")
 
     redo: Dict[int, int] = {}
-    for p, g, rl in zip(plans, compiled.groups, rowlens):
+    for gi, (p, g, rl) in enumerate(zip(plans, compiled.groups, rowlens)):
+        ws, wd = wsig_t[gi] if wsig_t else (0, 0)
         truncate = config.allow_truncate_overflow
         if p.n_bz:
             # raw arrays: bucketize_multi/copy_f32_multi validate and
@@ -571,12 +664,18 @@ def prepare_batch_wire(
         n_host = len(g.members) - p.n_bz
         if not n_host:
             continue
-        ids_v = layout.view_np(blob, by_key[(p.gid, "host_ids")])
-        if bs < bp:
-            ids_v[:, bs:] = -1
+        ids_v = None
+        hk = by_key.get((p.gid, "host_ids"))
+        if hk is not None:
+            ids_v = layout.view_np(blob, hk)
+            if bs < bp:
+                ids_v[:, bs:] = -1
         if not p.ragged:
             # contiguous class ranges (lowering._host_class sort): ints
-            # [0, n_int), strings [n_int, n_int+n_str), generic tail
+            # [0, n_int), strings [n_int, n_int+n_str), generic tail.
+            # Under device-hash staging (ws > 0) the string class leaves
+            # host_ids for a raw byte view; remaining rows shift: host
+            # index i maps to view row i (ints) / i - n_str (rest).
             if p.n_int:
                 native_ops.hash_int_multi_out(
                     [batch[f] for f in p.int_fields], p.int_buckets,
@@ -586,7 +685,13 @@ def prepare_batch_wire(
                 )
                 _mark("prep.int")
             str_rest: List[Tuple[int, object]] = []
-            if p.n_str:
+            if p.n_str and ws:
+                _fill_bytes(
+                    layout.view_np(blob, by_key[(p.gid, "str_bytes")]),
+                    str_arrs[p.gid], bs,
+                )
+                _mark("prep.strcpy")
+            elif p.n_str:
                 arrs = []
                 for f in p.str_fields:
                     a = _as_s_array(batch[f])
@@ -609,8 +714,9 @@ def prepare_batch_wire(
                     ]
             for i, m in list(p.rest) + str_rest:
                 sp = host_ids_for_member(m, batch, memo)
+                row = i - p.n_str if (ws and i >= p.n_int) else i
                 _pack_sparse_into(
-                    ids_v[i], None, sp, 1, bp, truncate,
+                    ids_v[row], None, sp, 1, bp, truncate,
                     cap=m.vocab_size - 1,
                 )
             if p.rest or str_rest:
@@ -620,7 +726,15 @@ def prepare_batch_wire(
             if p.has_weights:
                 weights_v = layout.view_np(blob, by_key[(p.gid, "weights")])
             arrs = fast_arrs[p.gid]
-            if arrs:
+            if arrs and wd:
+                # device-hash staging: raw rows cross the wire; the device
+                # splits + hashes them (unpack_blob -> ops/hash_device)
+                _fill_bytes(
+                    layout.view_np(blob, by_key[(p.gid, "split_bytes")]),
+                    arrs, bs,
+                )
+                _mark("prep.splitcpy")
+            elif arrs:
                 # fast delimited members are host indices
                 # [fast_lo, fast_lo + n_fast) — ragged-forced class-0/1
                 # members sort before them and are packed via p.rest
@@ -642,8 +756,11 @@ def prepare_batch_wire(
             for i, sp in slow_sps[p.gid]:
                 slow_i.add(i)
                 w_out = weights_v[i] if weights_v is not None else None
+                # under device-hash staging the fast run left host_ids:
+                # host index i >= fast_lo + n_fast shifts down by n_fast
+                row = i - p.n_fast if (wd and i >= p.fast_lo) else i
                 _pack_sparse_into(
-                    ids_v[i], w_out, sp, rl, bp, truncate,
+                    ids_v[row], w_out, sp, rl, bp, truncate,
                     cap=host_members[i].vocab_size - 1,
                 )
             if slow_sps[p.gid]:
@@ -678,7 +795,9 @@ def prepare_batch_wire(
     if timers is not None:
         for cls, dt in _marks.items():
             timers.add(cls, dt)
-    return PreparedBatch(bs, bp, tuple(rowlens), {"blob": blob})
+    return PreparedBatch(
+        bs, bp, tuple(rowlens), {"blob": blob}, wsig=wsig_t
+    )
 
 
 def _pack_sparse_into(
@@ -763,15 +882,22 @@ def unpack_blob(
     blob,
     bp: int,
     rowlens: Tuple[int, ...],
+    wsig: Tuple = (),
 ):
     """blob uint8[total] -> the structured {"dense", "groups"} pytree the
     executor's forward consumes.  Id views are widened to int32 here (XLA
-    fuses the cast; downstream kernels are dtype-uniform)."""
+    fuses the cast; downstream kernels are dtype-uniform).
+
+    Under device-hash staging (``wsig``), the raw str_bytes/split_bytes
+    views are split + FarmHashed HERE (ops/hash_device.py, exact u64) and
+    merged back into a full host_ids tensor in member order — downstream
+    device code is identical either way."""
     import jax.numpy as jnp
     from jax import lax
 
     host_bz = getattr(compiled.config, "host_bucketize", True)
-    layout = wire_layout(compiled, bp, tuple(rowlens), host_bz)
+    layout = wire_layout(compiled, bp, tuple(rowlens), host_bz, tuple(wsig))
+    plans = _plan(compiled) if wsig else None
 
     def get(v: WireView):
         sl = lax.slice(blob, (v.offset,), (v.offset + v.nbytes,))
@@ -789,11 +915,42 @@ def unpack_blob(
     by_key = {(v.gid, v.name): v for v in layout.views}
     dense = get(by_key[(-1, "dense")])
     groups = []
-    for g in compiled.groups:
+    for gi, g in enumerate(compiled.groups):
         arrs = {}
         for name in ("raw_bz", "bz_ids", "host_ids", "weights"):
             v = by_key.get((g.gid, name))
             if v is not None:
                 arrs[name] = get(v)
+        ws, wd = wsig[gi] if wsig else (0, 0)
+        if ws or wd:
+            from recom_tpu.ops import hash_device as hd
+
+            p = plans[gi]
+            host = arrs.get("host_ids")
+            if ws:
+                sids = hd.fixed_hash_ids(
+                    get(by_key[(g.gid, "str_bytes")]),
+                    jnp.asarray(p.str_buckets),
+                )[..., None]                        # [n_str, Bp, 1]
+                pre = host[: p.n_int] if host is not None else None
+                suf = host[p.n_int :] if host is not None else None
+            else:
+                rl = rowlens[gi]
+                sids = hd.split_hash_ids(
+                    get(by_key[(g.gid, "split_bytes")]),
+                    jnp.asarray(p.fast_delims_np),
+                    jnp.asarray(p.fast_buckets),
+                    rowlen=rl,
+                )                                   # [n_fast, Bp, rl]
+                pre = host[: p.fast_lo] if host is not None else None
+                suf = host[p.fast_lo :] if host is not None else None
+            parts = [
+                x for x in (pre, sids, suf)
+                if x is not None and x.shape[0]
+            ]
+            arrs["host_ids"] = (
+                parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=0)
+            )
         groups.append(arrs)
     return {"dense": dense, "groups": groups}

@@ -76,7 +76,8 @@ def _tf_cpu_cell(tfn, make_feed, batches, iters=3):
     return float(np.median(lats))
 
 
-def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
+def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
+                naive_arm: bool = False):
     import numpy as np
 
     from recom_tpu import Engine, EngineConfig
@@ -95,6 +96,15 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
         tf_fn, tf_feed = build_tf_baseline(model, np_params)
     except Exception as e:  # pragma: no cover - env without TF
         print(f"TF baseline unavailable: {e!r}")
+
+    naive_fn = None
+    if naive_arm:
+        # the TF-GPU analogue arm (VERDICT r03 missing #1): the same model
+        # per-column unfused on the same chip — vs_naive_tpu isolates what
+        # the COMPILER buys from what the hardware buys
+        from recom_tpu.tools.naive_tpu import build_naive_fn
+
+        naive_fn = build_naive_fn(model)
 
     for bs in batches:
         # distinct inputs: bounded total example volume so data generation
@@ -141,6 +151,21 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3):
             tf_s = _tf_cpu_cell(tf_fn, tf_feed, bats, iters=tf_iters)
             row["tf_cpu_ms"] = round(tf_s * 1e3, 2)
             row["vs_tf_cpu"] = round(tf_s / async_s, 2)
+        if naive_fn is not None:
+            from recom_tpu.tools.naive_tpu import measure_naive
+
+            # DISTINCT content: the transport's upload cache would flatter
+            # the naive arm's per-array transfers if it replayed the
+            # framework cells' batches
+            nbats = _distinct_batches(
+                model, bs, min(12, n) + 1, seed0=900_000 + bs
+            )
+            nrow = measure_naive(model, np_params, nbats, bs, fn=naive_fn)
+            row["naive_tpu_ms"] = nrow["request_ms_async"]
+            row["naive_warm_compile_s"] = nrow["warm_compile_s"]
+            row["vs_naive_tpu"] = round(
+                nrow["request_ms_async"] / (async_s * 1e3), 2
+            )
         out_rows.append(row)
         print(json.dumps(row))
     out_rows.append(
@@ -215,18 +240,26 @@ def main():
     ap.add_argument("--workers", nargs="+", type=int, default=[2, 4, 8])
     ap.add_argument("--batch", type=int, default=512,
                     help="batch size for --workers-sweep")
+    ap.add_argument("--naive-arm", action="store_true",
+                    help="also measure the per-column unfused naive-TPU "
+                         "arm at every cell (vs_naive_tpu column — the "
+                         "TF-GPU analogue, tools/naive_tpu.py)")
     ap.add_argument("--out", default=None, help="write JSON artifact here")
     args = ap.parse_args()
 
+    import sys
+
+    cmd = "python -m recom_tpu.tools.ae_sweep " + " ".join(sys.argv[1:])
     rows: list = []
     if args.workers_sweep:
         for name in args.models:
             workers_sweep(name, args.batch, args.inputs, args.workers, rows)
-        doc = {"throughput_sweep": rows}
+        doc = {"cmd": cmd, "throughput_sweep": rows}
     else:
         for name in args.models:
-            sweep_model(name, args.batches, args.inputs, rows)
-        doc = {"sweep": rows}
+            sweep_model(name, args.batches, args.inputs, rows,
+                        naive_arm=args.naive_arm)
+        doc = {"cmd": cmd, "sweep": rows}
     out = json.dumps(doc, indent=1)
     if args.out:
         with open(args.out, "w") as f:

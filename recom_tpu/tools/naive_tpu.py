@@ -161,12 +161,15 @@ def build_naive_fn(model):
 
 
 def measure_naive(model, np_params, batches: List[Dict], batch_size: int,
-                  sanity_engine=None) -> Dict:
+                  sanity_engine=None, fn=None) -> Dict:
     """Async-loop protocol over distinct batches (same confirm-every-8
-    measurement as the framework's AE cells).  Returns the cell row."""
+    measurement as the framework's AE cells).  Returns the cell row.
+    Pass a prebuilt ``fn`` (build_naive_fn) when sweeping several batch
+    sizes so jit's per-shape cache is shared across cells."""
     import jax
 
-    fn = build_naive_fn(model)
+    if fn is None:
+        fn = build_naive_fn(model)
     tables = {k: np.asarray(v, np.float32)
               for k, v in np_params["tables"].items()}
     tower = np_params["tower"]

@@ -136,6 +136,18 @@ def sweep(
                 "efficiency": round(rate / base_rate, 3),
             }
         )
+    # efficiency vs the FIRST comm-paying mesh (m=1 skips collectives
+    # entirely, so rate(m)/rate(1) conflates collective cost with the
+    # emulation overhead of running collectives at all — VERDICT r03
+    # item 3a): the m>=2 ratio isolates how collective cost GROWS
+    base2 = next((r["examples_per_s"] for r in results
+                  if r["model_axis"] >= 2), None)
+    if base2:
+        for r in results:
+            if r["model_axis"] >= 2:
+                r["efficiency_vs_m2"] = round(
+                    r["examples_per_s"] / base2, 3
+                )
     return results
 
 
@@ -182,6 +194,123 @@ def wire_model(
     }
 
 
+def ici_roofline(
+    wire: dict, m: int, device_step_s: float, ici_gbps: float
+) -> dict:
+    """Projected real-hardware scaling efficiency from the analytic comm
+    volume (VERDICT r03 item 3b).
+
+    The CPU-mesh sweep measures collectives under host-thread EMULATION —
+    its 19-21% "efficiency" is emulation overhead, not the algorithm.  On
+    a real slice the comm cost is bytes/ICI-bandwidth.  Given the measured
+    single-chip device step time (the per-device compute that weak scaling
+    holds constant) and the per-device bytes the exchange moves, project:
+
+      serial bound:  eff = t_compute / (t_compute + t_comm)
+      overlap bound: eff = t_compute / max(t_compute, t_comm)
+
+    ``ici_gbps``: per-chip ICI bandwidth in GB/s (v5e public spec: 1600
+    Gbps = 200 GB/s aggregate per chip; override --ici-gbps for other
+    generations)."""
+    bytes_dev = wire.get("bytes_per_device", 0)
+    if not bytes_dev or m <= 1 or device_step_s <= 0:
+        return {}
+    t_comm = bytes_dev / (ici_gbps * 1e9)
+    return {
+        "bytes_per_device": bytes_dev,
+        "t_comm_ms": round(t_comm * 1e3, 4),
+        "t_compute_ms": round(device_step_s * 1e3, 4),
+        "ici_gbps_assumed": ici_gbps,
+        "projected_efficiency_serial": round(
+            device_step_s / (device_step_s + t_comm), 3
+        ),
+        "projected_efficiency_overlap": round(
+            min(1.0, device_step_s / max(device_step_s, t_comm)), 3
+        ),
+    }
+
+
+def allgather_elision_probe(args) -> dict:
+    """VERDICT r03 item 3c: does the trailing pooled all-gather vanish
+    when the consumer accepts (data, model)-sharded batch rows?
+
+    all_to_all_group_pooled already RETURNS its pooled output sharded
+    P((data, model)) (all_to_all_lookup.py out_specs) — whether an
+    all-gather materializes is decided by the consumer GSPMD compiles
+    against.  Compile two programs on the mesh and COUNT all-gather ops
+    in the optimized HLO: (a) a tower-like consumer that is happy with
+    any batch sharding (matmul with replicated weights), (b) a consumer
+    that demands replicated output.  (a) must compile with fewer
+    all-gathers over the model axis."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recom_tpu.parallel import all_to_all_group_pooled, make_mesh
+    from recom_tpu.parallel.sharded_lookup import (
+        pad_rows_to_multiple,
+        stripe_rows,
+    )
+
+    n_dev = len(jax.devices())
+    m = min(4, n_dev)
+    if m < 2:
+        return {"skipped": f"need >= 2 devices, have {n_dev}"}
+    mesh = make_mesh((1, m))
+    rng = np.random.default_rng(0)
+    rows = args.rows_per_shard * m
+    dim, cols = args.dim, args.columns
+    table = stripe_rows(
+        pad_rows_to_multiple(
+            rng.standard_normal((rows, dim)).astype(np.float32), m
+        ), m,
+    )
+    per_col = rows // cols
+    offs = (np.arange(cols) * per_col).astype(np.int32)
+    code = np.zeros((cols,), np.int32)
+    ids = rng.integers(
+        0, per_col, size=(args.batch, cols, 1)
+    ).astype(np.int32)
+    w = rng.standard_normal((cols * dim, 8)).astype(np.float32)
+
+    td = jax.device_put(
+        jnp.asarray(table), NamedSharding(mesh, P("model", None))
+    )
+    idd = jax.device_put(
+        jnp.asarray(ids), NamedSharding(mesh, P("data", None, None))
+    )
+    wd = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P()))
+
+    def tower_consumer(t, i, wt):
+        pooled, ov = all_to_all_group_pooled(mesh, t, i, offs, code)
+        flat = pooled.reshape(pooled.shape[0], cols * dim)
+        return jnp.sum(flat @ wt), ov     # batch-sharding-agnostic
+
+    def replicated_consumer(t, i):
+        pooled, ov = all_to_all_group_pooled(mesh, t, i, offs, code)
+        rep = jax.lax.with_sharding_constraint(
+            pooled, NamedSharding(mesh, P("data", None, None))
+        )                                  # force model-axis replication
+        return rep, ov
+
+    out = {"model_axis": m}
+    for name, fn, fargs in (
+        ("sharded_consumer", tower_consumer, (td, idd, wd)),
+        ("replicated_consumer", replicated_consumer, (td, idd)),
+    ):
+        lowered = jax.jit(fn).lower(*fargs)
+        hlo = lowered.compile().as_text()
+        out[name] = {
+            "allgather_ops": hlo.count("all-gather"),
+            "alltoall_ops": hlo.count("all-to-all"),
+        }
+    out["allgather_elided"] = (
+        out["sharded_consumer"]["allgather_ops"]
+        < out["replicated_consumer"]["allgather_ops"]
+    )
+    return out
+
+
 def run_artifact(args) -> dict:
     """Both comm strategies + wire models, one JSON artifact
     (SCALING_r*.json — VERDICT r01 missing #4: a committed scaling
@@ -206,12 +335,30 @@ def run_artifact(args) -> dict:
             batch=args.batch, n_columns=args.columns,
             rowlen=args.rowlen, iters=args.iters, comm=comm,
         )
+        t1 = next(
+            (r["latency_ms"] / 1e3 for r in rows if r["model_axis"] == 1),
+            0.0,
+        )
+        device_step_s = args.device_step_ms / 1e3 or t1
         for r in rows:
             r["wire"] = wire_model(
                 r["model_axis"], args.batch, args.columns, args.rowlen,
                 args.dim, comm,
             )
+            rl = ici_roofline(
+                r["wire"], r["model_axis"], device_step_s, args.ici_gbps
+            )
+            if rl:
+                r["ici_roofline"] = rl
         out["sweeps"][comm] = rows
+    out["roofline_note"] = (
+        "CPU-mesh efficiency measures collective EMULATION on host "
+        "threads, not the algorithm; ici_roofline projects real-slice "
+        "efficiency from the analytic per-device comm bytes vs ICI "
+        "bandwidth, anchored on --device-step-ms (measured single-chip "
+        "device step; falls back to the m=1 sweep latency of THIS host)."
+    )
+    out["allgather_elision"] = allgather_elision_probe(args)
     return out
 
 
@@ -228,6 +375,13 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--comm", default="all_to_all",
                     choices=["all_to_all", "psum", "both"])
+    ap.add_argument("--ici-gbps", type=float, default=200.0,
+                    help="per-chip ICI bandwidth GB/s for the roofline "
+                         "(default: v5e public 1600 Gbps)")
+    ap.add_argument("--device-step-ms", type=float, default=0.0,
+                    help="measured single-chip device step (ms) anchoring "
+                         "the roofline (e.g. BENCH device_latency_ms); "
+                         "0 = use the m=1 sweep latency of this host")
     ap.add_argument("--artifact", default=None,
                     help="write both-strategy JSON artifact to this path")
     args = ap.parse_args()

@@ -239,3 +239,70 @@ def test_wire_fast_run_offset_with_ragged_forced_hash_members():
                  params=params).predict(batch, return_pooled=True)
     for k in ref["pooled"]:
         np.testing.assert_array_equal(out["pooled"][k], ref["pooled"][k])
+
+
+@pytest.mark.parametrize("host_bucketize", [True, False])
+def test_wire_device_hash_matches_structured_bitexact(host_bucketize):
+    """device_hash staging (raw string bytes + on-device FarmHash) is a
+    pure re-encoding too: outputs bit-identical to the structured path on
+    the kitchen sink (fixed strings, delimited sparse incl. a 2^20-bucket
+    column, weighted/softmax groups falling back to host)."""
+    model = make_kitchen_sink()
+    batch = make_random_batch(model, 37, seed=11)
+    params = init_model_params(model)
+
+    ref = Engine(
+        model, EngineConfig(wire_pack=False), params=params
+    ).predict(batch, return_pooled=True, return_concat=True)
+    eng = Engine(
+        model,
+        EngineConfig(wire_pack=True, host_bucketize=host_bucketize,
+                     device_hash=True),
+        params=params,
+    )
+    out = eng.predict(batch, return_pooled=True, return_concat=True)
+
+    assert np.array_equal(out["output"], ref["output"])
+    assert np.array_equal(out["concat"], ref["concat"])
+    for k in ref["pooled"]:
+        assert np.array_equal(out["pooled"][k], ref["pooled"][k]), k
+    # the staging actually engaged: some group ships raw bytes
+    sig = eng.prepare(batch).signature
+    assert len(sig) == 3 and any(ws or wd for ws, wd in sig[2]), sig
+
+
+def test_wire_device_hash_long_piece_falls_back_to_host():
+    """A request whose delimited pieces exceed the device kernel's 64-byte
+    cap must route that group through host hashing (wd == 0) and still be
+    bit-exact; a later normal request re-engages device hashing."""
+    model = make_kitchen_sink()
+    params = init_model_params(model)
+    eng_ref = Engine(model, EngineConfig(wire_pack=False), params=params)
+    eng = Engine(
+        model, EngineConfig(wire_pack=True, device_hash=True), params=params
+    )
+
+    long_batch = make_random_batch(model, 16, seed=5)
+    # 'big' lives in an unweighted ragged group (weighted groups stay on
+    # host by design — their weights plane derives from host ids)
+    long_batch["big"] = np.asarray(
+        ["x" * 80 + ";yy", "ok;fine", "z" * 100] + ["a;b"] * 13, dtype="S"
+    )
+    prep = eng.prepare(long_batch)
+    gi = next(
+        i for i, g in enumerate(eng.compiled.groups)
+        if any(m.column.name == "big" for m in g.members)
+    )
+    assert prep.wsig[gi][1] == 0, prep.wsig     # host fallback this request
+    out = eng.predict(long_batch, return_pooled=True)
+    ref = eng_ref.predict(long_batch, return_pooled=True)
+    for k in ref["pooled"]:
+        assert np.array_equal(out["pooled"][k], ref["pooled"][k]), k
+
+    ok_batch = make_random_batch(model, 16, seed=6)
+    prep2 = eng.prepare(ok_batch)
+    assert prep2.wsig[gi][1] > 0, prep2.wsig    # device hashing re-engaged
+    out2 = eng.predict(ok_batch, return_pooled=True)
+    ref2 = eng_ref.predict(ok_batch, return_pooled=True)
+    for k in ref2["pooled"]:
+        assert np.array_equal(out2["pooled"][k], ref2["pooled"][k]), k
