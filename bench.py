@@ -401,8 +401,9 @@ def main():
                              f"{sorted(_ARM_CONFIGS)}")
         out = {
             "model": model.name, "batch": args.batch, "arms": {},
-            "cmd": f"python bench.py --model {args.model} "
-                   f"--batch {args.batch} --arms-ab {' '.join(arms)}",
+            "cmd": "python bench.py"
+                   + (" --smoke" if args.smoke else f" --model {args.model}")
+                   + f" --batch {args.batch} --arms-ab {' '.join(arms)}",
         }
         seed_base = [5000]
         for label in arms:

@@ -161,6 +161,9 @@ class EngineConfig:
         self.device_hash = _env_bool(
             "RECOM_TPU_DEVICE_HASH", self.device_hash
         )
+        self.persistent_compilation_cache = _env_bool(
+            "RECOM_TPU_PERSIST_CACHE", self.persistent_compilation_cache
+        )
         self.batch_buckets = tuple(sorted(self.batch_buckets))
         self.rowlen_buckets = tuple(sorted(self.rowlen_buckets))
         if not self.batch_buckets or self.batch_buckets[0] < 1:
