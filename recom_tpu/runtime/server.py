@@ -60,9 +60,12 @@ class ServingPipeline:
         # ADMISSION CONTROL for host prep: more concurrent preps than the
         # host has cores is pure thrash — on the 1-core serving hosts here,
         # 8 concurrent preps ran 3.4x SLOWER in aggregate than 4
-        # (THROUGHPUT_r03: 23.2k ex/s at 4 workers -> 6.8k at 8).  Cap the
-        # prep pool at cores + 2 (the +2 keeps prep overlapped with
-        # GIL-releasing dispatch/RPC waits); extra submissions queue in
+        # (THROUGHPUT_r03: 23.2k ex/s at 4 workers -> 6.8k at 8), and even
+        # THREE degraded 2-3x vs two (model F: 161.6k ex/s at 2 preps ->
+        # 50.4k at 3 — host prep is many ~20-50us GIL-bouncing native
+        # calls, so extra threads convoy instead of overlapping).  Cap the
+        # prep pool at cores + 1: N CPU-bound preps + one overlapping the
+        # GIL-releasing dispatch/RPC waits.  Extra submissions queue in
         # the pool instead of degrading each other, so offered load beyond
         # the knee PLATEAUS (the reference harness's behavior under its
         # serve-workers sweep, recom_examples.patch:217-227).
@@ -73,7 +76,7 @@ class ServingPipeline:
             cores = len(_os.sched_getaffinity(0)) or cores
         except (AttributeError, OSError):
             pass
-        self.effective_prep_workers = max(1, min(prep_workers, cores + 2))
+        self.effective_prep_workers = max(1, min(prep_workers, cores + 1))
         self._pool = ThreadPoolExecutor(
             max_workers=self.effective_prep_workers,
             thread_name_prefix="recom-prep",

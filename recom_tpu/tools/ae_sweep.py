@@ -175,7 +175,14 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
 
 def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
     """serve_workers throughput sweep (reference AE/build_and_run.py:73-80):
-    N prep workers feed one engine through ServingPipeline."""
+    N prep workers feed one engine through ServingPipeline.
+
+    Rungs are INTERLEAVED within each measurement window: the tunnel here
+    shows multi-minute 2-4x weather regimes (r04 first recording: the
+    SAME pipeline config measured 143.6k then 46.8k ex/s in consecutive
+    rungs), so measuring rung-after-rung attributes weather to worker
+    count.  Round-robining rung chunks inside every window exposes each
+    rung to the same weather, making the ladder comparison fair."""
     import numpy as np
 
     from recom_tpu import Engine, EngineConfig
@@ -185,39 +192,58 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
     model = _make_model(name)
     np_params = init_model_params(model)
     eng = Engine(model, EngineConfig(), params=np_params)
-    for nw in workers:
-        # seed varies per arm: identical content across arms would be
-        # served from the transport's (program, inputs) execution cache
-        # after the first arm runs it
-        bats = _distinct_batches(model, batch, n_inputs + 2,
-                                 seed0=77_000 + nw * 7_919)
-        with ServingPipeline(
-            eng, prep_workers=nw, max_inflight=24, fetch_outputs=False
-        ) as pipe:
+    windows = 5
+    per = max(2, n_inputs // windows)
+    pipes = {}
+    chunks = {}
+    try:
+        for nw in workers:
+            pipes[nw] = ServingPipeline(
+                eng, prep_workers=nw, max_inflight=24, fetch_outputs=False
+            )
+            # seed varies per rung: identical content across rungs would
+            # be served from the transport's (program, inputs) execution
+            # cache after the first rung runs it
+            bats = _distinct_batches(
+                model, batch, windows * per + 2,
+                seed0=77_000 + nw * 7_919,
+            )
             for wb in bats[:2]:
-                pipe.submit(wb).result()
-            use = bats[2:]
-            windows = 5
-            per = max(1, len(use) // windows)
-            samples = []
-            for w in range(windows):
-                chunk = use[w * per : (w + 1) * per]
+                pipes[nw].submit(wb).result()
+            chunks[nw] = bats[2:]
+        samples = {nw: [] for nw in workers}
+        worker_list = list(workers)
+        for w in range(windows):
+            # rotate rung order per window: the first rung after a window
+            # boundary measures systematically faster on the tunnel
+            # (r04: the first-ordered rung won every window regardless of
+            # worker count) — rotation spreads the bias over all rungs
+            rot = worker_list[w % len(worker_list):] + \
+                worker_list[: w % len(worker_list)]
+            for nw in rot:
+                chunk = chunks[nw][w * per : (w + 1) * per]
                 if not chunk:
-                    break
+                    continue
                 t0 = time.perf_counter()
-                futs = [pipe.submit(b) for b in chunk]
+                futs = [pipes[nw].submit(b) for b in chunk]
                 for f in futs:
                     f.result()
-                samples.append((time.perf_counter() - t0) / len(chunk))
-        s = float(np.median(samples))
+                samples[nw].append(
+                    (time.perf_counter() - t0) / len(chunk)
+                )
+    finally:
+        for p in pipes.values():
+            p.close()
+    for nw in workers:
+        s = float(np.median(samples[nw]))
         row = {
             "model": model.name,
             "batch": batch,
             "serve_workers": nw,
             "examples_per_s": round(batch / s, 1),
             "request_ms": round(s * 1e3, 3),
-            "windows_ms": [round(x * 1e3, 3) for x in samples],
-            "protocol": "thread_pipeline",
+            "windows_ms": [round(x * 1e3, 3) for x in samples[nw]],
+            "protocol": "thread_pipeline(interleaved windows)",
         }
         out_rows.append(row)
         print(json.dumps(row))

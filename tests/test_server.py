@@ -94,10 +94,11 @@ def test_pipeline_retries_transient_failures():
 
 
 def test_prep_admission_cap():
-    """ServingPipeline bounds concurrent host preps at cores + 2: beyond
+    """ServingPipeline bounds concurrent host preps at cores + 1: beyond
     that, extra prep threads on a saturated host degrade EACH OTHER
-    (THROUGHPUT_r03: 4 -> 8 workers collapsed 23.2k -> 6.8k ex/s on a
-    1-core host).  Submissions past the cap queue instead of thrashing."""
+    (THROUGHPUT_r03: 4 -> 8 workers collapsed 23.2k -> 6.8k; r04: even 3
+    preps on 1 core ran 2-3x slower than 2).  Submissions past the cap
+    queue instead of thrashing."""
     import os
 
     from recom_tpu.runtime.server import ServingPipeline
@@ -106,7 +107,7 @@ def test_prep_admission_cap():
     eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(32,)))
     cores = len(os.sched_getaffinity(0)) or (os.cpu_count() or 1)
     with ServingPipeline(eng, prep_workers=64, max_inflight=64) as pipe:
-        assert pipe.effective_prep_workers == min(64, cores + 2)
+        assert pipe.effective_prep_workers == min(64, cores + 1)
         assert pipe._pool._max_workers == pipe.effective_prep_workers
         # the pipeline still serves correctly at over-subscribed offered load
         batches = [make_random_batch(m, 32, seed=500 + i) for i in range(6)]
