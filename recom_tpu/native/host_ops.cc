@@ -59,7 +59,8 @@ inline uint64_t HashLen16(uint64_t u, uint64_t v, uint64_t mul) {
   return b;
 }
 
-uint64_t HashLen0to16(const uint8_t* s, size_t len) {
+inline __attribute__((always_inline)) uint64_t HashLen0to16(
+    const uint8_t* s, size_t len) {
   if (len >= 8) {
     uint64_t mul = k2 + len * 2;
     uint64_t a = Fetch64(s) + k2;
@@ -128,8 +129,20 @@ U64Pair WeakHashLen32WithSeeds(const uint8_t* s, uint64_t a, uint64_t b) {
   return {a + z, b + c};
 }
 
-uint64_t Hash64(const uint8_t* s, size_t len) {
-  if (len <= 16) return HashLen0to16(s, len);
+uint64_t Hash64Long(const uint8_t* s, size_t len);
+
+// Hot-loop form: the <=16B case (the common piece/feature size) inlines at
+// every call site; longer strings take one call into the cold body.  The
+// split keeps the hash-bound prep loops free of a big-function call per
+// element (Hash64 was too large for gcc to inline, costing ~2x on the
+// fixed-string and split+hash kernels).
+inline __attribute__((always_inline)) uint64_t Hash64(const uint8_t* s,
+                                                      size_t len) {
+  if (__builtin_expect(len <= 16, 1)) return HashLen0to16(s, len);
+  return Hash64Long(s, len);
+}
+
+uint64_t Hash64Long(const uint8_t* s, size_t len) {
   if (len <= 32) return HashLen17to32(s, len);
   if (len <= 64) return HashLen33to64(s, len);
 
@@ -402,10 +415,21 @@ void rt_hash_fixed_multi(const uint8_t** bufs, const int64_t* widths,
   });
 }
 
+int64_t rt_split_scan_multi(const uint8_t** bufs, const int64_t* widths,
+                            const uint8_t* delims, int64_t n_cols,
+                            int64_t batch, int64_t* out_max_len);
+
 // Max piece count over several delimited fixed-width columns in one pass.
 int64_t rt_split_count_multi(const uint8_t** bufs, const int64_t* widths,
                              const uint8_t* delims, int64_t n_cols,
                              int64_t batch) {
+#ifdef RECOM_AVX512
+  // the SIMD scan (popcount per 64B compare mask) counts pieces ~4x
+  // faster than the scalar per-byte loop; the max piece LENGTH it also
+  // tracks is simply ignored here
+  int64_t ml = 0;
+  return rt_split_scan_multi(bufs, widths, delims, n_cols, batch, &ml);
+#else
   std::vector<int64_t> maxs(n_cols, 0);
   ParallelColumns(n_cols, 4, [&, bufs, widths, delims](int64_t c) {
     maxs[c] = rt_split_count_max(bufs[c], widths[c], batch, delims[c]);
@@ -414,6 +438,7 @@ int64_t rt_split_count_multi(const uint8_t** bufs, const int64_t* widths,
   for (int64_t m : maxs)
     if (m > maxp) maxp = m;
   return maxp;
+#endif
 }
 
 // One-pass scan for DEVICE-hash staging (runtime/wire.py device_hash):
@@ -934,33 +959,106 @@ void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
 // [0, lut_size) — TF's int hash is hash(decimal string), a pure function
 // of the value, so small non-negative ids (the common categorical case)
 // become one table load instead of format+hash+mod.
+extern "C++" {
+namespace {
+
+template <typename T>
+void HashIntColT(const int64_t* v, uint64_t nb, const int32_t* lut,
+                 int64_t lut_size, int64_t batch, T* o) {
+  uint8_t buf[24];
+  const FastMod mod(nb);
+  for (int64_t i = 0; i < batch; ++i) {
+    const int64_t x = v[i];
+    if (lut && static_cast<uint64_t>(x) < static_cast<uint64_t>(lut_size)) {
+      o[i] = static_cast<T>(lut[x]);
+      continue;
+    }
+    if (x == -1) {
+      o[i] = static_cast<T>(-1);
+      continue;
+    }
+    size_t len = FormatInt(x, buf);
+    o[i] = static_cast<T>(static_cast<int32_t>(mod(Hash64(buf, len))));
+  }
+}
+
+}  // namespace
+}  // extern "C++"
+
 void rt_hash_int_multi_out(const int64_t** vals, const int64_t* buckets,
                            const int32_t** luts, int64_t lut_size,
                            int64_t n_cols, int64_t batch, uint8_t* out,
                            int64_t stride, int64_t elem) {
   ParallelColumns(n_cols, 8, [=](int64_t c) {
-    uint8_t buf[24];
     const int64_t* v = vals[c];
-    const FastMod mod(static_cast<uint64_t>(buckets[c]));
+    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
     const int32_t* lut = luts ? luts[c] : nullptr;
     uint8_t* o = out + c * stride * elem;
-    for (int64_t i = 0; i < batch; ++i) {
-      const int64_t x = v[i];
-      if (lut && static_cast<uint64_t>(x) < static_cast<uint64_t>(lut_size)) {
-        WriteElem(o, elem, i, lut[x]);
-        continue;
-      }
-      if (x == -1) {
-        WriteElem(o, elem, i, -1);
-        continue;
-      }
-      size_t len = FormatInt(x, buf);
-      WriteElem(o, elem, i, static_cast<int32_t>(mod(Hash64(buf, len))));
+    switch (elem) {
+      case 1:
+        HashIntColT<int8_t>(v, nb, lut, lut_size, batch,
+                            reinterpret_cast<int8_t*>(o));
+        break;
+      case 2:
+        HashIntColT<int16_t>(v, nb, lut, lut_size, batch,
+                             reinterpret_cast<int16_t*>(o));
+        break;
+      default:
+        HashIntColT<int32_t>(v, nb, lut, lut_size, batch,
+                             reinterpret_cast<int32_t*>(o));
     }
   });
 }
 
 // Hash fixed-width string columns; column c writes to out + c*stride*elem.
+extern "C++" {
+namespace {
+
+inline size_t FixedLenHot(const uint8_t* p, int64_t width) {
+#ifdef RECOM_AVX512
+  return FixedLenSimd(p, width);
+#else
+  return FixedLen(p, width);
+#endif
+}
+
+// Templated on the output element so the loop carries no per-element
+// dispatch; 4-way unrolled so four independent FarmHash dependency chains
+// are in flight (the hash is latency-bound: ~25-cycle serial chain over
+// ~12 uops — the OoO window covers all four bodies).
+template <typename T>
+void HashFixedColT(const uint8_t* buf, int64_t w, uint64_t nb, int64_t batch,
+                   T* o) {
+  const FastMod mod(nb);
+  int64_t i = 0;
+  for (; i + 4 <= batch; i += 4) {
+    const uint8_t* p0 = buf + i * w;
+    const uint8_t* p1 = p0 + w;
+    const uint8_t* p2 = p1 + w;
+    const uint8_t* p3 = p2 + w;
+    const size_t l0 = FixedLenHot(p0, w);
+    const size_t l1 = FixedLenHot(p1, w);
+    const size_t l2 = FixedLenHot(p2, w);
+    const size_t l3 = FixedLenHot(p3, w);
+    const uint64_t h0 = Hash64(p0, l0);
+    const uint64_t h1 = Hash64(p1, l1);
+    const uint64_t h2 = Hash64(p2, l2);
+    const uint64_t h3 = Hash64(p3, l3);
+    o[i + 0] = static_cast<T>(static_cast<int32_t>(mod(h0)));
+    o[i + 1] = static_cast<T>(static_cast<int32_t>(mod(h1)));
+    o[i + 2] = static_cast<T>(static_cast<int32_t>(mod(h2)));
+    o[i + 3] = static_cast<T>(static_cast<int32_t>(mod(h3)));
+  }
+  for (; i < batch; ++i) {
+    const uint8_t* p = buf + i * w;
+    o[i] = static_cast<T>(
+        static_cast<int32_t>(mod(Hash64(p, FixedLenHot(p, w)))));
+  }
+}
+
+}  // namespace
+}  // extern "C++"
+
 void rt_hash_fixed_multi_out(const uint8_t** bufs, const int64_t* widths,
                              const int64_t* buckets, int64_t n_cols,
                              int64_t batch, uint8_t* out, int64_t stride,
@@ -968,16 +1066,20 @@ void rt_hash_fixed_multi_out(const uint8_t** bufs, const int64_t* widths,
   ParallelColumns(n_cols, 8, [=](int64_t c) {
     const uint8_t* buf = bufs[c];
     const int64_t w = widths[c];
-    const FastMod mod(static_cast<uint64_t>(buckets[c]));
+    const uint64_t nb = static_cast<uint64_t>(buckets[c]);
     uint8_t* o = out + c * stride * elem;
-    for (int64_t i = 0; i < batch; ++i) {
-      const uint8_t* p = buf + i * w;
-#ifdef RECOM_AVX512
-      const size_t len = FixedLenSimd(p, w);
-#else
-      const size_t len = FixedLen(p, w);
-#endif
-      WriteElem(o, elem, i, static_cast<int32_t>(mod(Hash64(p, len))));
+    switch (elem) {
+      case 1:
+        HashFixedColT<int8_t>(buf, w, nb, batch,
+                              reinterpret_cast<int8_t*>(o));
+        break;
+      case 2:
+        HashFixedColT<int16_t>(buf, w, nb, batch,
+                               reinterpret_cast<int16_t*>(o));
+        break;
+      default:
+        HashFixedColT<int32_t>(buf, w, nb, batch,
+                               reinterpret_cast<int32_t*>(o));
     }
   });
 }
@@ -994,18 +1096,30 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
   int64_t maxp = 0;
   const FastMod mod(static_cast<uint64_t>(num_buckets));
 #ifdef RECOM_AVX512
-  // delimiter positions come from 64-byte compare masks iterated by
-  // trailing-zero count (identical piece semantics to the scalar scan:
-  // empty rows contribute 0 pieces, empty pieces between delimiters DO
-  // hash — tf.strings.split behavior)
+  // Two-phase per row: (1) collect delimiter positions from 64-byte
+  // compare masks (ctz iteration — identical piece semantics to the
+  // scalar scan: empty rows contribute 0 pieces, empty pieces between
+  // delimiters DO hash, tf.strings.split behavior), (2) hash the pieces
+  // 4-way unrolled so four independent FarmHash chains are in flight.
+  // Splitting the phases keeps the unpredictable mask-bit loop free of
+  // the hash's long dependency chain and gives phase 2 a known trip
+  // count (predictable branches).
   const __m512i vd = _mm512_set1_epi8(static_cast<char>(delim));
+  // starts[k]..ends[k] delimit piece k (clipped to rowlen pieces — later
+  // pieces only bump the count, they are never hashed)
+  int32_t starts[256];
+  int32_t ends[256];
+  const int64_t kcap =
+      rowlen < static_cast<int64_t>(sizeof(starts) / sizeof(starts[0]))
+          ? rowlen
+          : static_cast<int64_t>(sizeof(starts) / sizeof(starts[0]));
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t* p = buf + i * width;
     const size_t len = FixedLenSimd(p, width);
     T* row = dst + i * rowlen;
     int64_t cnt = 0;
     if (len > 0) {
-      size_t start = 0;
+      int32_t start = 0;
       for (size_t base = 0; base < len; base += 64) {
         const size_t chunk = len - base >= 64 ? 64 : len - base;
         const __mmask64 loadm =
@@ -1013,19 +1127,54 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
         const __m512i v = _mm512_maskz_loadu_epi8(loadm, p + base);
         uint64_t m = _mm512_mask_cmpeq_epi8_mask(loadm, v, vd);
         while (m) {
-          const size_t j = base + __builtin_ctzll(m);
+          const int32_t j =
+              static_cast<int32_t>(base + __builtin_ctzll(m));
           m &= m - 1;
-          if (cnt < rowlen)
-            row[cnt] = static_cast<T>(
-                static_cast<int32_t>(mod(Hash64(p + start, j - start))));
+          if (cnt < kcap) {
+            starts[cnt] = start;
+            ends[cnt] = j;
+          } else if (cnt < rowlen) {
+            // rowlen beyond the collect buffer (rowlen_buckets > 256 —
+            // not a default ladder size): hash in place, same semantics
+            row[cnt] = static_cast<T>(static_cast<int32_t>(
+                mod(Hash64(p + start, static_cast<size_t>(j - start)))));
+          }
           ++cnt;
           start = j + 1;
         }
       }
-      if (cnt < rowlen)
-        row[cnt] = static_cast<T>(
-            static_cast<int32_t>(mod(Hash64(p + start, len - start))));
+      if (cnt < kcap) {
+        starts[cnt] = start;
+        ends[cnt] = static_cast<int32_t>(len);
+      } else if (cnt < rowlen) {
+        row[cnt] = static_cast<T>(static_cast<int32_t>(
+            mod(Hash64(p + start, len - static_cast<size_t>(start)))));
+      }
       ++cnt;
+      const int64_t np = cnt < kcap ? cnt : kcap;
+      int64_t k = 0;
+      for (; k + 4 <= np; k += 4) {
+        const uint64_t h0 =
+            Hash64(p + starts[k + 0],
+                   static_cast<size_t>(ends[k + 0] - starts[k + 0]));
+        const uint64_t h1 =
+            Hash64(p + starts[k + 1],
+                   static_cast<size_t>(ends[k + 1] - starts[k + 1]));
+        const uint64_t h2 =
+            Hash64(p + starts[k + 2],
+                   static_cast<size_t>(ends[k + 2] - starts[k + 2]));
+        const uint64_t h3 =
+            Hash64(p + starts[k + 3],
+                   static_cast<size_t>(ends[k + 3] - starts[k + 3]));
+        row[k + 0] = static_cast<T>(static_cast<int32_t>(mod(h0)));
+        row[k + 1] = static_cast<T>(static_cast<int32_t>(mod(h1)));
+        row[k + 2] = static_cast<T>(static_cast<int32_t>(mod(h2)));
+        row[k + 3] = static_cast<T>(static_cast<int32_t>(mod(h3)));
+      }
+      for (; k < np; ++k)
+        row[k] = static_cast<T>(static_cast<int32_t>(
+            mod(Hash64(p + starts[k],
+                       static_cast<size_t>(ends[k] - starts[k])))));
     }
     for (int64_t j = cnt < rowlen ? cnt : rowlen; j < rowlen; ++j)
       row[j] = static_cast<T>(-1);

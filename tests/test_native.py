@@ -72,6 +72,38 @@ def test_split_hash_padded_matches_python():
     assert ops.split_count_max(arr, ";") == maxp
 
 
+def test_split_hash_rowlen_past_collect_buffer():
+    """rowlen > 256 exceeds the wire kernel's piece-collect buffer
+    (host_ops.cc SplitHashPadT starts/ends arrays): pieces past the buffer
+    must still hash in place, identically to the scalar single-column
+    kernel and the Python oracle."""
+    from recom_tpu.oracle.hashing import hash_bucket_fast
+
+    rng = np.random.default_rng(9)
+    pieces = _rand_strings(50, maxlen=10, seed=11)
+    rows = []
+    for _ in range(40):
+        k = int(rng.integers(250, 290))      # straddles the 256 cap
+        rows.append(";".join(pieces[int(j)] or "q"
+                             for j in rng.integers(0, 50, k)))
+    rows.append("")
+    arr = np.array(rows, dtype="S")
+    rowlen = 300
+    if ops.get_lib() is None:
+        return
+    out = np.empty((1, len(rows), rowlen), np.int32)
+    maxp = ops.split_hash_multi_out(
+        [arr], np.asarray([ord(";")], np.uint8),
+        np.asarray([10007], np.int64), rowlen, out, len(rows),
+    )
+    ids_single, maxp_single = ops.split_hash_padded(arr, ";", 10007, rowlen)
+    assert maxp == maxp_single
+    np.testing.assert_array_equal(out[0], ids_single)
+    parts = rows[0].split(";")
+    exp = list(hash_bucket_fast(parts, 10007))
+    np.testing.assert_array_equal(out[0, 0, : len(parts)], exp)
+
+
 def test_split_empty_pieces_counted():
     # "a;;b" has 3 pieces incl the empty middle (tf.strings.split behavior)
     arr = np.array(["a;;b"], dtype="S")
