@@ -63,6 +63,51 @@ def time_windows(fn, iters, warmup=5, windows=5):
 # DISTINCT batches sequentially — no batch is dispatched twice.
 
 
+def _memcpy_floor_ms(eng, batch, batch_size, iters=40):
+    """Staging-only floor for host prep: push every request feed through
+    the native multi-column copy kernels (read once, write once) with no
+    hashing/bucketizing.  min-of-N quiet time in ms, or None when the
+    native lib is unavailable.  This is the single-core memory-traffic
+    term of host_prep_ms — the part no transform optimization can remove."""
+    from recom_tpu.native import ops as native_ops
+    from recom_tpu.runtime.wire import _plan
+
+    if native_ops.get_lib() is None:
+        return None
+    f32_fields, s_arrs = [], []
+    for p in _plan(eng.compiled):
+        f32_fields += list(p.bz_fields)
+        for f in p.int_fields:
+            s_arrs.append(np.asarray(batch[f]).view(np.uint8).reshape(
+                batch_size, -1))
+        for f in p.str_fields + p.fast_fields:
+            a = batch[f]
+            if isinstance(a, np.ndarray) and a.dtype.kind == "S":
+                s_arrs.append(a)
+    f32_fields += [f for f, _ in eng.compiled.dense_rows]
+    f32_rows = [batch[f] for f in f32_fields if np.asarray(
+        batch[f]).ndim == 1]
+    f32_out = np.empty((len(f32_rows), batch_size), np.float32)
+    w = max((a.dtype.itemsize if a.dtype.kind == "S" else a.shape[1])
+            for a in s_arrs) if s_arrs else 1
+    s_out = np.zeros((len(s_arrs), batch_size, w), np.uint8)
+    s_fixed = [a if a.dtype.kind == "S" else a.copy().view(
+        f"S{a.shape[1]}").reshape(-1) for a in s_arrs]
+
+    def floor_once():
+        native_ops.copy_f32_multi(f32_rows, f32_out, batch_size)
+        if s_fixed:
+            native_ops.copy_bytes_multi(s_fixed, s_out, batch_size)
+
+    ts = []
+    floor_once()
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        floor_once()
+        ts.append(time.perf_counter() - t0)
+    return round(min(ts) * 1e3, 3)
+
+
 from recom_tpu.tools.serve_loops import loop_windows  # noqa: E402
 # (shared with tools/ae_sweep.py so the AE artifact and the headline bench
 # measure with the SAME confirm-every-N protocol)
@@ -492,6 +537,11 @@ def main():
         k: v for k, v in eng.timers.summary().items()
         if k.startswith("prep.")
     }
+    # host-prep physical floor: stage every request input byte through the
+    # native copy kernels with ZERO transform work (read each feed once,
+    # write it once).  host_prep_ms / this ratio says how much of prep is
+    # irreducible single-core memory traffic vs hash/bucketize compute.
+    prep_floor_ms = _memcpy_floor_ms(eng, batch, args.batch)
 
     # effective embedding-lookup bandwidth floor (BASELINE metric): bytes
     # the grouped gathers stream per step / device-step time; conservative
@@ -697,6 +747,10 @@ def main():
                     "host_prep_ms": round(prep_s * 1e3, 3),
                     "host_prep_windows_ms": prep_w,
                     "host_prep_breakdown": prep_breakdown,
+                    # staging-only memory floor of host prep (see
+                    # _memcpy_floor_ms): prep time below this would require
+                    # not reading the request
+                    "host_prep_floor_memcpy_ms": prep_floor_ms,
                     "wire_bytes_per_step": wire_bytes,
                     "lookup_gbps_floor": round(lookup_gbps, 2),
                     "baseline": baseline_name,

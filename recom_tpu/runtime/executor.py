@@ -28,6 +28,31 @@ from recom_tpu.runtime.host_prep import PreparedBatch, prepare_batch
 from recom_tpu.utils.params import init_model_params
 
 
+_MALLOC_TUNED = False
+
+
+def _tune_malloc_for_serving() -> None:
+    """Raise glibc's mmap threshold so per-request wire blobs (1-4 MB at
+    production column counts) are served from the reused heap arena
+    instead of a fresh mmap each request — the mmap path pays ~800 page
+    faults per E@2048 blob, measured ~0.2 ms/request of prep on a 1-core
+    serving host.  One-shot, best-effort (non-glibc hosts no-op), and
+    disabled with RECOM_TPU_MALLOPT=0."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED or os.environ.get("RECOM_TPU_MALLOPT", "1") == "0":
+        _MALLOC_TUNED = True
+        return
+    _MALLOC_TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 64 * 1024 * 1024)    # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 128 * 1024 * 1024)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 def _act(name: Optional[str], x):
     if name == "relu":
         return jax.nn.relu(x)
@@ -113,6 +138,7 @@ class Engine:
         params: Optional[Dict] = None,
     ):
         self.config = config or EngineConfig()
+        _tune_malloc_for_serving()
         if self.config.persistent_compilation_cache:
             from recom_tpu.runtime.checkpoint import (
                 enable_persistent_compilation_cache,
