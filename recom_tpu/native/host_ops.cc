@@ -283,6 +283,124 @@ inline size_t FixedLenSimd(const uint8_t* p, int64_t width) {
 }
 #endif
 
+#if defined(RECOM_AVX512) && defined(__AVX512DQ__) && defined(__AVX512CD__)
+#define RECOM_AVX512_H8 1
+// 8-lane FarmHash Fingerprint64 for pieces of <= 16 bytes — the feature /
+// list-piece sizes that dominate host prep (model E: 8-char tokens).  The
+// scalar short-string hash is a ~25-cycle serial dependency chain per
+// element; with vpmullq (AVX512DQ) the same math runs 8 lanes wide in
+// ~35 vector ops, measured ~4x on the fixed-string kernel.  Bit-exact vs
+// the scalar path by construction (same adds/rotates/multiplies mod 2^64,
+// verified element-for-element in tests/test_native.py).
+
+// qlo: first 8 bytes of each piece.  Lanes with len < 8 MUST have bytes
+//      >= len zeroed (numpy 'S' pad provides this for fixed columns; the
+//      split path masks explicitly).  Lanes with len >= 8 must be the
+//      UNMASKED first 8 bytes.
+// qhi: bytes [len-8, len) for lanes with len >= 8 (ignored below 8).
+// len: per-lane length, 0..16.
+inline __m512i Hash8Short(__m512i qlo, __m512i qhi, __m512i len) {
+  const __m512i vk0 = _mm512_set1_epi64(static_cast<int64_t>(k0));
+  const __m512i vk2 = _mm512_set1_epi64(static_cast<int64_t>(k2));
+  const __m512i v1 = _mm512_set1_epi64(1);
+  const __m512i v4 = _mm512_set1_epi64(4);
+  const __m512i v8 = _mm512_set1_epi64(8);
+  const __m512i m32 = _mm512_set1_epi64(0xffffffffLL);
+  const __m512i mul = _mm512_add_epi64(vk2, _mm512_add_epi64(len, len));
+  const __mmask8 ge8 = _mm512_cmp_epu64_mask(len, v8, _MM_CMPINT_NLT);
+  const __mmask8 ge4 = _mm512_cmp_epu64_mask(len, v4, _MM_CMPINT_NLT);
+  const __mmask8 ge1 = _mm512_cmp_epu64_mask(len, v1, _MM_CMPINT_NLT);
+  // len >= 8:  a = Fetch64(s) + k2; b = Fetch64(s + len - 8)
+  //            u = Rotate(b,37)*mul + a;  v = (Rotate(a,25) + b) * mul
+  const __m512i a8 = _mm512_add_epi64(qlo, vk2);
+  const __m512i u8 = _mm512_add_epi64(
+      _mm512_mullo_epi64(_mm512_ror_epi64(qhi, 37), mul), a8);
+  const __m512i v8p = _mm512_mullo_epi64(
+      _mm512_add_epi64(_mm512_ror_epi64(a8, 25), qhi), mul);
+  // 4 <= len < 8:  u = len + (Fetch32(s) << 3); v = Fetch32(s + len - 4)
+  // (pad bytes >= len are zero, so both 32-bit windows come from qlo)
+  const __m512i a4 = _mm512_and_si512(qlo, m32);
+  const __m512i sh4 =
+      _mm512_slli_epi64(_mm512_sub_epi64(len, v4), 3);
+  const __m512i b4 = _mm512_and_si512(_mm512_srlv_epi64(qlo, sh4), m32);
+  const __m512i u4 = _mm512_add_epi64(len, _mm512_slli_epi64(a4, 3));
+  // select HashLen16 inputs by class, then one shared HashLen16(u, v, mul)
+  const __m512i u = _mm512_mask_mov_epi64(u4, ge8, u8);
+  const __m512i v = _mm512_mask_mov_epi64(b4, ge8, v8p);
+  __m512i x = _mm512_mullo_epi64(_mm512_xor_si512(u, v), mul);
+  x = _mm512_xor_si512(x, _mm512_srli_epi64(x, 47));
+  __m512i y = _mm512_mullo_epi64(_mm512_xor_si512(v, x), mul);
+  y = _mm512_xor_si512(y, _mm512_srli_epi64(y, 47));
+  y = _mm512_mullo_epi64(y, mul);
+  // 1 <= len < 4:  ShiftMix(y1*k2 ^ z1*k0) * k2 with
+  //   y1 = s[0] + (s[len>>1] << 8);  z1 = len + (s[len-1] << 2)
+  const __m512i mbyte = _mm512_set1_epi64(0xff);
+  const __m512i sa = _mm512_and_si512(qlo, mbyte);
+  const __m512i shb = _mm512_slli_epi64(_mm512_srli_epi64(len, 1), 3);
+  const __m512i sb =
+      _mm512_and_si512(_mm512_srlv_epi64(qlo, shb), mbyte);
+  const __m512i shc =
+      _mm512_slli_epi64(_mm512_sub_epi64(len, v1), 3);
+  const __m512i sc =
+      _mm512_and_si512(_mm512_srlv_epi64(qlo, shc), mbyte);
+  const __m512i y1 = _mm512_add_epi64(sa, _mm512_slli_epi64(sb, 8));
+  const __m512i z1 = _mm512_add_epi64(len, _mm512_slli_epi64(sc, 2));
+  __m512i h13 = _mm512_xor_si512(_mm512_mullo_epi64(y1, vk2),
+                                 _mm512_mullo_epi64(z1, vk0));
+  h13 = _mm512_xor_si512(h13, _mm512_srli_epi64(h13, 47));
+  h13 = _mm512_mullo_epi64(h13, vk2);
+  // blend: len >= 4 -> HashLen16 result; 1..3 -> h13; 0 -> k2
+  __m512i h = _mm512_mask_mov_epi64(h13, ge4, y);
+  return _mm512_mask_mov_epi64(vk2, ge1, h);
+}
+
+// unsigned 64x64 -> high 64 via 32-bit partial products (no vpmulhuq
+// exists); standard 4-product schoolbook with exact carries.
+inline __m512i MulHi64(__m512i a, __m512i b) {
+  const __m512i m32 = _mm512_set1_epi64(0xffffffffLL);
+  const __m512i a1 = _mm512_srli_epi64(a, 32);
+  const __m512i b1 = _mm512_srli_epi64(b, 32);
+  const __m512i t00 = _mm512_mul_epu32(a, b);
+  const __m512i t01 = _mm512_mul_epu32(a, b1);
+  const __m512i t10 = _mm512_mul_epu32(a1, b);
+  const __m512i t11 = _mm512_mul_epu32(a1, b1);
+  // mid = carry(t00) + lo(t01) + lo(t10): <= 3*(2^32-1), fits 64 exactly
+  const __m512i mid = _mm512_add_epi64(
+      _mm512_add_epi64(_mm512_srli_epi64(t00, 32),
+                       _mm512_and_si512(t01, m32)),
+      _mm512_and_si512(t10, m32));
+  return _mm512_add_epi64(
+      _mm512_add_epi64(t11, _mm512_srli_epi64(mid, 32)),
+      _mm512_add_epi64(_mm512_srli_epi64(t01, 32),
+                       _mm512_srli_epi64(t10, 32)));
+}
+
+// 8-lane FastMod (same reciprocal + <=2 corrections as the scalar struct).
+inline __m512i Mod8(__m512i h, __m512i vm, __m512i vd) {
+  const __m512i q = MulHi64(h, vm);
+  __m512i r = _mm512_sub_epi64(h, _mm512_mullo_epi64(q, vd));
+  __mmask8 ge = _mm512_cmp_epu64_mask(r, vd, _MM_CMPINT_NLT);
+  r = _mm512_mask_sub_epi64(r, ge, r, vd);
+  ge = _mm512_cmp_epu64_mask(r, vd, _MM_CMPINT_NLT);
+  return _mm512_mask_sub_epi64(r, ge, r, vd);
+}
+
+// store 8 id lanes (values < 2^31) narrowed to the output element type
+template <typename T>
+inline void StoreIds8(__m512i r, T* o) {
+  if (sizeof(T) == 1) {
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(o),
+                     _mm512_cvtepi64_epi8(r));
+  } else if (sizeof(T) == 2) {
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(o),
+                     _mm512_cvtepi64_epi16(r));
+  } else {
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(o),
+                        _mm512_cvtepi64_epi32(r));
+  }
+}
+#endif  // RECOM_AVX512_H8
+
 }  // namespace
 
 extern "C" {
@@ -928,6 +1046,16 @@ void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
                         const int32_t** luts, int64_t n_cols, int64_t batch,
                         uint8_t* out, int64_t stride, int64_t elem) {
   ParallelColumns(n_cols, 64, [=](int64_t c) {
+#ifdef RECOM_AVX512
+    // request feeds are cold (fresh per request): start the next column's
+    // 2KB stream while this one computes — the per-column stream-restart
+    // latency is otherwise a large share of the 880-column sweep
+    if (c + 1 < n_cols) {
+      const char* nx = reinterpret_cast<const char*>(xs[c + 1]);
+      for (int64_t off = 0; off < batch * 4; off += 64)
+        _mm_prefetch(nx + off, _MM_HINT_T0);
+    }
+#endif
     const float* x = xs[c];
     const float* b = bounds32 + c * kmax;
     const int32_t k = counts[c];
@@ -1031,6 +1159,75 @@ void HashFixedColT(const uint8_t* buf, int64_t w, uint64_t nb, int64_t batch,
                    T* o) {
   const FastMod mod(nb);
   int64_t i = 0;
+#ifdef RECOM_AVX512_H8
+  // 8-lane SIMD hash for the short widths that dominate feature columns.
+  // Row lengths come straight from the NUL pad via per-lane lzcnt.
+  if (w >= 1 && w <= 16 && batch >= 16) {
+    const __m512i vm = _mm512_set1_epi64(static_cast<int64_t>(mod.m));
+    const __m512i vd = _mm512_set1_epi64(static_cast<int64_t>(nb));
+    const __m512i v8 = _mm512_set1_epi64(8);
+    if (w == 8) {
+      // 8 rows = one contiguous 64-byte load, one lane per row
+      for (; i + 8 <= batch; i += 8) {
+        const __m512i q = _mm512_loadu_si512(
+            reinterpret_cast<const void*>(buf + i * 8));
+        const __m512i len = _mm512_sub_epi64(
+            v8, _mm512_srli_epi64(_mm512_lzcnt_epi64(q), 3));
+        StoreIds8<T>(Mod8(Hash8Short(q, q, len), vm, vd), o + i);
+      }
+    } else if (w < 8) {
+      // gather 8B at each row start; bytes >= w belong to the NEXT row,
+      // so mask to the column width before the lzcnt.  The gather on the
+      // final rows would read past the buffer: stop `tail` rows early.
+      const __m512i vwmask =
+          _mm512_set1_epi64(static_cast<int64_t>((1ULL << (8 * w)) - 1));
+      const __m512i lanes = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+      const __m512i voffs =
+          _mm512_mullo_epi64(lanes, _mm512_set1_epi64(w));
+      const int64_t tail = 7 + (8 + w - 1) / w;
+      for (; i + tail <= batch; i += 8) {
+        const __m512i idx =
+            _mm512_add_epi64(_mm512_set1_epi64(i * w), voffs);
+        const __m512i q = _mm512_and_si512(
+            _mm512_i64gather_epi64(idx, buf, 1), vwmask);
+        const __m512i len = _mm512_sub_epi64(
+            v8, _mm512_srli_epi64(_mm512_lzcnt_epi64(q), 3));
+        StoreIds8<T>(Mod8(Hash8Short(q, q, len), vm, vd), o + i);
+      }
+    } else {
+      // 8 < w <= 16: two windows per row cover every byte ([0,8) and
+      // [w-8,w)); all gathers stay inside the row, no read-ahead.
+      const __m512i lanes = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+      const __m512i voffs =
+          _mm512_mullo_epi64(lanes, _mm512_set1_epi64(w));
+      const __m512i vw = _mm512_set1_epi64(w);
+      for (; i + 8 <= batch; i += 8) {
+        const __m512i idx =
+            _mm512_add_epi64(_mm512_set1_epi64(i * w), voffs);
+        const __m512i qlo = _mm512_i64gather_epi64(idx, buf, 1);
+        const __m512i qtop = _mm512_i64gather_epi64(
+            _mm512_add_epi64(idx, _mm512_set1_epi64(w - 8)), buf, 1);
+        const __mmask8 topz =
+            _mm512_cmp_epu64_mask(qtop, _mm512_setzero_si512(),
+                                  _MM_CMPINT_EQ);
+        // top window non-empty: len = w - pad(qtop); else the whole
+        // used prefix sits in qlo (its own pad bytes are NUL)
+        const __m512i len_top = _mm512_sub_epi64(
+            vw, _mm512_srli_epi64(_mm512_lzcnt_epi64(qtop), 3));
+        const __m512i len_lo = _mm512_sub_epi64(
+            v8, _mm512_srli_epi64(_mm512_lzcnt_epi64(qlo), 3));
+        const __m512i len =
+            _mm512_mask_mov_epi64(len_top, topz, len_lo);
+        // hi window [len-8, len) for len >= 8 lanes (offset clamps to
+        // the row start for shorter lanes, harmlessly)
+        const __m512i offhi = _mm512_add_epi64(
+            idx, _mm512_sub_epi64(_mm512_max_epu64(len, v8), v8));
+        const __m512i qhi = _mm512_i64gather_epi64(offhi, buf, 1);
+        StoreIds8<T>(Mod8(Hash8Short(qlo, qhi, len), vm, vd), o + i);
+      }
+    }
+  }
+#endif
   for (; i + 4 <= batch; i += 4) {
     const uint8_t* p0 = buf + i * w;
     const uint8_t* p1 = p0 + w;
@@ -1064,6 +1261,14 @@ void rt_hash_fixed_multi_out(const uint8_t** bufs, const int64_t* widths,
                              int64_t batch, uint8_t* out, int64_t stride,
                              int64_t elem) {
   ParallelColumns(n_cols, 8, [=](int64_t c) {
+#ifdef RECOM_AVX512
+    if (c + 1 < n_cols) {
+      const char* nx = reinterpret_cast<const char*>(bufs[c + 1]);
+      const int64_t nbytes = widths[c + 1] * batch;
+      for (int64_t off = 0; off < nbytes && off < 16384; off += 64)
+        _mm_prefetch(nx + off, _MM_HINT_T0);
+    }
+#endif
     const uint8_t* buf = bufs[c];
     const int64_t w = widths[c];
     const uint64_t nb = static_cast<uint64_t>(buckets[c]);
@@ -1096,17 +1301,11 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
   int64_t maxp = 0;
   const FastMod mod(static_cast<uint64_t>(num_buckets));
 #ifdef RECOM_AVX512
+
   // Two-phase per row: (1) collect delimiter positions from 64-byte
-  // compare masks (ctz iteration — identical piece semantics to the
-  // scalar scan: empty rows contribute 0 pieces, empty pieces between
-  // delimiters DO hash, tf.strings.split behavior), (2) hash the pieces
-  // 4-way unrolled so four independent FarmHash chains are in flight.
-  // Splitting the phases keeps the unpredictable mask-bit loop free of
-  // the hash's long dependency chain and gives phase 2 a known trip
-  // count (predictable branches).
+  // compare masks, (2) hash the pieces 4-way unrolled so four independent
+  // FarmHash chains are in flight.
   const __m512i vd = _mm512_set1_epi8(static_cast<char>(delim));
-  // starts[k]..ends[k] delimit piece k (clipped to rowlen pieces — later
-  // pieces only bump the count, they are never hashed)
   int32_t starts[256];
   int32_t ends[256];
   const int64_t kcap =
@@ -1115,6 +1314,11 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
           : static_cast<int64_t>(sizeof(starts) / sizeof(starts[0]));
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t* p = buf + i * width;
+    // rows are cold per request: pull row i+8 while hashing row i
+    _mm_prefetch(reinterpret_cast<const char*>(p + 8 * width),
+                 _MM_HINT_T0);
+    _mm_prefetch(reinterpret_cast<const char*>(p + 8 * width + 64),
+                 _MM_HINT_T0);
     const size_t len = FixedLenSimd(p, width);
     T* row = dst + i * rowlen;
     int64_t cnt = 0;
@@ -1125,17 +1329,15 @@ int64_t SplitHashPadT(const uint8_t* buf, int64_t width, int64_t n,
         const __mmask64 loadm =
             chunk == 64 ? ~0ULL : ((1ULL << chunk) - 1);
         const __m512i v = _mm512_maskz_loadu_epi8(loadm, p + base);
-        uint64_t m = _mm512_mask_cmpeq_epi8_mask(loadm, v, vd);
-        while (m) {
+        uint64_t mm = _mm512_mask_cmpeq_epi8_mask(loadm, v, vd);
+        while (mm) {
           const int32_t j =
-              static_cast<int32_t>(base + __builtin_ctzll(m));
-          m &= m - 1;
+              static_cast<int32_t>(base + __builtin_ctzll(mm));
+          mm &= mm - 1;
           if (cnt < kcap) {
             starts[cnt] = start;
             ends[cnt] = j;
           } else if (cnt < rowlen) {
-            // rowlen beyond the collect buffer (rowlen_buckets > 256 —
-            // not a default ladder size): hash in place, same semantics
             row[cnt] = static_cast<T>(static_cast<int32_t>(
                 mod(Hash64(p + start, static_cast<size_t>(j - start)))));
           }
@@ -1345,8 +1547,16 @@ int64_t rt_parse_criteo(const uint8_t* buf, int64_t len, int64_t max_lines,
 // for the whole class instead of a Python fill loop per column).
 void rt_copy_f32_multi(const float** xs, int64_t n_cols, int64_t batch,
                        float* out, int64_t stride) {
-  for (int64_t c = 0; c < n_cols; ++c)
+  for (int64_t c = 0; c < n_cols; ++c) {
+#ifdef RECOM_AVX512
+    if (c + 1 < n_cols) {
+      const char* nx = reinterpret_cast<const char*>(xs[c + 1]);
+      for (int64_t off = 0; off < batch * 4; off += 64)
+        _mm_prefetch(nx + off, _MM_HINT_T0);
+    }
+#endif
     std::memcpy(out + c * stride, xs[c], batch * sizeof(float));
+  }
 }
 
 // Stage 'S'-layout string columns into a zeroed [n_cols, Bp, w_out] u8
