@@ -87,3 +87,43 @@ def test_plot_ae_renders_artifacts(tmp_path):
     for f in ("latency_t.png", "speedup_t.png", "throughput_t.png"):
         p = tmp_path / f
         assert p.exists() and p.stat().st_size > 1000, f
+
+
+def test_naive_device_fn_fresh_content_and_e2e_agreement():
+    """The naive-TPU baseline arm (tools/naive_tpu.py): the device-step
+    variant must produce finite sigmoid outputs, DIFFERENT content per
+    seed (the fresh-content guarantee that defeats the transport's
+    execution cache), and the shared forward must agree with the engine
+    (the e2e sanity contract) on host-prepared arrays."""
+    import numpy as np
+
+    from recom_tpu import Engine, EngineConfig
+    from recom_tpu.models import make_dlrm_model, make_random_batch
+    from recom_tpu.tools.naive_tpu import (
+        build_naive_device_fn, build_naive_fn, naive_prepare,
+    )
+    from recom_tpu.utils.params import init_model_params
+
+    m = make_dlrm_model(3, 2, 3, 2, 1, 2, [8], [16], name="naive_t",
+                        small_rows=40, mid_rows=300, large_rows=1 << 14)
+    np_params = init_model_params(m)
+    tables = {k: np.asarray(v, np.float32)
+              for k, v in np_params["tables"].items()}
+    tower = np_params["tower"]
+
+    dev_fn = build_naive_device_fn(m, 32)
+    o1 = np.asarray(dev_fn(tables, tower, 1))
+    o2 = np.asarray(dev_fn(tables, tower, 2))
+    assert o1.shape == (32, 1) and np.isfinite(o1).all()
+    assert (o1 > 0).all() and (o1 < 1).all()   # sigmoid range
+    assert not np.array_equal(o1, o2), "seeds must yield fresh content"
+
+    # e2e naive forward vs the framework engine on the same batch
+    b = make_random_batch(m, 32, seed=5)
+    arrays = naive_prepare(m, b, 32)
+    naive_out = np.asarray(build_naive_fn(m)(tables, tower, arrays))
+    eng_out = np.asarray(
+        Engine(m, EngineConfig(interpret=True),
+               params=np_params).predict(b)["output"]
+    )
+    np.testing.assert_allclose(naive_out, eng_out, atol=1e-4)
