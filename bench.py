@@ -709,16 +709,19 @@ def main():
     if "blob" in prep.arrays:
         wire_bytes = int(prep.arrays["blob"].nbytes)
 
+    headline = {
+        "metric": (
+            f"examples_per_s_per_chip_batch{args.batch}_model"
+            f"{model.name}"
+        ),
+        "value": round(ex_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_s / baseline_ex_s, 2),
+    }
     print(
         json.dumps(
             {
-                "metric": (
-                    f"examples_per_s_per_chip_batch{args.batch}_model"
-                    f"{model.name}"
-                ),
-                "value": round(ex_s, 1),
-                "unit": "examples/s",
-                "vs_baseline": round(ex_s / baseline_ex_s, 2),
+                **headline,
                 "detail": {
                     "protocol": protocol,
                     "serve_latency_ms": (
@@ -764,6 +767,24 @@ def main():
             }
         )
     )
+    # The driver keeps only the TAIL of stdout; a compact repeat of the
+    # headline as the LAST line guarantees metric/value survive truncation
+    # (VERDICT r04 weak #7: BENCH_r04 lost its headline to the 2000-char
+    # tail because the big detail dict pushed it out).
+    headline["detail"] = {
+        "protocol": protocol,
+        "host_prep_ms": round(prep_s * 1e3, 3),
+        "device_latency_ms": round(dev_s * 1e3, 3),
+        "request_latency_sync_ms": round(e2e_s * 1e3, 3),
+        "baseline": baseline_name,
+        "baseline_latency_ms": round(baseline_s * 1e3, 1),
+        "model": model.name,
+        "batch": args.batch,
+        "backend": jax.default_backend(),
+        "bitexact_lookup": True,
+        "pallas_real_kernels_ok": pallas_ok,
+    }
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -291,7 +291,10 @@ inline size_t FixedLenSimd(const uint8_t* p, int64_t width) {
 // element; with vpmullq (AVX512DQ) the same math runs 8 lanes wide in
 // ~35 vector ops, measured ~4x on the fixed-string kernel.  Bit-exact vs
 // the scalar path by construction (same adds/rotates/multiplies mod 2^64,
-// verified element-for-element in tests/test_native.py).
+// verified element-for-element by the width 1..64 x batch 1..19 sweep in
+// tests/test_native.py::test_hash_fixed_multi_out_simd_sweep, which
+// straddles the 8-lane/scalar tail boundary with empty and full-width
+// rows).
 
 // qlo: first 8 bytes of each piece.  Lanes with len < 8 MUST have bytes
 //      >= len zeroed (numpy 'S' pad provides this for fixed columns; the
@@ -1052,7 +1055,10 @@ void rt_bucketize_multi(const float** xs, const float* bounds32, int64_t kmax,
     // latency is otherwise a large share of the 880-column sweep
     if (c + 1 < n_cols) {
       const char* nx = reinterpret_cast<const char*>(xs[c + 1]);
-      for (int64_t off = 0; off < batch * 4; off += 64)
+      // capped like rt_hash_fixed_multi_out: an uncapped batch*4 sweep
+      // at large batches floods the prefetch queue and can evict the
+      // CURRENT column's working set (ADVICE r04)
+      for (int64_t off = 0; off < batch * 4 && off < 16384; off += 64)
         _mm_prefetch(nx + off, _MM_HINT_T0);
     }
 #endif
@@ -1551,7 +1557,10 @@ void rt_copy_f32_multi(const float** xs, int64_t n_cols, int64_t batch,
 #ifdef RECOM_AVX512
     if (c + 1 < n_cols) {
       const char* nx = reinterpret_cast<const char*>(xs[c + 1]);
-      for (int64_t off = 0; off < batch * 4; off += 64)
+      // capped like rt_hash_fixed_multi_out: an uncapped batch*4 sweep
+      // at large batches floods the prefetch queue and can evict the
+      // CURRENT column's working set (ADVICE r04)
+      for (int64_t off = 0; off < batch * 4 && off < 16384; off += 64)
         _mm_prefetch(nx + off, _MM_HINT_T0);
     }
 #endif

@@ -214,8 +214,11 @@ def build_naive_device_fn(model, batch_size: int):
         ni = sum(1 for _, k, _, _ in gens if k == "ids")
         uf = jax.random.uniform(kf, (max(nf, 1), B))
         ui = jax.random.uniform(ki, (max(ni, 1), B, RAGGED_CAP))
-        # list lengths 1..10 (make_random_batch's distribution envelope)
-        lens = jax.random.randint(kl, (max(ni, 1), B), 1, 11)
+        # list lengths 0..10: unlike the 1..10 envelope make_random_batch
+        # uses, the e2e arm also sees EMPTY lists (missing rows), so the
+        # device-step arm draws them too (ADVICE r04: keep the two arms'
+        # content distributions aligned, and say so in the protocol)
+        lens = jax.random.randint(kl, (max(ni, 1), B), 0, 11)
         pos = jnp.arange(RAGGED_CAP)[None, None, :]
         arrays = {}
         fi = ii = 0
@@ -246,9 +249,16 @@ def measure_naive_device(model, np_params, batch_size: int, n: int = 24,
 
     if fn is None:
         fn = build_naive_device_fn(model, batch_size)
-    tables = {k: np.asarray(v, np.float32)
-              for k, v in np_params["tables"].items()}
-    tower = np_params["tower"]
+    # params go on device ONCE (ADVICE r04 medium): passing numpy params
+    # per dispatch would re-stage every table inside the timed loop and
+    # inflate the naive arm's step — the opposite of the gifted-transfers
+    # protocol this function documents
+    tables = jax.device_put({
+        k: np.asarray(v, np.float32)
+        for k, v in np_params["tables"].items()
+    })
+    tower = jax.device_put(np_params["tower"])
+    jax.block_until_ready((tables, tower))
     t0 = time.perf_counter()
     out = fn(tables, tower, 0)
     jax.block_until_ready(out)
@@ -275,7 +285,9 @@ def measure_naive_device(model, np_params, batch_size: int, n: int = 24,
         "distinct_inputs": n,
         "n_unfused_columns": len(model.columns),
         "protocol": "async device loop, on-device RNG content "
-                    "(host prep + H2D gifted to the naive arm)",
+                    "(host prep + H2D gifted to the naive arm; params "
+                    "device-resident before timing; list lengths drawn "
+                    "0..10 vs the e2e arm's 1..10 — empty rows included)",
     }
 
 
@@ -289,9 +301,15 @@ def measure_naive(model, np_params, batches: List[Dict], batch_size: int,
 
     if fn is None:
         fn = build_naive_fn(model)
-    tables = {k: np.asarray(v, np.float32)
-              for k, v in np_params["tables"].items()}
-    tower = np_params["tower"]
+    # tables/tower device-resident before timing (ADVICE r04): only the
+    # per-request feature arrays cross per dispatch — the per-ARRAY
+    # transfer tax being measured is the batch's, not the params'
+    tables = jax.device_put({
+        k: np.asarray(v, np.float32)
+        for k, v in np_params["tables"].items()
+    })
+    tower = jax.device_put(np_params["tower"])
+    jax.block_until_ready((tables, tower))
 
     t0 = time.perf_counter()
     warm = naive_prepare(model, batches[0], batch_size)

@@ -241,3 +241,37 @@ def test_parse_criteo_native_matches_python(tmp_path, monkeypatch):
     l, d, c, n, used = native_ops.parse_criteo(data)
     assert n == 1 and used == data.index(b"\n") + 1
     assert l[0] == 1.0 and d[0, 0] == 2.0
+
+
+def test_hash_fixed_multi_out_simd_sweep():
+    """Direct sweep of the 8-lane AVX-512 fixed-width hash (ADVICE r04):
+    widths 1..17 straddle the <=16B straight-line SIMD specialization,
+    batches 1..19 straddle the 8-lane/scalar tail boundary, and fixtures
+    include empty strings and full-width rows.  Every element must equal
+    the scalar hash_strings path (itself validated vs the Python oracle
+    above)."""
+    rng = np.random.default_rng(7)
+    for width in list(range(1, 18)) + [24, 32, 63, 64]:
+        for batch in (1, 7, 8, 9, 16, 19):
+            cols = []
+            for c in range(3):
+                rows = []
+                for r in range(batch):
+                    mode = (r + c) % 4
+                    if mode == 0:
+                        k = 0                        # empty string
+                    elif mode == 1:
+                        k = width                    # full-width row
+                    else:
+                        k = int(rng.integers(0, width + 1))
+                    rows.append(bytes(rng.integers(97, 123, k).astype(np.uint8)))
+                cols.append(np.array(rows, dtype=f"S{width}"))
+            buckets = np.asarray([10**6, 997, 2], np.int64)
+            out = np.full((3, batch, 1), -7, np.int32)
+            ops.hash_fixed_multi_out(cols, buckets, out, batch)
+            for c in range(3):
+                want = ops.hash_strings(cols[c], int(buckets[c]))
+                np.testing.assert_array_equal(
+                    out[c, :, 0], want.astype(np.int32),
+                    err_msg=f"width={width} batch={batch} col={c}",
+                )
