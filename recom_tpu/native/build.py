@@ -169,6 +169,11 @@ def _declare(lib: ctypes.CDLL):
         c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
         c.c_int64, c.c_int64,
     ]
+    lib.rt_copy_verbatim_multi.restype = None
+    lib.rt_copy_verbatim_multi.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
+        c.c_int64,
+    ]
     lib.rt_parse_criteo.restype = c.c_int64
     lib.rt_parse_criteo.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p,

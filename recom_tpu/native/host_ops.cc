@@ -578,33 +578,52 @@ int64_t rt_split_scan_multi(const uint8_t** bufs, const int64_t* widths,
     const uint8_t delim = delims[c];
     int64_t mp = 0, ml = 0;
 #ifdef RECOM_AVX512
-    // one masked pass per 64B chunk: popcount the delimiter mask for the
-    // piece count, iterate set bits only to track the max gap (piece
-    // length) — ~3 ops per DELIMITER instead of per byte
+    // ONE forward masked pass per row over the full 'S' width (no
+    // separate reverse length probe — the row length falls out of the
+    // nonzero mask, and NUL pad bytes can never BE the delimiter, so
+    // delimiter counting needs no length gate).  Piece count = delimiter
+    // popcount + 1; the max piece LENGTH is tracked O(1) per chunk by
+    // carrying the delimiter-free run across chunk boundaries (run ending
+    // at a chunk's first delimiter = carry + ctz; restart after its last
+    // = chunk-1-msb), with the TAIL piece computed exactly from the last
+    // nonzero and last delimiter positions (the carry would otherwise
+    // include the NUL pad).  Gaps strictly INSIDE one chunk are <= 62
+    // bytes and are not measured — ml is therefore EXACT above 62 and may
+    // underreport below, which is gate-safe: the only consumer compares
+    // ml against the 64-byte device-hash piece cap (>= 62), so
+    // "reported <= cap" still implies "true max <= cap".  This replaced a
+    // per-delimiter bit-iteration loop + reverse probe that together cost
+    // ~0.4ms of the dev-hash arm's rowlen stage at model E batch 512.
     const __m512i vd = _mm512_set1_epi8(static_cast<char>(delim));
     for (int64_t i = 0; i < batch; ++i) {
       const uint8_t* p = buf + i * width;
-      const size_t len = FixedLenSimd(p, width);
-      if (len == 0) continue;
-      int64_t pieces = 1;
-      size_t start = 0;
-      for (size_t base = 0; base < len; base += 64) {
-        const size_t chunk = len - base >= 64 ? 64 : len - base;
+      int64_t delims = 0;
+      int64_t lastnz = -1, last_delim = -1;
+      int64_t run = 0;                   // current delimiter-free run
+      for (int64_t base = 0; base < width; base += 64) {
+        const int64_t chunk = width - base >= 64 ? 64 : width - base;
         const __mmask64 loadm =
-            chunk == 64 ? ~0ULL : ((1ULL << chunk) - 1);
+            chunk == 64 ? ~0ULL
+                        : ((1ULL << static_cast<unsigned>(chunk)) - 1);
         const __m512i v = _mm512_maskz_loadu_epi8(loadm, p + base);
-        uint64_t m = _mm512_mask_cmpeq_epi8_mask(loadm, v, vd);
-        pieces += __builtin_popcountll(m);
-        while (m) {
-          const size_t j = base + __builtin_ctzll(m);
-          m &= m - 1;
-          const int64_t pl = static_cast<int64_t>(j - start);
-          if (pl > ml) ml = pl;
-          start = j + 1;
+        const uint64_t nz = _mm512_test_epi8_mask(v, v);
+        if (nz) lastnz = base + 63 - __builtin_clzll(nz);
+        const uint64_t m = _mm512_cmpeq_epi8_mask(v, vd) & loadm;
+        if (m == 0) {
+          run += chunk;
+          continue;
         }
+        delims += __builtin_popcountll(m);
+        const int64_t head = run + __builtin_ctzll(m);
+        if (head > ml) ml = head;
+        const int64_t msb = base + 63 - __builtin_clzll(m);
+        run = base + chunk - 1 - msb;
+        last_delim = msb;
       }
-      const int64_t tail = static_cast<int64_t>(len - start);
+      if (lastnz < 0) continue;          // empty row: 0 pieces
+      const int64_t tail = lastnz - last_delim;  // last piece length
       if (tail > ml) ml = tail;
+      const int64_t pieces = delims + 1;
       if (pieces > mp) mp = pieces;
     }
 #else
@@ -1573,6 +1592,25 @@ void rt_copy_f32_multi(const float** xs, int64_t n_cols, int64_t batch,
 // at their natural width widths[c] (<= w_out), w_out - widths[c] NUL pad
 // bytes per row left untouched.  One call per class instead of a Python
 // strided-copy loop per column (~3us numpy overhead each at 70 columns).
+// Verbatim column staging for device-hash wire views (runtime/wire.py
+// _fill_verbatim): column c's numpy 'S' buffer (widths[c] bytes/row,
+// batch rows) copies byte-for-byte to dst + c*stride — ONE memcpy — and
+// the slack [batch*widths[c], stride) is zeroed so the view is fully
+// defined even over an uninitialized (np.empty) blob.  Replaces a Python
+// per-column loop (~2us/column of slicing overhead at model-E scale).
+void rt_copy_verbatim_multi(const uint8_t** bufs, const int64_t* widths,
+                            int64_t n_cols, int64_t batch, uint8_t* dst,
+                            int64_t stride) {
+  for (int64_t c = 0; c < n_cols; ++c) {
+    int64_t n = batch * widths[c];
+    if (n > stride) n = stride;
+    std::memcpy(dst + c * stride, bufs[c], static_cast<size_t>(n));
+    if (n < stride)
+      std::memset(dst + c * stride + n, 0,
+                  static_cast<size_t>(stride - n));
+  }
+}
+
 void rt_copy_bytes_multi(const uint8_t** bufs, const int64_t* widths,
                          int64_t n_cols, int64_t batch, uint8_t* out,
                          int64_t stride_rows, int64_t w_out) {

@@ -209,7 +209,10 @@ def split_scan_multi(
     """(max piece count, max piece byte length) over several delimited
     columns in one pass — sizes the rowlen bucket AND gates device-side
     hashing (pieces past the device kernel's 64-byte cap route the group
-    to host hashing for the request).  None when the native lib is
+    to host hashing for the request).  The length is EXACT above 62 bytes
+    and may underreport below (the AVX-512 scan only measures runs that
+    touch a 64B-chunk boundary) — gate-safe for any cap >= 62: reported
+    <= cap still implies true max <= cap.  None when the native lib is
     missing (callers fall back to the pure count + conservative length)."""
     lib = get_lib()
     if lib is None or not arrays:
@@ -502,6 +505,27 @@ def copy_bytes_multi(
     lib.rt_copy_bytes_multi(
         ptrs.ctypes.data, widths.ctypes.data, len(arrays), batch,
         out.ctypes.data, out.shape[1], out.shape[2],
+    )
+    return True
+
+
+def copy_verbatim_multi(
+    arrays: List[np.ndarray], out2d: np.ndarray, batch: int
+) -> bool:
+    """Verbatim staging: column c's 'S' buffer copies byte-for-byte into
+    out2d[c] (a [n_cols, stride] u8 view, stride >= batch*itemsize) and
+    the slack past batch*itemsize is ZEROED — safe over an np.empty blob.
+    One native call for the class.  Returns False when the native lib is
+    unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None or not arrays:
+        return False
+    _check_rows(arrays, batch)
+    ptrs, keep = _in_ptrs(arrays, _PTR_ANY, None, 0)
+    widths = np.asarray([a.dtype.itemsize for a in arrays], np.int64)
+    lib.rt_copy_verbatim_multi(
+        ptrs.ctypes.data, widths.ctypes.data, len(arrays), batch,
+        out2d.ctypes.data, out2d.shape[1],
     )
     return True
 

@@ -20,6 +20,10 @@ Views per group, in blob order (8-byte aligned each):
   raw_bz    f32 [n_bz, Bp]             (host_bucketize=False only)
   bz_ids    i8/i16/i32 [n_bz, Bp]      (host_bucketize=True: host-side
                                         native bucketize + fused LUT)
+  str_w     i32 [n_str]                (device_hash: per-column itemsize)
+  str_raw   u8 [n_str, Bp*W]           (device_hash: verbatim 'S' buffers)
+  split_w   i32 [n_fast]               (device_hash, delimited class)
+  split_raw u8 [n_fast, Bp*W]
   host_ids  i8/i16/i32 [C_host, Bp, L]
 
 Bit-exactness: the host bucketize (native/host_ops.cc rt_bucketize_multi)
@@ -119,10 +123,14 @@ def wire_layout(
 
     ``wsig``: device-hash variant — per-group (ws, wd) byte-width buckets.
     ws > 0 moves the fixed-string class (host indices [n_int, n_int+n_str))
-    out of host_ids into a raw "str_bytes" view the device hashes itself;
-    wd > 0 does the same for the delimited class ([fast_lo, fast_lo+n_fast)
-    -> "split_bytes").  Remaining host members stay in a SHRUNK host_ids
-    view, prefix+suffix concatenated in member order."""
+    out of host_ids into VERBATIM raw views the device hashes itself:
+    "str_raw" [n, Bp*ws] carries each column's numpy 'S' buffer byte-for-
+    byte (ONE contiguous memcpy per column — no per-row padding on host)
+    and "str_w" [n] i32 its actual itemsize; the device re-pads rows to
+    the ws bucket with a gather (unpack_blob) before hashing.  wd > 0 does
+    the same for the delimited class ([fast_lo, fast_lo+n_fast) ->
+    "split_raw"/"split_w").  Remaining host members stay in a SHRUNK
+    host_ids view, prefix+suffix concatenated in member order."""
     cache = getattr(compiled, "_wire_cache", None)
     if cache is None:
         cache = {}
@@ -160,10 +168,12 @@ def wire_layout(
                 add("raw_bz", g.gid, np.float32, (g.n_bucketize, bp))
         n_rem = n_host
         if ws:
-            add("str_bytes", g.gid, np.uint8, (p.n_str, bp, ws))
+            add("str_w", g.gid, np.int32, (p.n_str,))
+            add("str_raw", g.gid, np.uint8, (p.n_str, bp * ws))
             n_rem -= p.n_str
         if wd:
-            add("split_bytes", g.gid, np.uint8, (p.n_fast, bp, wd))
+            add("split_w", g.gid, np.int32, (p.n_fast,))
+            add("split_raw", g.gid, np.uint8, (p.n_fast, bp * wd))
             n_rem -= p.n_fast
         if n_rem:
             add("host_ids", g.gid, ids_dt, (n_rem, bp, rl))
@@ -186,7 +196,7 @@ _INT_LUT_SIZE = 1024
 # device kernel's unaligned u32 word fetches stay inside the row
 # (ops/hash_device.py); a small ladder keeps the jit-signature space
 # bounded (same reasoning as the batch/rowlen ladders).
-_WIRE_WBUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+_WIRE_WBUCKETS = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 _DEVICE_PIECE_CAP = 64      # straight-line FarmHash covers <= 64B pieces
 
 
@@ -200,18 +210,30 @@ def _wbucket(itemsize: int) -> int:
     return 0
 
 
-def _fill_bytes(view: np.ndarray, arrs: List[np.ndarray], bs: int) -> None:
-    """Copy 'S'-layout rows into a zeroed [n, Bp, W] u8 view (rows past
-    each column's itemsize and past bs stay NUL — the device reads them
-    as empty).  One native call per class; numpy strided copies as the
-    no-toolchain fallback."""
+def _fill_verbatim(
+    w_view: np.ndarray, raw_view: np.ndarray,
+    arrs: List[np.ndarray], bs: int,
+) -> None:
+    """Verbatim column staging: each column's numpy 'S' buffer crosses the
+    wire byte-for-byte (ONE contiguous memcpy per column) plus its actual
+    itemsize; the device re-pads rows to the bucket width with a gather
+    (unpack_blob._verbatim_rows).  This replaces the per-row padded copies
+    that made the r04 dev_hash arm a net loss (ARMS_r04: 3.43ms prep vs
+    1.62 host — ~51k small strided row copies); a verbatim copy of the
+    same bytes is ~25x cheaper at model-E scale.  Slack past bs*itemsize
+    is zeroed here (the blob is np.empty — every view defines its own
+    bytes); rows past bs then read as empty on device."""
     from recom_tpu.native import ops as native_ops
 
-    if native_ops.copy_bytes_multi(arrs, view, bs):
+    for c, a in enumerate(arrs):
+        w_view[c] = a.dtype.itemsize
+    if native_ops.copy_verbatim_multi(arrs, raw_view, bs):
         return
     for c, a in enumerate(arrs):
         w = a.dtype.itemsize
-        view[c, :bs, :w] = a.view(np.uint8).reshape(a.shape[0], w)[:bs]
+        n = min(bs, a.shape[0]) * w
+        raw_view[c, :n] = a.view(np.uint8).ravel()[:n]
+        raw_view[c, n:] = 0
 
 
 @dataclasses.dataclass
@@ -613,9 +635,16 @@ def prepare_batch_wire(
     # ---- phase 2: allocate blob, fill views ------------------------------
     wsig_t: Tuple = tuple(wsig) if dh else ()
     layout = wire_layout(compiled, bp, tuple(rowlens), host_bz, wsig_t)
-    blob = np.zeros(layout.total_bytes, dtype=np.uint8)
+    # np.empty, NOT np.zeros: a full-blob zero fill cost ~0.1ms/request at
+    # model-E dev-hash scale and every view defines its own bytes below —
+    # fully-written views (bz_ids, host_ids, weights, str_w) need nothing,
+    # row-tail views (dense, bz, host_ids past bs) zero/-1 their tails
+    # explicitly, and _fill_verbatim zeroes the raw views' slack.
+    # Alignment gaps between views are never read by unpack_blob's static
+    # slices.
+    blob = np.empty(layout.total_bytes, dtype=np.uint8)
     by_key = {(v.gid, v.name): v for v in layout.views}
-    _mark("prep.alloc")             # layout compute + blob zero-fill
+    _mark("prep.alloc")             # layout compute + blob alloc
 
     dense_v = layout.view_np(blob, by_key[(-1, "dense")])
     # raw arrays, no pre-coercion: copy_f32_multi's pointer helper
@@ -640,6 +669,8 @@ def prepare_batch_wire(
                 _tposed[f] = t
             rows.append(t[j])
     native_ops.copy_f32_multi(rows, dense_v, bs)
+    if bs < bp:
+        dense_v[:, bs:] = 0.0           # pad rows (empty blob)
     _mark("prep.dense")
 
     redo: Dict[int, int] = {}
@@ -657,9 +688,13 @@ def prepare_batch_wire(
                     p.bz_affine, p.bz_lut_ptrs, p.bz_luts, out, bs,
                     steps=p.bz_steps,
                 )
+                if bs < bp:
+                    out[:, bs:] = 0     # pad rows (empty blob)
             else:
                 out = layout.view_np(blob, by_key[(p.gid, "raw_bz")])
                 native_ops.copy_f32_multi(cols, out, bs)
+                if bs < bp:
+                    out[:, bs:] = 0.0
             _mark("prep.bz")
         n_host = len(g.members) - p.n_bz
         if not n_host:
@@ -686,8 +721,9 @@ def prepare_batch_wire(
                 _mark("prep.int")
             str_rest: List[Tuple[int, object]] = []
             if p.n_str and ws:
-                _fill_bytes(
-                    layout.view_np(blob, by_key[(p.gid, "str_bytes")]),
+                _fill_verbatim(
+                    layout.view_np(blob, by_key[(p.gid, "str_w")]),
+                    layout.view_np(blob, by_key[(p.gid, "str_raw")]),
                     str_arrs[p.gid], bs,
                 )
                 _mark("prep.strcpy")
@@ -729,8 +765,9 @@ def prepare_batch_wire(
             if arrs and wd:
                 # device-hash staging: raw rows cross the wire; the device
                 # splits + hashes them (unpack_blob -> ops/hash_device)
-                _fill_bytes(
-                    layout.view_np(blob, by_key[(p.gid, "split_bytes")]),
+                _fill_verbatim(
+                    layout.view_np(blob, by_key[(p.gid, "split_w")]),
+                    layout.view_np(blob, by_key[(p.gid, "split_raw")]),
                     arrs, bs,
                 )
                 _mark("prep.splitcpy")
@@ -888,12 +925,29 @@ def unpack_blob(
     executor's forward consumes.  Id views are widened to int32 here (XLA
     fuses the cast; downstream kernels are dtype-uniform).
 
-    Under device-hash staging (``wsig``), the raw str_bytes/split_bytes
-    views are split + FarmHashed HERE (ops/hash_device.py, exact u64) and
-    merged back into a full host_ids tensor in member order — downstream
-    device code is identical either way."""
+    Under device-hash staging (``wsig``), the verbatim str_raw/split_raw
+    views are first re-padded to [n, Bp, W] rows with a gather
+    (_verbatim_rows), then split + FarmHashed HERE (ops/hash_device.py,
+    exact u64) and merged back into a full host_ids tensor in member
+    order — downstream device code is identical either way."""
     import jax.numpy as jnp
     from jax import lax
+
+    def _verbatim_rows(raw, widths, bp_, wbk):
+        """[n, Bp*W] verbatim column bytes + [n] actual itemsizes ->
+        [n, Bp, W] u8 NUL-padded rows (the numpy 'S' layout the
+        hash_device kernels consume).  Row r of column c occupies bytes
+        [r*w_c, (r+1)*w_c) of the verbatim buffer; bytes at j >= w_c are
+        forced NUL.  Index math: (bp-1)*w + W-1 < bp*W whenever w <= W,
+        so every gather index is in range by construction."""
+        n = raw.shape[0]
+        r = jnp.arange(bp_, dtype=jnp.int32)[None, :, None]
+        j = jnp.arange(wbk, dtype=jnp.int32)[None, None, :]
+        w = widths.astype(jnp.int32)[:, None, None]
+        idx = (r * w + j).reshape(n, -1)
+        rows = jnp.take_along_axis(raw, idx, axis=1, mode="clip")
+        rows = rows.reshape(n, bp_, wbk)
+        return jnp.where(j < w, rows, jnp.uint8(0))
 
     host_bz = getattr(compiled.config, "host_bucketize", True)
     layout = wire_layout(compiled, bp, tuple(rowlens), host_bz, tuple(wsig))
@@ -929,7 +983,11 @@ def unpack_blob(
             host = arrs.get("host_ids")
             if ws:
                 sids = hd.fixed_hash_ids(
-                    get(by_key[(g.gid, "str_bytes")]),
+                    _verbatim_rows(
+                        get(by_key[(g.gid, "str_raw")]),
+                        get(by_key[(g.gid, "str_w")]),
+                        bp, ws,
+                    ),
                     jnp.asarray(p.str_buckets),
                 )[..., None]                        # [n_str, Bp, 1]
                 pre = host[: p.n_int] if host is not None else None
@@ -937,7 +995,11 @@ def unpack_blob(
             else:
                 rl = rowlens[gi]
                 sids = hd.split_hash_ids(
-                    get(by_key[(g.gid, "split_bytes")]),
+                    _verbatim_rows(
+                        get(by_key[(g.gid, "split_raw")]),
+                        get(by_key[(g.gid, "split_w")]),
+                        bp, wd,
+                    ),
                     jnp.asarray(p.fast_delims_np),
                     jnp.asarray(p.fast_buckets),
                     rowlen=rl,
