@@ -115,6 +115,11 @@ class EngineConfig:
     # static per-destination bucket capacity = ceil(N/m) * this factor for
     # the all-to-all path; overflowing ids drop (counted + surfaced)
     a2a_capacity_factor: float = 2.0
+    # split the a2a row-RETURN exchange into this many capacity-slice
+    # all_to_alls so the restoration gather of slice k overlaps the
+    # exchange of slice k+1 (comm/compute pipelining, SURVEY §7 hard part
+    # 3).  1 = monolithic exchange.  Bit-exact for any value.
+    a2a_chunks: int = 2
     # what predict does when an a2a step reports dropped ids:
     #   "recompute" — re-run via the a2a path at full (provably
     #                 overflow-free) capacity_factor=m (default: preserves

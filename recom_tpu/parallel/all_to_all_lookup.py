@@ -65,13 +65,24 @@ def all_to_all_group_pooled(
     weighted_cols=None,
     data_axis: str = "data",
     model_axis: str = "model",
+    chunks: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (pooled [B, C, d] sharded over data, global overflow count).
 
     ``table`` must be in the STRIPED physical layout (sharded_lookup
     .stripe_rows): logical row r on shard r % m.  Requires
     (B / data_axis_size) % model_axis_size == 0 — the local batch is sliced
-    evenly across model shards for routing."""
+    evenly across model shards for routing.
+
+    ``chunks`` > 1 splits the row-RETURN exchange (the payload — the id
+    exchange is tiny) along the capacity axis into that many independent
+    all_to_all calls, and restores/accumulates each chunk's rows as soon
+    as it lands: the scatter-gather of chunk k is data-independent of the
+    exchange of chunk k+1, so XLA's scheduler can hide all but one
+    chunk's ICI latency behind compute (SURVEY §7 hard part 3; the
+    monolithic exchange serialized comm before any restoration could
+    start).  Every chunking is bit-exact: each entry's row comes from
+    exactly one chunk and the others contribute fill-zeros."""
     from recom_tpu.ops.lookup_xla import table_dim, table_num_rows
     from recom_tpu.ops.quant import QuantizedTable
 
@@ -95,6 +106,14 @@ def all_to_all_group_pooled(
     b_my = b_loc // m
     n = b_my * c * l
     cap = a2a_capacity(n, m, capacity_factor)
+    # chunking must never change the capacity (capacity is part of the
+    # overflow contract): use the largest feasible chunk count <= the
+    # request that divides cap evenly (cap is a multiple of 8, so 2
+    # always fits once cap >= 16)
+    chunks = max(1, int(chunks))
+    while chunks > 1 and cap % chunks:
+        chunks -= 1
+    capc = cap // chunks
 
     def local_fn(tbl_local, ids_local, w_local):
         k = jax.lax.axis_index(model_axis)
@@ -161,11 +180,9 @@ def all_to_all_group_pooled(
         recv_ids = jax.lax.all_to_all(
             send_ids, model_axis, split_axis=0, concat_axis=0, tiled=True
         )                                                  # [m, cap]
-        rows = lookup_xla.gather_rows_f32(tbl_local, recv_ids.reshape(-1))
-        rows_back = jax.lax.all_to_all(
-            rows.reshape(m, cap, d), model_axis,
-            split_axis=0, concat_axis=0, tiled=True,
-        )                                                  # [m, cap, d]
+        rows = lookup_xla.gather_rows_f32(
+            tbl_local, recv_ids.reshape(-1)
+        ).reshape(m, cap, d)
 
         # --- restore original entry order through representatives -------
         # per-unique slot (owner*cap + rank), indexed by unique id
@@ -178,10 +195,44 @@ def all_to_all_group_pooled(
         )
         lin_sorted = jnp.where(entry_ok, slot_by_seg[seg], m * cap)
         lin = jnp.zeros((n,), jnp.int32).at[order].set(lin_sorted)
-        rows_full = jnp.take(
-            rows_back.reshape(m * cap, d), lin, axis=0,
-            mode="fill", fill_value=0.0,
-        )                                                  # [n, d]
+        if chunks == 1:
+            rows_back = jax.lax.all_to_all(
+                rows, model_axis,
+                split_axis=0, concat_axis=0, tiled=True,
+            )                                              # [m, cap, d]
+            rows_full = jnp.take(
+                rows_back.reshape(m * cap, d), lin, axis=0,
+                mode="fill", fill_value=0.0,
+            )                                              # [n, d]
+        else:
+            # pipelined return: exchange capacity-slice k while the
+            # restoration gather of slice k-1 runs.  Entry -> chunk map:
+            # slot so*cap + r lives in chunk r // capc at local linear
+            # index so*capc + (r - k*capc).  Entries outside chunk k (or
+            # overflowed: sentinel m*cap) gather fill-zeros, so the sum
+            # over chunks reassembles rows_full exactly.
+            so_lin = lin // cap                            # sentinel -> m
+            r_lin = lin % cap
+            rows_full = jnp.zeros((n, d), rows.dtype)
+            for ck in range(chunks):
+                back_k = jax.lax.all_to_all(
+                    jax.lax.slice_in_dim(
+                        rows, ck * capc, (ck + 1) * capc, axis=1
+                    ),
+                    model_axis, split_axis=0, concat_axis=0, tiled=True,
+                )                                          # [m, capc, d]
+                in_k = (
+                    (lin < m * cap)
+                    & (r_lin >= ck * capc)
+                    & (r_lin < (ck + 1) * capc)
+                )
+                lin_k = jnp.where(
+                    in_k, so_lin * capc + (r_lin - ck * capc), m * capc
+                )
+                rows_full = rows_full + jnp.take(
+                    back_k.reshape(m * capc, d), lin_k, axis=0,
+                    mode="fill", fill_value=0.0,
+                )
         rows4 = rows_full.reshape(b_my, c, l, d)
 
         if w_local is None:

@@ -384,6 +384,7 @@ class Engine:
                 exact_math=self.config.exact_combiner_math,
                 capacity_factor=cap_factor,
                 weighted_cols=g.weighted_cols,
+                chunks=self.config.a2a_chunks,
             )
         if use_a2a:
             self.log.warning(

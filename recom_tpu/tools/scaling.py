@@ -31,6 +31,7 @@ def sweep(
     iters: int = 20,
     comm: str = "all_to_all",
     mesh_sizes=None,
+    chunks: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -82,7 +83,7 @@ def sweep(
         elif comm == "all_to_all":
             fn_full = jax.jit(
                 lambda t, i, _mesh=mesh: all_to_all_group_pooled(
-                    _mesh, t, i, offs, code
+                    _mesh, t, i, offs, code, chunks=chunks
                 )
             )
 
@@ -373,6 +374,9 @@ def main():
     ap.add_argument("--columns", type=int, default=16)
     ap.add_argument("--rowlen", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--chunks", type=int, default=2,
+                    help="a2a row-return pipeline chunks (EngineConfig."
+                         "a2a_chunks analogue; 2 = default overlap)")
     ap.add_argument("--comm", default="all_to_all",
                     choices=["all_to_all", "psum", "both"])
     ap.add_argument("--ici-gbps", type=float, default=200.0,
@@ -401,6 +405,7 @@ def main():
         rowlen=args.rowlen,
         iters=args.iters,
         comm=args.comm,
+        chunks=args.chunks,
     )
     print(json.dumps({"comm": args.comm, "sweep": results}, indent=1))
 

@@ -446,3 +446,38 @@ def test_serving_pipeline_applies_a2a_overflow_policy():
         fut = pipe.submit(b)
         with pytest.raises(RuntimeError, match="overflow"):
             fut.result()
+
+
+@needs_8
+def test_a2a_chunked_return_bitexact():
+    """chunks>1 pipelines the row-return exchange (one all_to_all per
+    capacity slice, restoration accumulated per chunk) — outputs must be
+    BIT-identical to the monolithic exchange and the single-device kernel
+    for every chunking, including chunk counts that force capacity
+    padding."""
+    from recom_tpu.parallel import all_to_all_group_pooled
+
+    mesh = make_mesh((2, 4))
+    rng = np.random.default_rng(3)
+    C, V, d, B, L = 3, 128, 8, 16, 5
+    table = rng.standard_normal((C * V, d)).astype(np.float32)
+    tp = stripe_rows(pad_rows_to_multiple(table, 4), 4)
+    ids = rng.integers(0, V, size=(B, C, L)).astype(np.int32)
+    ids[rng.random((B, C, L)) < 0.3] = -1
+    offs = (np.arange(C) * V).astype(np.int32)
+    code = np.array([0, 1, 2], np.int32)
+
+    outs = {}
+    for chunks in (1, 2, 3):
+        out, overflow = jax.jit(
+            lambda t, i, ck=chunks: all_to_all_group_pooled(
+                mesh, t, i, offs, code, chunks=ck
+            )
+        )(jnp.asarray(tp), jnp.asarray(ids))
+        assert int(overflow) == 0
+        outs[chunks] = np.asarray(out)
+    out_1d = lookup_xla.group_pooled(
+        jnp.asarray(table), jnp.asarray(ids), offs, code
+    )
+    for chunks in (1, 2, 3):
+        np.testing.assert_array_equal(outs[chunks], np.asarray(out_1d))
