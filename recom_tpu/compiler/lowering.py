@@ -116,9 +116,13 @@ class CompiledModel:
     model: ModelSpec
     config: EngineConfig
     groups: List[LookupGroup]
-    # permutation: model-order emb concat[i] = grouped concat[emb_perm[i]]
+    # mapping: model-order emb concat[i] = grouped concat[emb_perm[i]].
+    # A permutation without dedup; with dedup_subcolumns aliased duplicate
+    # columns map onto their representative's grouped slot, so emb_perm is
+    # surjective onto [0, grouped_emb_dim) but not injective.
     emb_perm: np.ndarray
-    total_emb_dim: int
+    total_emb_dim: int           # model-order concat width (incl. aliases)
+    grouped_emb_dim: int         # grouped concat width (aliases excluded)
     n_dense: int               # total dense tower-input rows (sum of widths)
     # one entry per dense row: (field, dim index | None).  None = width-1
     # scalar feed [B]; an int j = dim j of a width-k vector feed [B, k]
@@ -240,7 +244,29 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
     # columns of the same (dim, ragged) ----------------------------------
     group_map: Dict[Tuple[int, bool, Optional[int]], LookupGroup] = {}
     members_by_col: Dict[str, Tuple[GroupMember, LookupGroup]] = {}
+    # Shared-sub-column dedup (config.dedup_subcolumns; the runtime half of
+    # compiler/passes.dedup_subcolumns): columns identical in EVERYTHING the
+    # device consumes — id chain, table, combiner, weight field, post ops,
+    # concat visibility — alias to ONE group member.  The duplicate costs
+    # no wire bytes, no [B, C, L] id-plane width, no stacked-table rows,
+    # and no pooling: only its model-order concat slots exist, and
+    # emb_perm (a gather) points them at the representative's group slot.
+    # Reference analogue: PreLookupOptimizer's shared-chain reconstruction
+    # (pre_lookup_optimizer.cc:480-720) rebuilds shared prefixes to run
+    # once; aliasing whole identical columns subsumes that for the
+    # duplicate-column case.
+    dedup = bool(getattr(config, "dedup_subcolumns", True))
+    rep_by_key: Dict[Tuple, Tuple[GroupMember, LookupGroup]] = {}
     for col in model.embedding_columns:
+        if dedup:
+            dkey = (
+                col.chain_key(), col.lookup.table, col.lookup.combiner,
+                col.lookup.weight_field, repr(col.post), col.in_concat,
+            )
+            hit = rep_by_key.get(dkey)
+            if hit is not None:
+                members_by_col[col.name] = hit
+                continue
         tspec = model.tables[col.lookup.table]
         # weighted columns always take the ragged layout (ids + weights
         # arrays): TF's weighted_categorical_column applies to single-value
@@ -299,6 +325,8 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         )
         g.members.append(m)
         members_by_col[col.name] = (m, g)
+        if dedup:
+            rep_by_key[dkey] = (m, g)
         if col.lookup.weight_field:
             g.has_weights = True
         if col.lookup.combiner == Combiner.SOFTMAX:
@@ -392,7 +420,15 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
     for g in groups:
         group_base[g.gid] = base
         base += g.out_width
-    total_emb = base
+    # model-order concat width INCLUDES aliased duplicates (each occupies
+    # its declared slot, gathered from the shared grouped slot); the
+    # grouped concat width (``base``) excludes them
+    from recom_tpu.ir.spec import column_out_width as _cow
+
+    total_emb = sum(
+        _cow(model, col) if col.in_concat else 0
+        for col in model.embedding_columns
+    )
 
     perm = np.empty((total_emb,), dtype=np.int32)
     pos = 0
@@ -421,6 +457,7 @@ def lower_model(model: ModelSpec, config: EngineConfig) -> CompiledModel:
         groups=groups,
         emb_perm=perm,
         total_emb_dim=total_emb,
+        grouped_emb_dim=base,
         n_dense=len(dense_rows),
         dense_rows=dense_rows,
         column_slot=column_slot,

@@ -213,9 +213,12 @@ def canonicalize_lookup(
 
 # ---------------------------------------------------------------------------
 # Pass 4: shared-sub-column dedup (new in this framework; the reference
-# re-computes shared prefixes per column).  The pass itself only reports —
-# host_prep memoizes chain evaluation by chain_key, and lowering may alias
-# device work later.
+# re-computes shared prefixes per column).  The pass reports the count;
+# the mechanics live in two places: host_prep memoizes chain evaluation by
+# chain_key (shared prefixes hash once), and lowering ALIASES device-
+# identical columns (chain+table+combiner+weights+post) to one group
+# member — the duplicate occupies no wire bytes, no [B, C, L] id-plane
+# width, no stacked-table rows, and no pooling (lowering.lower_model).
 # ---------------------------------------------------------------------------
 
 

@@ -64,10 +64,20 @@ def export_params(engine) -> Dict:
         ]
     if getattr(engine, "_fold_emb_perm", False):
         # device stores the first top matmul with emb-perm-folded rows;
-        # export back in model order (W_m = W_g[perm_full])
+        # export back in model order.  Without dedup aliases this is the
+        # gather W_m = W_g[perm_full].  With aliases the grouped row holds
+        # the SUM of its model rows (non-identifiable split): assign the
+        # full sum to the FIRST model slot of each grouped row and zero to
+        # the other aliases — re-folding scatter-adds back to W_g exactly
+        # (bit-exact resume), and the model-order function is unchanged
+        # because aliased slots carry identical activations (x*(w1+w2) +
+        # x*0 == the folded product; adding literal 0.0 rows is exact).
         perm_full = engine._fold_perm_full()
-        w_g = out["tower"]["top"][0]["w"]
-        out["tower"]["top"][0]["w"] = w_g[perm_full]
+        w_g = np.asarray(out["tower"]["top"][0]["w"])
+        uniq, first_idx = np.unique(perm_full, return_index=True)
+        w_m = np.zeros((len(perm_full),) + w_g.shape[1:], w_g.dtype)
+        w_m[first_idx] = w_g[uniq]
+        out["tower"]["top"][0]["w"] = w_m
     return out
 
 

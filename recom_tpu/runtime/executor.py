@@ -304,8 +304,18 @@ class Engine:
         if self._fold_emb_perm:
             w_m = np.asarray(np_params["tower"]["top"][0]["w"])
             perm_full = self._fold_perm_full()
-            w_g = np.empty_like(w_m)
-            w_g[perm_full] = w_m      # W_g[front + emb_perm[i]] = W_m[front+i]
+            # scatter-ADD, not assign: with dedup_subcolumns several
+            # model-order slots can alias one grouped slot, and the
+            # grouped input feeds them all — their weight rows sum (a
+            # bijective perm hits each row exactly once, where adding to
+            # zeros equals the old assignment bit-for-bit).  Rows shrink
+            # to front + grouped_emb_dim when aliases exist.
+            rows_g = (
+                len(perm_full) - self.compiled.total_emb_dim
+                + self.compiled.grouped_emb_dim
+            )
+            w_g = np.zeros((rows_g,) + w_m.shape[1:], w_m.dtype)
+            np.add.at(w_g, perm_full, w_m)
             arr = jnp.asarray(w_g)
             if rep is not None:
                 arr = jax.device_put(arr, rep)

@@ -295,3 +295,63 @@ def test_vocab_cache_key_distinguishes_int_and_str_vocab():
     a = VocabLookup([1, 2], num_oov=1)
     b = VocabLookup(["1", "2"], num_oov=1)
     assert a.cache_key() != b.cache_key()
+
+
+def test_dedup_aliases_duplicate_columns_on_device():
+    """dedup_subcolumns=True (default) must DEDUPE DEVICE WORK, not just
+    report: duplicated (chain, table, combiner) columns alias to one group
+    member, so the wire shrinks and the [B, C, L] id plane narrows, while
+    model-order outputs stay bit-identical to the oracle and to the
+    dedup-off engine (VERDICT r04 item 4)."""
+    from recom_tpu import Engine
+    from recom_tpu.models.synthetic import make_dlrm_model
+    from recom_tpu.models import make_random_batch
+    from recom_tpu.utils.params import init_model_params
+    import dataclasses as _dc
+
+    base = make_dlrm_model(4, 2, 3, 2, 0, 2, [8], [16],
+                           name="dup", small_rows=50)
+    # duplicate several columns verbatim under new names (same source
+    # field, same transforms, same table -> device-identical)
+    dup_cols = []
+    for col in base.columns:
+        dup_cols.append(col)
+        if col.lookup is not None and col.name in (
+            "bucketize0", "categ_hashbucket0", "categ_hashbucket_sparse0",
+        ):
+            dup_cols.append(_dc.replace(col, name=col.name + "_dup"))
+    model = _dc.replace(base, columns=tuple(dup_cols))
+    params = init_model_params(model)
+    batch = make_random_batch(model, 32, seed=9)
+
+    engines = {}
+    for label, dd in (("on", True), ("off", False)):
+        engines[label] = Engine(
+            model, EngineConfig(dedup_subcolumns=dd), params=params
+        )
+    on, off = engines["on"], engines["off"]
+    n_on = sum(len(g.members) for g in on.compiled.groups)
+    n_off = sum(len(g.members) for g in off.compiled.groups)
+    assert n_on == n_off - 3, (n_on, n_off)
+    w_on = on.prepare(batch).arrays["blob"].nbytes
+    w_off = off.prepare(batch).arrays["blob"].nbytes
+    assert w_on < w_off, (w_on, w_off)
+
+    out_on = on.predict(batch, return_pooled=True, return_concat=True)
+    out_off = off.predict(batch, return_pooled=True, return_concat=True)
+    # the tower folds aliased slots' weight rows into one (x*(w1+w2) vs
+    # x*w1 + x*w2): same math, different float summation — allclose for
+    # the tower output, BIT-exact for the lookup artifacts (the contract)
+    np.testing.assert_allclose(
+        out_on["output"], out_off["output"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(out_on["concat"], out_off["concat"])
+    ref = OracleModel(model, params=params).pooled_outputs(batch)
+    for name, want in ref.items():
+        np.testing.assert_array_equal(
+            np.asarray(out_on["pooled"][name]), want, err_msg=name
+        )
+    # duplicate and original resolve to the SAME group slot
+    assert on.compiled.column_slot["bucketize0"] == (
+        on.compiled.column_slot["bucketize0_dup"]
+    )
