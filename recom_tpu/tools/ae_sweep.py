@@ -180,7 +180,14 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
     SAME pipeline config measured 143.6k then 46.8k ex/s in consecutive
     rungs), so measuring rung-after-rung attributes weather to worker
     count.  Round-robining rung chunks inside every window exposes each
-    rung to the same weather, making the ladder comparison fair."""
+    rung to the same weather, making the ladder comparison fair.
+
+    Squall-retry (VERDICT r04 weak #4 — bench.py's discipline, ported):
+    when any rung's windows drift (last/first > 1.5) or its median is 3x
+    its best window, the measurement straddled a transient stall — the
+    WHOLE interleaved round re-runs once on fresh content (keeping the
+    interleaving fair), each rung keeps its better median, and the
+    discarded windows are recorded in the row."""
     import numpy as np
 
     from recom_tpu import Engine, EngineConfig
@@ -192,30 +199,25 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
     eng = Engine(model, EngineConfig(), params=np_params)
     windows = 5
     per = max(2, n_inputs // windows)
-    pipes = {}
-    chunks = {}
-    try:
-        for nw in workers:
-            pipes[nw] = ServingPipeline(
-                eng, prep_workers=nw, max_inflight=24, fetch_outputs=False
-            )
-            # seed varies per rung: identical content across rungs would
-            # be served from the transport's (program, inputs) execution
-            # cache after the first rung runs it
+    worker_list = list(workers)
+
+    def one_round(seed0: int, pipes) -> dict:
+        chunks = {}
+        for nw in worker_list:
+            # seed varies per rung AND per round: identical content would
+            # be served from the transport's (program, inputs) cache
             bats = _distinct_batches(
                 model, batch, windows * per + 2,
-                seed0=77_000 + nw * 7_919,
+                seed0=seed0 + nw * 7_919,
             )
             for wb in bats[:2]:
                 pipes[nw].submit(wb).result()
             chunks[nw] = bats[2:]
-        samples = {nw: [] for nw in workers}
-        worker_list = list(workers)
+        samples = {nw: [] for nw in worker_list}
         for w in range(windows):
             # rotate rung order per window: the first rung after a window
-            # boundary measures systematically faster on the tunnel
-            # (r04: the first-ordered rung won every window regardless of
-            # worker count) — rotation spreads the bias over all rungs
+            # boundary measures systematically faster on the tunnel —
+            # rotation spreads the bias over all rungs
             rot = worker_list[w % len(worker_list):] + \
                 worker_list[: w % len(worker_list)]
             for nw in rot:
@@ -229,10 +231,47 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
                 samples[nw].append(
                     (time.perf_counter() - t0) / len(chunk)
                 )
+        return samples
+
+    def squall_reasons(ws) -> list:
+        reasons = []
+        if len(ws) >= 2 and ws[0] and ws[-1] / ws[0] > 1.5:
+            reasons.append(f"window_drift={round(ws[-1] / ws[0], 2)}")
+        if ws and float(np.median(ws)) > 3 * min(ws):
+            reasons.append("median_3x_best_window")
+        return reasons
+
+    pipes = {}
+    try:
+        for nw in worker_list:
+            pipes[nw] = ServingPipeline(
+                eng, prep_workers=nw, max_inflight=24, fetch_outputs=False
+            )
+        samples = one_round(77_000, pipes)
+        flagged = {
+            nw: squall_reasons(samples[nw]) for nw in worker_list
+        }
+        retry_info = None
+        if any(flagged.values()):
+            samples2 = one_round(907_000, pipes)
+            retry_info = {}
+            for nw in worker_list:
+                m1 = float(np.median(samples[nw]))
+                m2 = float(np.median(samples2[nw]))
+                keep_first = m1 <= m2
+                retry_info[nw] = {
+                    "reasons": flagged[nw],
+                    "discarded_windows_ms": [
+                        round(x * 1e3, 3)
+                        for x in (samples2 if keep_first else samples)[nw]
+                    ],
+                }
+                if not keep_first:
+                    samples[nw] = samples2[nw]
     finally:
         for p in pipes.values():
             p.close()
-    for nw in workers:
+    for nw in worker_list:
         s = float(np.median(samples[nw]))
         row = {
             "model": model.name,
@@ -241,7 +280,11 @@ def workers_sweep(name: str, batch: int, n_inputs: int, workers, out_rows):
             "examples_per_s": round(batch / s, 1),
             "request_ms": round(s * 1e3, 3),
             "windows_ms": [round(x * 1e3, 3) for x in samples[nw]],
-            "protocol": "thread_pipeline(interleaved windows)",
+            "protocol": "thread_pipeline(interleaved windows, "
+                        "squall-retry)",
+            "squall_retry": (
+                retry_info.get(nw) if retry_info else None
+            ),
         }
         out_rows.append(row)
         print(json.dumps(row))
