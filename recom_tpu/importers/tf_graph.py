@@ -698,15 +698,20 @@ def import_tf_graphdef(
                 weighted=weighted, hosteval=_hosteval_ops(transforms),
             )
             if residue:
+                examples = [
+                    f"{x.name} ({x.op})" for x in sub if x.op in residue
+                ][:3]
                 msg = (
                     f"column feeding {n.name}: recognized {anchor_kind} "
-                    f"chain carries unmodeled ops {sorted(residue)}"
+                    f"chain carries unmodeled ops {sorted(residue)} "
+                    f"(e.g. {', '.join(examples)})"
                 )
                 if strict:
                     raise ValueError(
                         msg + " — refusing to change semantics silently; "
                         "pass strict=False to import the recognized part "
-                        "anyway (warned)"
+                        "anyway (warned).  Supported-op contract: "
+                        "docs/IMPORT_CONTRACT.md"
                     )
                 warnings.append(msg + "; imported WITHOUT them")
         else:
@@ -717,7 +722,8 @@ def import_tf_graphdef(
             if strict:
                 raise ValueError(
                     msg + " — refusing to change semantics silently; pass "
-                    "strict=False to import as identity int ids"
+                    "strict=False to import as identity int ids.  "
+                    "Supported idioms: docs/IMPORT_CONTRACT.md"
                 )
             warnings.append(msg + "; imported as identity int ids")
             kind = FeatureKind.INT_LIST if ragged else FeatureKind.DENSE_INT
@@ -1021,7 +1027,8 @@ def _match_categorical_chain(
                 if strict:
                     raise ValueError(
                         msg + "; pass strict=False to import the "
-                        "recognized part anyway (warned)"
+                        "recognized part anyway (warned).  Supported "
+                        "pre-anchor math: docs/IMPORT_CONTRACT.md"
                     )
                 warnings.append(msg + "; imported WITHOUT it")
     # range idioms append AFTER the final main_ph resolution so the
@@ -1370,9 +1377,13 @@ def _import_indicator(
         hosteval=_hosteval_ops(transforms),
     )
     if residue:
+        examples = [
+            f"{x.name} ({x.op})" for x in sub if x.op in residue
+        ][:3]
         return bail(
             f"recognized {anchor_kind} chain carries unmodeled ops "
-            f"{sorted(residue)}"
+            f"{sorted(residue)} (e.g. {', '.join(examples)}); see "
+            "docs/IMPORT_CONTRACT.md"
         )
     if anchor_kind == "identity":
         # no anchor op to trace from: verify the one-hot's id path instead
@@ -1384,6 +1395,7 @@ def _import_indicator(
                 "identity-id value path does not reach a Placeholder "
                 "through value-preserving ops (stops at "
                 f"{src.op + ' ' + src.name if src is not None else 'a cycle'})"
+                "; see docs/IMPORT_CONTRACT.md"
             )
         main_ph = src
     if chain_hi is None or chain_hi > depth - 1:
