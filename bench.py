@@ -457,9 +457,14 @@ def main():
                 model, EngineConfig(**_ARM_CONFIGS[label]),
                 params=np_params,
             )
+            # async windows must amortize the tunnel drain the way the
+            # headline protocol does (~16 requests between waits): tiny
+            # 3-request windows measured drain RTT/3 per request and
+            # understated every arm equally but noisily
+            n_async = 32
             fresh = [
                 make_random_batch(model, args.batch, seed=seed_base[0] + i)
-                for i in range(min(30, args.iters) + 12)
+                for i in range(min(30, args.iters) + n_async + 10)
             ]
             seed_base[0] += len(fresh)
             dev_s, dev_w, _, prep0, _ = device_windows(
@@ -472,7 +477,9 @@ def main():
             # async serving loop + strict sync on fresh content (the
             # serving-relevant number: transfer overlaps with prep here)
             rest = fresh[min(30, args.iters):]
-            warm, a_bats, s_bats = rest[:2], rest[2:8], rest[8:]
+            warm = rest[:2]
+            a_bats = rest[2:2 + n_async]
+            s_bats = rest[2 + n_async:]
             async_s, async_w, _ = loop_windows(
                 e, warm, a_bats, confirm_every=8, windows=2
             )

@@ -72,15 +72,17 @@ class EngineConfig:
     # Off restores the device bucketize / fused Pallas one-hot path.
     host_bucketize: bool = True
     # hash string features ON DEVICE (ops/hash_device.py): the wire ships
-    # raw NUL-padded string bytes and the TPU splits + FarmHashes them
-    # itself via XLA's exact u64 emulation — removing the dominant
-    # host-prep cost (model E: ~1.0 ms/request of split+hash on the single
-    # serving core vs 0.02 ms of device compute).  Applies to the
-    # unweighted single-HashBucket string classes (fixed strings and
-    # single-byte-delimited lists); everything else keeps host prep.
+    # each string column's numpy 'S' buffer VERBATIM (one memcpy; the
+    # device re-pads rows with a gather) and the TPU splits + FarmHashes
+    # them itself via XLA's exact u64 emulation — removing the dominant
+    # host-prep cost.  Default ON since r05: with verbatim staging the
+    # measured on-chip arm wins sync AND async at model E@512 (ARMS_r05;
+    # host prep 1.40 -> 0.97 ms) and fixes the F@2048 host dip.  Applies
+    # to the unweighted single-HashBucket string classes (fixed strings
+    # and single-byte-delimited lists); everything else keeps host prep.
     # Per-request fallback to host hashing when a row/piece exceeds the
     # device kernel's byte caps.  Wire-pack path only.
-    device_hash: bool = False
+    device_hash: bool = True
 
     # --- kernel selection ---
     # tables with vocab <= this use the MXU one-hot matmul megakernel path;

@@ -1120,7 +1120,36 @@ void HashIntColT(const int64_t* v, uint64_t nb, const int32_t* lut,
                  int64_t lut_size, int64_t batch, T* o) {
   uint8_t buf[24];
   const FastMod mod(nb);
-  for (int64_t i = 0; i < batch; ++i) {
+  int64_t i = 0;
+#if defined(RECOM_AVX512) && defined(__AVX512VL__)
+  // 8-lane LUT path: int features overwhelmingly land in [0, lut_size)
+  // (the plan precomputes hash(str(v)) there) — gather the ids and only
+  // drop to the scalar format+hash loop when a block has any
+  // out-of-range lane (a -1 missing value or a large id)
+  if (lut) {
+    const __m512i vlo = _mm512_setzero_si512();
+    const __m512i vhi = _mm512_set1_epi64(lut_size);
+    for (; i + 8 <= batch; i += 8) {
+      const __m512i x =
+          _mm512_loadu_si512(reinterpret_cast<const void*>(v + i));
+      const __mmask8 in_lo = _mm512_cmp_epi64_mask(x, vlo, _MM_CMPINT_NLT);
+      const __mmask8 in_hi = _mm512_cmp_epi64_mask(x, vhi, _MM_CMPINT_LT);
+      if ((in_lo & in_hi) != 0xff) break;    // tail loop handles the rest
+      const __m256i idx = _mm512_cvtepi64_epi32(x);
+      const __m256i ids = _mm256_i32gather_epi32(lut, idx, 4);
+      if (sizeof(T) == 1) {
+        _mm_storel_epi64(reinterpret_cast<__m128i*>(o + i),
+                         _mm256_cvtepi32_epi8(ids));
+      } else if (sizeof(T) == 2) {
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(o + i),
+                         _mm256_cvtepi32_epi16(ids));
+      } else {
+        _mm256_storeu_si256(reinterpret_cast<__m256i*>(o + i), ids);
+      }
+    }
+  }
+#endif
+  for (; i < batch; ++i) {
     const int64_t x = v[i];
     if (lut && static_cast<uint64_t>(x) < static_cast<uint64_t>(lut_size)) {
       o[i] = static_cast<T>(lut[x]);

@@ -953,6 +953,12 @@ class Engine:
           arrays (ragged groups at their largest rowlen bucket).
         * neither: warms every batch bucket in the config.
 
+        Under ``device_hash`` (the default) the jit signature also carries
+        the per-request string WIDTH buckets, which synthetic empty
+        batches cannot know — pass representative ``batches`` to warm the
+        real serving signatures (empty-array warmup covers the host-hash
+        fallback signature only).
+
         Returns the number of programs compiled."""
         from recom_tpu.runtime.host_prep import make_empty_prepared
 

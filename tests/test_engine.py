@@ -157,14 +157,35 @@ def test_engine_warmup_precompiles_buckets():
     from recom_tpu.models.synthetic import make_dlrm_model
 
     m = make_dlrm_model(4, 1, 1, 1, 0, 2, [4], [8, 1], name="warm")
+    # device_hash=False: the empty-array warmup can only know the
+    # host-hash signature (string WIDTH buckets are data-dependent —
+    # see the representative-batches test below for the default config)
     eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(16, 32),
-                                 rowlen_buckets=(16,)))
+                                 rowlen_buckets=(16,), device_hash=False))
     n = eng.warmup()
     assert n == 2
     b = make_random_batch(m, 16, seed=0)
     before = eng.stats["compiles"]
     eng.predict(b)
     # single rowlen bucket + batch 16 were both warmed: no new compile
+    assert eng.stats["compiles"] == before
+
+
+def test_engine_warmup_with_batches_covers_device_hash_signatures():
+    """Under the default (device_hash) config the serving signature
+    carries data-dependent string width buckets: warmup(batches=...) with
+    representative traffic must cover them so live requests compile
+    nothing new."""
+    from recom_tpu.models.synthetic import make_dlrm_model
+
+    m = make_dlrm_model(4, 1, 1, 1, 0, 2, [4], [8, 1], name="warm2")
+    eng = Engine(m, EngineConfig(use_pallas=False, batch_buckets=(16, 32),
+                                 rowlen_buckets=(16,)))
+    warm = [make_random_batch(m, 16, seed=100)]
+    eng.warmup(batches=warm)
+    b = make_random_batch(m, 16, seed=0)   # same width distribution
+    before = eng.stats["compiles"]
+    eng.predict(b)
     assert eng.stats["compiles"] == before
 
 

@@ -275,3 +275,35 @@ def test_hash_fixed_multi_out_simd_sweep():
                     out[c, :, 0], want.astype(np.int32),
                     err_msg=f"width={width} batch={batch} col={c}",
                 )
+
+
+def test_hash_int_lut_simd_sweep():
+    """The 8-lane int-LUT gather must agree element-for-element with the
+    scalar LUT/format+hash path across block boundaries, including -1
+    (missing), values past the LUT range (format+hash fallback), and
+    all-in-range columns."""
+    rng = np.random.default_rng(13)
+    lut_size = 1024
+    nb = 997
+    lut = np.ascontiguousarray(
+        ops.hash_ints(np.arange(lut_size, dtype=np.int64), nb), np.int32
+    )
+    for batch in (1, 7, 8, 9, 16, 33, 512):
+        for mode in ("in_range", "with_miss", "with_large"):
+            col = rng.integers(0, lut_size, batch).astype(np.int64)
+            if mode == "with_miss" and batch > 2:
+                col[batch // 2] = -1
+            if mode == "with_large" and batch > 3:
+                col[batch // 3] = 10**12
+            out = np.full((1, batch, 1), -9, np.int32)
+            ops.hash_int_multi_out(
+                [col], np.asarray([nb], np.int64), out, batch,
+                lut_ptrs=np.asarray([lut.ctypes.data], np.int64),
+                luts=[lut], lut_size=lut_size,
+            )
+            want = np.where(
+                col == -1, -1, ops.hash_ints(col, nb)
+            ).astype(np.int32)
+            np.testing.assert_array_equal(
+                out[0, :, 0], want, err_msg=f"batch={batch} mode={mode}"
+            )

@@ -117,7 +117,10 @@ def test_wire_matches_structured_bitexact(host_bucketize):
 def test_unpack_blob_reproduces_structured_arrays():
     model = make_kitchen_sink()
     batch = make_random_batch(model, 21, seed=3)
-    cfg = EngineConfig(host_bucketize=False)   # same views both paths
+    # host_bucketize=False: same views both paths; device_hash=False: the
+    # structured path has no verbatim-staging analogue, so the wire must
+    # produce the PLAIN signature here
+    cfg = EngineConfig(host_bucketize=False, device_hash=False)
     eng = Engine(model, cfg, params=init_model_params(model))
     structured = prepare_batch(eng.compiled, batch)
     wired = prepare_batch_wire(eng.compiled, batch)
