@@ -429,10 +429,14 @@ def main():
     # fused Pallas kernel's true competitor is XLA device_bucketize, not
     # the host path); the dev_* arms put the device-side string
     # split+FarmHash staging (ops/hash_device.py) on trial.
+    # device_hash defaults ON since r05 — each arm pins EVERY staging
+    # knob explicitly so the matrix labels stay truthful across default
+    # changes (r05 first recording mislabeled "host" as the dev arm)
     _ARM_CONFIGS = {
-        "host": dict(),
-        "xla_bz": dict(host_bucketize=False, use_pallas=False),
-        "fused_bz": dict(host_bucketize=False),
+        "host": dict(device_hash=False),
+        "xla_bz": dict(host_bucketize=False, use_pallas=False,
+                       device_hash=False),
+        "fused_bz": dict(host_bucketize=False, device_hash=False),
         "dev_hash": dict(device_hash=True),
         "dev_all": dict(device_hash=True, host_bucketize=False),
     }
@@ -480,12 +484,36 @@ def main():
             warm = rest[:2]
             a_bats = rest[2:2 + n_async]
             s_bats = rest[2 + n_async:]
-            async_s, async_w, _ = loop_windows(
-                e, warm, a_bats, confirm_every=8, windows=2
-            )
-            sync_s, sync_w, _ = loop_windows(
-                e, [], s_bats, confirm_every=1, windows=2
-            )
+            def measured(bats, warm_b, confirm):
+                """loop_windows + the squall-retry rule the headline
+                modes use: a median 3x the best window or window drift
+                > 1.5 means the run straddled a tunnel stall —
+                remeasure once on fresh content, keep the better."""
+                s, w, _ = loop_windows(
+                    e, warm_b, bats, confirm_every=confirm, windows=2
+                )
+                bad = (w and s * 1e3 > 3 * min(w)) or (
+                    len(w) >= 2 and w[0] and w[-1] / w[0] > 1.5
+                )
+                retried = None
+                if bad:
+                    fresh2 = [
+                        make_random_batch(
+                            model, args.batch, seed=seed_base[0] + i
+                        )
+                        for i in range(len(bats))
+                    ]
+                    seed_base[0] += len(fresh2)
+                    s2, w2, _ = loop_windows(
+                        e, [], fresh2, confirm_every=confirm, windows=2
+                    )
+                    retried = w2 if s <= s2 else w
+                    if s2 < s:
+                        s, w = s2, w2
+                return s, w, retried
+
+            async_s, async_w, async_retry = measured(a_bats, warm, 8)
+            sync_s, sync_w, sync_retry = measured(s_bats, [], 1)
             wire_bytes = None
             if "blob" in prep0.arrays:
                 wire_bytes = int(prep0.arrays["blob"].nbytes)
@@ -501,6 +529,10 @@ def main():
                 "examples_per_s_async": round(args.batch / async_s, 1),
                 "wire_bytes_per_step": wire_bytes,
                 "warm_compile_s": round(compile_s, 1),
+                "squall_retries": {
+                    "async_discarded_windows_ms": async_retry,
+                    "sync_discarded_windows_ms": sync_retry,
+                } if (async_retry or sync_retry) else None,
             }
         best = min(
             out["arms"], key=lambda k: out["arms"][k]["request_ms_async"]

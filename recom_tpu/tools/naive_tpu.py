@@ -372,6 +372,9 @@ def main():
     ap.add_argument("--sanity", action="store_true",
                     help="cross-check the first output vs the framework "
                          "engine (builds a second engine)")
+    ap.add_argument("--device-arm", action="store_true",
+                    help="also record the device-step-only arm (host prep"
+                         " + H2D gifted) at every batch size")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -401,6 +404,10 @@ def main():
                             sanity_engine=sanity_eng)
         rows.append(row)
         print(json.dumps(row), flush=True)
+        if args.device_arm:
+            drow = measure_naive_device(model, np_params, bs, n=16)
+            rows.append(drow)
+            print(json.dumps(drow), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             cmd = (
