@@ -330,11 +330,13 @@ def run_artifact(args) -> dict:
         },
         "sweeps": {},
     }
+    out["config"]["chunks"] = args.chunks
     for comm in ("all_to_all", "psum"):
         rows = sweep(
             rows_per_shard=args.rows_per_shard, dim=args.dim,
             batch=args.batch, n_columns=args.columns,
             rowlen=args.rowlen, iters=args.iters, comm=comm,
+            chunks=args.chunks,
         )
         t1 = next(
             (r["latency_ms"] / 1e3 for r in rows if r["model_axis"] == 1),

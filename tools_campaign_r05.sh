@@ -41,3 +41,18 @@ timeout 7200 python -m recom_tpu.tools.ae_sweep --models E F \
     > /tmp/campaign_r05/tp.out 2> /tmp/campaign_r05/tp.err
 
 echo CAMPAIGN_TPU_DONE
+
+# 8. Quiet-host CPU measurements (still alone: they time the same core)
+timeout 1800 python -m recom_tpu.tools.hostdip --out HOSTDIP_r05.json \
+    > /tmp/campaign_r05/hostdip.out 2> /tmp/campaign_r05/hostdip.err
+
+XLA_FLAGS=--xla_force_host_platform_device_count=8 timeout 3600 \
+    python -m recom_tpu.tools.scaling --artifact SCALING_r05.json \
+    --chunks 2 > /tmp/campaign_r05/scaling.out \
+    2> /tmp/campaign_r05/scaling.err
+
+timeout 1800 python -m recom_tpu.tools.overlap_evidence \
+    --out OVERLAP_r05.json > /tmp/campaign_r05/overlap.out \
+    2> /tmp/campaign_r05/overlap.err
+
+echo CAMPAIGN_ALL_DONE
