@@ -453,86 +453,90 @@ def main():
             "cmd": "python bench.py"
                    + (" --smoke" if args.smoke else f" --model {args.model}")
                    + f" --batch {args.batch} --arms-ab {' '.join(arms)}",
+            "protocol": "arms interleaved per window, rotating order "
+                        "(tunnel weather shifts in multi-minute regimes; "
+                        "sequential arm measurement attributes weather "
+                        "to the arm — the same fairness fix as "
+                        "ae_sweep.workers_sweep)",
         }
         seed_base = [5000]
+
+        def fresh(n):
+            bats = [
+                make_random_batch(model, args.batch, seed=seed_base[0] + i)
+                for i in range(n)
+            ]
+            seed_base[0] += n
+            return bats
+
+        # ---- phase 1 (per arm): compile + device latency + host prep ---
+        engines = {}
+        meta = {}
         for label in arms:
             t0 = time.perf_counter()
             e = Engine(
                 model, EngineConfig(**_ARM_CONFIGS[label]),
                 params=np_params,
             )
-            # async windows must amortize the tunnel drain the way the
-            # headline protocol does (~16 requests between waits): tiny
-            # 3-request windows measured drain RTT/3 per request and
-            # understated every arm equally but noisily
-            n_async = 32
-            fresh = [
-                make_random_batch(model, args.batch, seed=seed_base[0] + i)
-                for i in range(min(30, args.iters) + n_async + 10)
-            ]
-            seed_base[0] += len(fresh)
             dev_s, dev_w, _, prep0, _ = device_windows(
-                e, [batch] + fresh[:min(30, args.iters)]
+                e, [batch] + fresh(min(30, args.iters))
             )
             compile_s = time.perf_counter() - t0
             prep_s, prep_w = time_windows(
                 lambda: e.prepare(batch), max(5, args.iters // 5), warmup=2
             )
-            # async serving loop + strict sync on fresh content (the
-            # serving-relevant number: transfer overlaps with prep here)
-            rest = fresh[min(30, args.iters):]
-            warm = rest[:2]
-            a_bats = rest[2:2 + n_async]
-            s_bats = rest[2 + n_async:]
-            def measured(bats, warm_b, confirm):
-                """loop_windows + the squall-retry rule the headline
-                modes use: a median 3x the best window or window drift
-                > 1.5 means the run straddled a tunnel stall —
-                remeasure once on fresh content, keep the better."""
-                s, w, _ = loop_windows(
-                    e, warm_b, bats, confirm_every=confirm, windows=2
-                )
-                bad = (w and s * 1e3 > 3 * min(w)) or (
-                    len(w) >= 2 and w[0] and w[-1] / w[0] > 1.5
-                )
-                retried = None
-                if bad:
-                    fresh2 = [
-                        make_random_batch(
-                            model, args.batch, seed=seed_base[0] + i
-                        )
-                        for i in range(len(bats))
-                    ]
-                    seed_base[0] += len(fresh2)
-                    s2, w2, _ = loop_windows(
-                        e, [], fresh2, confirm_every=confirm, windows=2
-                    )
-                    retried = w2 if s <= s2 else w
-                    if s2 < s:
-                        s, w = s2, w2
-                return s, w, retried
-
-            async_s, async_w, async_retry = measured(a_bats, warm, 8)
-            sync_s, sync_w, sync_retry = measured(s_bats, [], 1)
             wire_bytes = None
             if "blob" in prep0.arrays:
                 wire_bytes = int(prep0.arrays["blob"].nbytes)
-            out["arms"][label] = {
+            engines[label] = e
+            meta[label] = {
                 "device_latency_ms": round(dev_s * 1e3, 3),
                 "device_windows_ms": dev_w,
                 "host_prep_ms": round(prep_s * 1e3, 3),
                 "host_prep_windows_ms": prep_w,
-                "request_ms_sync": round(sync_s * 1e3, 3),
-                "sync_windows_ms": sync_w,
-                "request_ms_async": round(async_s * 1e3, 3),
-                "async_windows_ms": async_w,
-                "examples_per_s_async": round(args.batch / async_s, 1),
                 "wire_bytes_per_step": wire_bytes,
                 "warm_compile_s": round(compile_s, 1),
-                "squall_retries": {
-                    "async_discarded_windows_ms": async_retry,
-                    "sync_discarded_windows_ms": sync_retry,
-                } if (async_retry or sync_retry) else None,
+            }
+            # warm serving signatures + rowlen hints once per arm
+            for wb in fresh(2):
+                p = e.prepare(wb)
+                jax.block_until_ready(
+                    e._get_jitted(p.signature)(e.device_params, p.arrays)[
+                        "output"
+                    ]
+                )
+
+        # ---- phase 2: INTERLEAVED serving windows ----------------------
+        # each round runs one async window (16 requests, confirm-every-8)
+        # and one sync window (4 requests) per arm, rotating arm order so
+        # the systematically-faster first-after-boundary slot spreads
+        rounds = 4
+        async_w = {label: [] for label in arms}
+        sync_w = {label: [] for label in arms}
+        for r in range(rounds):
+            rot = arms[r % len(arms):] + arms[: r % len(arms)]
+            for label in rot:
+                s, w, _ = loop_windows(
+                    engines[label], [], fresh(16),
+                    confirm_every=8, windows=1,
+                )
+                async_w[label] += w
+                s, w, _ = loop_windows(
+                    engines[label], [], fresh(4),
+                    confirm_every=1, windows=1,
+                )
+                sync_w[label] += w
+        for label in arms:
+            aw, sw = async_w[label], sync_w[label]
+            async_s = float(np.median(aw)) / 1e3
+            sync_s = float(np.median(sw)) / 1e3
+            out["arms"][label] = {
+                **meta[label],
+                "request_ms_sync": round(sync_s * 1e3, 3),
+                "sync_windows_ms": sw,
+                "request_ms_async": round(async_s * 1e3, 3),
+                "async_windows_ms": aw,
+                "examples_per_s_async": round(args.batch / async_s, 1),
             }
         best = min(
             out["arms"], key=lambda k: out["arms"][k]["request_ms_async"]

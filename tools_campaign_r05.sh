@@ -6,6 +6,11 @@ set -x
 cd /root/repo
 mkdir -p /tmp/campaign_r05
 
+# 0. ARMS matrix, interleaved windows (~45 min)
+timeout 5400 python bench.py --model E --batch 512 \
+    --arms-ab host xla_bz fused_bz dev_hash dev_all \
+    > ARMS_r05.json 2> /tmp/campaign_r05/arms.err
+
 # 1. Smoke: headline bench still healthy under the new defaults (~3 min)
 timeout 1800 python bench.py --smoke \
     > /tmp/campaign_r05/smoke.json 2> /tmp/campaign_r05/smoke.err
