@@ -92,6 +92,11 @@ def main():
 
     import jax
 
+    # exact combiner math (sqrtn divisors) computes in f64 exactly like
+    # the Engine does (Engine sets this at construction; this tool calls
+    # group_pooled directly)
+    jax.config.update("jax_enable_x64", True)
+
     rows_out = []
     for L in args.rungs:
         r = bench_rung(L, args.batch, args.cols, args.dim, args.rows,
