@@ -156,7 +156,9 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
         if naive_arm:
             from recom_tpu.tools.naive_tpu import measure_naive_device
 
-            nrow = measure_naive_device(model, np_params, bs, n=16)
+            nrow = measure_naive_device(
+                model, np_params, bs, n=16, fetch_check=False,
+            )   # D2H here would degrade every later cell ~40x
             row["naive_device_step_ms"] = nrow["device_step_ms"]
             row["naive_warm_compile_s"] = nrow["warm_compile_s"]
             row["naive_protocol"] = nrow["protocol"]

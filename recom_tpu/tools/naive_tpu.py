@@ -240,11 +240,19 @@ def build_naive_device_fn(model, batch_size: int):
 
 
 def measure_naive_device(model, np_params, batch_size: int, n: int = 24,
-                         fn=None) -> Dict:
+                         fn=None, fetch_check: bool = True) -> Dict:
     """Device-step-only naive cell: fresh on-device content per dispatch
     (seed-keyed), async loop with confirm-every-8 — the same measurement
     loop shape as the framework cells, minus naive's host prep and H2D
-    (both gifted to it)."""
+    (both gifted to it).
+
+    ``fetch_check=False`` skips the device->host finiteness pull: on the
+    tunneled transport the FIRST D2H of a program output degrades every
+    later device op ~40x for the process (CLAUDE.md), so callers that
+    keep measuring afterwards (ae_sweep per-cell naive arms; this
+    module's own --device-arm sweep) MUST defer any fetch to the very
+    end.  The AE_SWEEP_r05 first recording was discarded for exactly
+    this: the cell-1 naive fetch poisoned every later cell 10-20x."""
     import jax
 
     if fn is None:
@@ -263,8 +271,10 @@ def measure_naive_device(model, np_params, batch_size: int, n: int = 24,
     out = fn(tables, tower, 0)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
-    o = np.asarray(out)
-    assert np.isfinite(o).all() and o.shape[0] == batch_size
+    assert out.shape[0] == batch_size
+    if fetch_check:                      # D2H — see docstring
+        o = np.asarray(out)
+        assert np.isfinite(o).all()
 
     pending = []
     t0 = time.perf_counter()
@@ -387,12 +397,6 @@ def main():
     scale = float(scale) if scale else 1.0
     model = (make_model_e if kind == "E" else make_model_f)(scale=scale)
     np_params = init_model_params(model)
-    sanity_eng = None
-    if args.sanity:
-        from recom_tpu import Engine, EngineConfig
-
-        sanity_eng = Engine(model, EngineConfig(), params=np_params)
-
     rows = []
     for bs in args.batches:
         n = max(9, min(args.inputs, (args.inputs * 512) // bs))
@@ -400,14 +404,43 @@ def main():
             make_random_batch(model, bs, seed=31_000 + bs + i)
             for i in range(n + 1)
         ]
+        # sanity runs AFTER every timed cell (below): its D2H fetch would
+        # degrade all later device ops ~40x on the tunnel (CLAUDE.md)
         row = measure_naive(model, np_params, bats, bs,
-                            sanity_engine=sanity_eng)
+                            sanity_engine=None)
         rows.append(row)
         print(json.dumps(row), flush=True)
         if args.device_arm:
-            drow = measure_naive_device(model, np_params, bs, n=16)
+            drow = measure_naive_device(
+                model, np_params, bs, n=16, fetch_check=False,
+            )   # defer all D2H past the timed sweep
             rows.append(drow)
             print(json.dumps(drow), flush=True)
+    if args.sanity:
+        # end-of-run fetches only: compare the naive forward vs the
+        # engine on one batch per swept size
+        import jax
+
+        from recom_tpu import Engine, EngineConfig
+
+        sanity_eng = Engine(model, EngineConfig(), params=np_params)
+        fn = build_naive_fn(model)
+        tables = {k: np.asarray(v, np.float32)
+                  for k, v in np_params["tables"].items()}
+        tower = np_params["tower"]
+        worst = 0.0
+        for bs in args.batches:
+            b = make_random_batch(model, bs, seed=77 + bs)
+            got = np.asarray(
+                fn(tables, tower, naive_prepare(model, b, bs))
+            )
+            ref = sanity_eng.predict(b)["output"]
+            worst = max(worst, float(np.abs(got[: len(ref)] - ref).max()))
+        srow = {"sanity_max_abs_diff_vs_engine": worst,
+                "sanity_tol": 1e-4, "sanity_ok": bool(worst < 1e-4)}
+        assert srow["sanity_ok"], srow
+        rows.append(srow)
+        print(json.dumps(srow), flush=True)
     if args.out:
         with open(args.out, "w") as f:
             cmd = (
