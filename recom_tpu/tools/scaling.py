@@ -362,6 +362,30 @@ def run_artifact(args) -> dict:
         "device step; falls back to the m=1 sweep latency of THIS host)."
     )
     out["allgather_elision"] = allgather_elision_probe(args)
+    # chunked-vs-monolithic A/B at the weak-scaling endpoints: the m8/m2
+    # ratio is THE overlap-sensitive number (VERDICT r04 item 3); medians
+    # over 3 reps because single CPU-emulation runs vary +-10%
+    import numpy as np
+
+    n_dev = out["devices"]
+    if n_dev >= 8:
+        ab = {}
+        for ck in (1, args.chunks):
+            effs = []
+            for _ in range(3):
+                rs = sweep(
+                    rows_per_shard=args.rows_per_shard, dim=args.dim,
+                    batch=args.batch, n_columns=args.columns,
+                    rowlen=args.rowlen, iters=max(8, args.iters // 2),
+                    comm="all_to_all", mesh_sizes=[2, 8], chunks=ck,
+                )
+                by = {r["model_axis"]: r["examples_per_s"] for r in rs}
+                effs.append(by[8] / by[2])
+            ab[f"chunks_{ck}"] = {
+                "m8_vs_m2_reps": [round(e, 3) for e in effs],
+                "m8_vs_m2_median": round(float(np.median(effs)), 3),
+            }
+        out["chunks_ab"] = ab
     return out
 
 
