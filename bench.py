@@ -595,6 +595,14 @@ def main():
         seed_ctr[0] += n
         return out
 
+    def fresh_iter(n):
+        # lazy variant: holding many raw batches live slows the tunnel
+        # dispatch path ~5x (r05 diagnosis, serve_loops.loop_windows)
+        for _ in range(n):
+            b = make_random_batch(model, args.batch, seed=seed_ctr[0])
+            seed_ctr[0] += 1
+            yield b
+
     # ORDER MATTERS (diagnosed r05): the execute path ages with the count
     # of DISTINCT executions in the process (server-side execution-cache
     # growth pins input buffers; puts stay fast while serve windows
@@ -639,7 +647,8 @@ def main():
             stall — remeasure once on fresh content, keep the better
             median, and record the DISCARDED run."""
             s, w, req = loop_windows(
-                eng, [], fresh_batches(per_mode), confirm_every=confirm_every
+                eng, [], None, confirm_every=confirm_every,
+                factory=fresh_batches, total=per_mode,
             )
             drift = w[-1] / w[0] if w and w[0] else 1.0
             shift = 1.0
@@ -656,8 +665,8 @@ def main():
                 reasons.append("median_3x_best_window")
             if reasons:
                 s2, w2, req2 = loop_windows(
-                    eng, [], fresh_batches(per_mode),
-                    confirm_every=confirm_every,
+                    eng, [], None, confirm_every=confirm_every,
+                    factory=fresh_batches, total=per_mode,
                 )
                 keep_first = s <= s2
                 loop_retries[name] = {
@@ -677,6 +686,8 @@ def main():
         per_request_ms = {"serving_sync_loop": req_sync,
                           "serving_async_loop": req_async}
         s, w = serve_windows(eng, warm, fresh_batches(per_mode))
+        # (thread-pipeline still pre-builds its pool: its submit queue
+        # needs the batches up front; its numbers carry that handicap)
         # tunnel-squall retry (transparent: both window lists recorded):
         # when the median window is >3x the best window, the measurement
         # straddled a transient stall — remeasure once and keep the
@@ -693,8 +704,10 @@ def main():
 
     # --- device-only: program latency with inputs resident, each
     # prepared batch dispatched exactly once ------------------------------
+    import itertools as _it
+
     dev_s, dev_w, sig, prep, darrays = device_windows(
-        eng, [batch] + fresh_batches(min(50, args.iters))
+        eng, _it.chain([batch], fresh_iter(min(30, args.iters)))
     )
 
     # --- host prep only (no device) ------------------------------------
@@ -726,7 +739,7 @@ def main():
 
     # --- strict per-request latency: prep + H2D + device + SYNC each
     # request, fresh content per request ---------------------------------
-    sync_pool = iter(fresh_batches(max(5, args.iters // 5) + 2))
+    sync_pool = fresh_iter(max(5, args.iters // 5) + 2)
 
     def e2e():
         p = eng.prepare(next(sync_pool))
@@ -755,8 +768,8 @@ def main():
     ):
         confirm = 1 if protocol == "serving_sync_loop" else 8
         s2, w2, _ = loop_windows(
-            eng, [], fresh_batches(max(12, args.iters // 4)),
-            confirm_every=confirm, windows=3,
+            eng, [], None, confirm_every=confirm, windows=3,
+            factory=fresh_batches, total=max(12, args.iters // 4),
         )
         headline_confirm_w = w2
         if s2 < headline_s:

@@ -118,9 +118,17 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
         # caches repeated (program, inputs) executions, so replaying the
         # async loop's content through the sync loop would serve from
         # cache and flatter the sync column
-        bats = _distinct_batches(model, bs, n + n_sync + 2,
-                                 seed0=10_000 + bs)
-        warm, bats, sync_bats = bats[:2], bats[2:n + 2], bats[n + 2:]
+        # batches generate PER WINDOW via the factory (loop_windows):
+        # holding a whole cell's raw batches live slows the tunnel
+        # dispatch path ~5x (r05 diagnosis — see serve_loops.loop_windows)
+        seed_ctr = [10_000 + bs]
+
+        def make(k):
+            out = _distinct_batches(model, bs, k, seed0=seed_ctr[0])
+            seed_ctr[0] += k
+            return out
+
+        warm = make(2)
         t0 = time.perf_counter()
         for wb in warm:                 # compile + rowlen hints
             p = eng.prepare(wb)
@@ -129,10 +137,15 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
 
             jax.block_until_ready(fn(eng.device_params, p.arrays)["output"])
         compile_s = time.perf_counter() - t0
+        del warm
 
-        async_s, async_w, _ = loop_windows(eng, [], bats, confirm_every=8)
-        _, _, sync_w = loop_windows(eng, [], sync_bats,
-                                    confirm_every=1, windows=1)
+        async_s, async_w, _ = loop_windows(
+            eng, [], None, confirm_every=8, factory=make, total=n,
+        )
+        _, _, sync_w = loop_windows(
+            eng, [], None, confirm_every=1, windows=1,
+            factory=make, total=n_sync,
+        )
         # per-request MEDIAN (one tunnel hiccup must not skew the cell;
         # with windows=1 the window mean would fold stragglers in)
         sync_s = float(np.median(sync_w)) / 1e3

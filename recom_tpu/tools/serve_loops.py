@@ -18,15 +18,24 @@ import time
 import numpy as np
 
 
-def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
+def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5,
+                 factory=None, total=None):
     """Single-threaded serving loop: prep + dispatch inline, confirming
     the backlog every ``confirm_every`` requests (and at window end) with
     one wait call.  ``confirm_every=1`` is the strict synchronous loop —
     on THIS host often the fastest mode, because the tunnel client
     busy-spins the single CPU core while async work is in flight
     (measured: host prep inflates 4.4ms -> 40-60ms with transfers
-    outstanding).  Each of ``batches`` is served exactly once.  Returns
-    (median per-request s, window ms list, per-request ms list)."""
+    outstanding).  Each batch is served exactly once.  Returns
+    (median per-request s, window ms list, per-request ms list).
+
+    ``factory``/``total``: generate each window's batches JUST BEFORE the
+    window (factory(k) -> k fresh batches; generation is outside the
+    timed section) instead of passing one pre-built ``batches`` list.
+    Measured r05: holding ~60 raw model-E batches live (~1.5 GB of small
+    numpy arrays) slows the tunnel DISPATCH path ~5x (15 ms/request vs
+    2.5 with a small pool; freeing the pool restores speed instantly) —
+    pre-building a whole run's batches poisons the very loop it feeds."""
     import jax
 
     for sb in warm_batches:     # warm signatures + rowlen hints
@@ -36,11 +45,15 @@ def loop_windows(eng, warm_batches, batches, confirm_every=8, windows=5):
     # near-equal window boundaries covering EVERY batch (a floor-division
     # per-window count silently dropped the len % windows tail, so the
     # artifact reported more distinct inputs than were ever dispatched)
-    bounds = np.linspace(0, len(batches), windows + 1).round().astype(int)
+    n_total = total if factory is not None else len(batches)
+    bounds = np.linspace(0, n_total, windows + 1).round().astype(int)
     samples = []
     req_ms = []                 # per-request wall times across ALL windows
     for w in range(windows):
-        use = batches[bounds[w]: bounds[w + 1]]
+        if factory is not None:
+            use = factory(int(bounds[w + 1] - bounds[w]))
+        else:
+            use = batches[bounds[w]: bounds[w + 1]]
         if not use:
             continue
         backlog = []
