@@ -158,7 +158,7 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
             "async_windows_ms": async_w,
             "request_ms_sync": round(sync_s * 1e3, 3),
             "sync_windows_ms": sync_w[:10],
-            "distinct_inputs": len(bats),
+            "distinct_inputs": n,
             "protocol": "async_serving_loop(confirm_every=8)",
             "warm_compile_s": round(compile_s, 1),
         }
