@@ -163,7 +163,9 @@ def sweep_model(name: str, batches, n_inputs: int, out_rows, tf_iters=3,
             "warm_compile_s": round(compile_s, 1),
         }
         if tf_fn is not None:
-            tf_s = _tf_cpu_cell(tf_fn, tf_feed, bats, iters=tf_iters)
+            tf_s = _tf_cpu_cell(
+                tf_fn, tf_feed, make(max(2, tf_iters)), iters=tf_iters
+            )
             row["tf_cpu_ms"] = round(tf_s * 1e3, 2)
             row["vs_tf_cpu"] = round(tf_s / async_s, 2)
         if naive_arm:
